@@ -1,0 +1,66 @@
+"""Benchmark harness: run the engine's headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}. Each query is executed as a real
+action (count of the full result) after a warm-up of the session; per-query
+time includes planning + execution, excluding JVM start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: the flagship pipeline + the heaviest representatives of
+#: each operator family (keep in sync as families land).
+HEADLINE: tuple[str, ...] = (
+    "zscore_flags",
+    "five_min_window_agg",
+    "latest_baseline_join",
+    "welford_moments",
+    "trailing_trend_metrics",
+    "deviation_alerts",
+)
+
+
+def main() -> None:
+    from flink_cookbook_spark.registry import all_specs
+    from flink_cookbook_spark.session import get_spark
+
+    spark = get_spark(app_name="fcs-bench")
+    specs = all_specs()
+    names = [n for n in HEADLINE if n in specs]
+    # also bench anything tagged "bench" that is not already headline
+    names += [n for n, s in sorted(specs.items()) if "bench" in s.tags and n not in names]
+
+    # warm up the JVM + parquet footer caches with a trivial action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Fixture catalog: typed loaders over the driver-materialized parquet tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file per table under an sf dir.
+
+Scans stay declarative (``spark.read.parquet``) so Catalyst gets predicate
+pushdown, column pruning, and (on partitioned layouts) partition pruning
+for free. At 100 TB the same call reads a partitioned/ bucketed table —
+nothing in the engine assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy; no action triggered).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects by default; we read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a proper
+    TimestampType at microsecond precision so every downstream operator
+    sees native event time (watermark-able, window-able).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so operators can be expressed in SQL too."""
+    for name in tables:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,105 @@
+"""Query registry: every engine operator registers a named query + oracle.
+
+Each operator from SURVEY.md section 2 that is SQL-expressible registers
+both a Spark callable ``(spark, sf_dir) -> DataFrame`` and the equivalent
+ANSI SQL (runnable by DuckDB over the same parquet tables). The driver —
+and our own tests/test_oracle.py — compare the two (row count + schema +
+order-insensitive value hash).
+
+Discipline enforced here (driver contract, __spark_entry__.py):
+- every computed column is aliased identically on both sides;
+- floating-point aggregates are rounded (ROUND_DP decimals) on both sides
+  so engine-internal summation order can never flip the hash;
+- timestamps are projected as epoch seconds (BIGINT) or formatted strings
+  so timezone/precision representation can never flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: decimal places used when rounding float aggregates on BOTH sides.
+ROUND_DP = 4
+
+#: nudge added before rounding on BOTH sides. Spark rounds via BigDecimal
+#: HALF_UP on the shortest decimal representation; DuckDB rounds on the
+#: binary double — they disagree when a value (e.g. an average of 4-dp
+#: inputs with an even divisor) lands exactly on a .00005 tie. Adding
+#: 1e-9 (far above ulp noise at these magnitudes, far below the rounding
+#: quantum) moves ties off the boundary identically in both engines.
+NUDGE = 1e-9
+
+
+def rnd(col, dp: int = ROUND_DP):
+    """Spark-side tie-stable rounding; SQL twin: ``round((x) + 1e-9, dp)``."""
+    from pyspark.sql import functions as F
+
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.round(col + F.lit(NUDGE), dp)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None  # None => driver records rows-only check
+    tags: tuple[str, ...] = field(default=())
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query under ``name`` with its DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def _ensure_loaded() -> None:
+    """Import every operator module so registrations run."""
+    import flink_cookbook_spark.operators.metrics  # noqa: F401
+    import flink_cookbook_spark.operators.relational  # noqa: F401
+    import flink_cookbook_spark.operators.tpch  # noqa: F401
+    import flink_cookbook_spark.operators.windows  # noqa: F401
+    import flink_cookbook_spark.functions.scalars  # noqa: F401
+    import flink_cookbook_spark.pipeline.dedup  # noqa: F401
+    import flink_cookbook_spark.pipeline.similarity  # noqa: F401
+    import flink_cookbook_spark.pipeline.text  # noqa: F401
+    import flink_cookbook_spark.pipeline.multimodal  # noqa: F401
+    import flink_cookbook_spark.streaming.sarimax  # noqa: F401
+
+
+def get_query(name: str) -> QuerySpec:
+    _ensure_loaded()
+    return _REGISTRY[name]
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in all_specs().items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in all_specs().items() if spec.oracle is not None}

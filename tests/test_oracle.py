@@ -1,0 +1,29 @@
+"""Every registered query must hash-match its DuckDB oracle (driver replica)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_cookbook_spark.registry import all_specs
+from tests.oracle_harness import compare, duckdb_connection
+
+
+def _params():
+    return [pytest.param(spec, id=name) for name, spec in sorted(all_specs().items())]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_connection(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("spec", _params())
+def test_query_matches_oracle(spec, spark, sf_dir, con):
+    df = spec.fn(spark, sf_dir)
+    if spec.oracle is None:
+        assert df.count() >= 0  # rows-only contract
+        return
+    problems = compare(df, con, spec.oracle, spec.name)
+    assert not problems, "\n".join(problems)
