@@ -1,0 +1,258 @@
+"""Scalar function packs: string, date/time, math, JSON, conditional.
+
+The reference's scalar surface is tiny (json parse/serialize, casts,
+sqrt, abs, min/max clamp, round, format — SURVEY.md section 2.1 scalar
+table); this module provides the full engine-scope packs over the fixture
+tables. All are built-in ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen; no UDFs anywhere in the scalar path.
+
+Portability notes encoded in the oracles:
+- Spark ``dayofweek`` is 1=Sunday; DuckDB ``dayofweek`` is 0=Sunday.
+- Spark ``%`` keeps the dividend sign (like DuckDB); ``pmod`` differs.
+- JSON extraction: Spark ``get_json_object(col,'$.k')`` == DuckDB
+  ``col->>'k'`` (json extension, autoloaded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.registry import register, rnd
+
+
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String pack over customer names: case, substring, pad, trim,
+    replace, concat, length, split-derived fields."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        F.size(F.split("c_name", "#")).alias("n_parts"),
+        F.element_at(F.split("c_name", "#"), 1).alias("first_part"),
+    )
+
+
+register(
+    "string_funcs",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       lower(c_mktsegment) AS segment_lower,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       substring(c_name, 1, 8) AS name_prefix,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+       replace(c_name, '#', '-') AS name_dashed,
+       concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+       trim('  x  ') AS trimmed,
+       CAST(len(string_split(c_name, '#')) AS INTEGER) AS n_parts,
+       string_split(c_name, '#')[1] AS first_part
+FROM customer
+""",
+    tags=("scalar", "string"),
+)(string_funcs)
+
+
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time pack over order dates: extraction, arithmetic,
+    truncation, formatting."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 90), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("1999-01-01"), F.col("o_orderdate")).alias("days_to_1999"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("formatted"),
+    )
+
+
+register(
+    "date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER)
+         AS days_to_1999,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS formatted
+FROM orders
+""",
+    tags=("scalar", "date"),
+)(date_funcs)
+
+
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math pack over lineitem numerics: roots, powers, logs, rounding
+    family, sign/abs, modular arithmetic, clamps (greatest/least — the
+    reference's [0,100] clamp idiom, flinkarima.py:99)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        rnd(F.pow("l_discount", 2), 6).alias("disc_sq"),
+        rnd(F.exp("l_discount"), 6).alias("disc_exp"),
+        rnd(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        rnd(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        (F.col("l_linenumber") % 3).alias("line_mod3"),
+        F.greatest(F.lit(0.0), F.least(F.lit(100.0), F.col("l_quantity"))).alias("qty_clamped"),
+    )
+
+
+register(
+    "math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(sqrt(l_extendedprice) + 1e-9, 6) AS price_sqrt,
+       round(pow(l_discount, 2) + 1e-9, 6) AS disc_sq,
+       round(exp(l_discount) + 1e-9, 6) AS disc_exp,
+       round(ln(l_extendedprice) + 1e-9, 6) AS price_ln,
+       round(log10(l_extendedprice) + 1e-9, 6) AS price_log10,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       abs(l_quantity - 25) AS qty_dev,
+       CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+       l_linenumber % 3 AS line_mod3,
+       greatest(0.0, least(100.0, l_quantity)) AS qty_clamped
+FROM lineitem
+""",
+    tags=("scalar", "math"),
+)(math_funcs)
+
+
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 twin — JSON path extraction from events.props (the reference
+    parses JSON payloads per record, flinkarima.py:121-127; here it is a
+    codegen'd expression, not Python)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        F.when(k.cast("int") > 50, F.lit("high")).otherwise(F.lit("low")).alias("k_band"),
+    )
+
+
+register(
+    "json_funcs",
+    oracle="""
+SELECT event_id,
+       props->>'$.k' AS k_str,
+       CAST(props->>'$.k' AS INTEGER) AS k_int,
+       CASE WHEN CAST(props->>'$.k' AS INTEGER) > 50 THEN 'high' ELSE 'low' END AS k_band
+FROM events
+""",
+    tags=("scalar", "json", "P1"),
+)(json_funcs)
+
+
+def to_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 twin — row -> JSON string serialization (flinkarima.py:444-451
+    serializes the window-agg rows). Assembled with format_string so the
+    byte-exact output is engine-portable."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.format_string(
+            '{"event_id":%d,"user_id":%d,"event_type":"%s"}',
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+        ).alias("payload"),
+    )
+
+
+register(
+    "to_json_serialize",
+    oracle="""
+SELECT event_id,
+       printf('{"event_id":%d,"user_id":%d,"event_type":"%s"}',
+              event_id, user_id, event_type) AS payload
+FROM events
+""",
+    tags=("scalar", "json", "P2"),
+)(to_json_serialize)
+
+
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional pack: CASE/coalesce/nullif/isnull over account
+    balances — the null-handling surface."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.col("c_acctbal").isNull().alias("bal_is_null"),
+        rnd(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias("bal_floor0"),
+    )
+
+
+register(
+    "conditional_funcs",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS bal_band,
+       coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_masked,
+       c_acctbal IS NULL AS bal_is_null,
+       round(greatest(c_acctbal, 0.0) + 1e-9, 2) AS bal_floor0
+FROM customer
+""",
+    tags=("scalar", "conditional"),
+)(conditional_funcs)
+
+
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pack: extract / replace / match over part names and types
+    (patterns restricted to the dialect-portable subset)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([0-9]+)", 1).alias("first_number"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("type_devoweled"),
+        F.col("p_brand").rlike("Brand#[0-9]+").alias("brand_wellformed"),
+    )
+
+
+register(
+    "regex_funcs",
+    oracle="""
+SELECT p_partkey,
+       coalesce(regexp_extract(p_name, '([0-9]+)', 1), '') AS first_number,
+       regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_devoweled,
+       regexp_matches(p_brand, 'Brand#[0-9]+') AS brand_wellformed
+FROM part
+""",
+    tags=("scalar", "regex"),
+)(regex_funcs)

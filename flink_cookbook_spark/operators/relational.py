@@ -1,0 +1,483 @@
+"""Batch relational surface: joins, aggregations, set ops, sorts, top-k.
+
+The reference implements only one join shape (broadcast latest-value, J1)
+and two aggregations (window avg W2, Welford A1) — SURVEY.md section 2.2
+lists the rest as engine scope from the north star. Everything here is
+declarative DataFrame code so Catalyst supplies pushdown, pruning, join
+selection (broadcast vs sort-merge via AQE), and whole-stage codegen.
+
+Scale notes (100 TB):
+- fact-to-fact joins (orders x lineitem) are shuffle joins on the join
+  key; dimension joins (nation, region) are explicit ``F.broadcast``.
+- every aggregate is a hash aggregate with map-side partial aggregation;
+  count_distinct over high-cardinality keys expands to a two-stage
+  (key-distinct then count) plan automatically.
+- top-k per group is window row_number + filter — one shuffle, no global
+  sort; global top-k is orderBy + limit, which Spark executes as per-
+  partition top-k then a k-row driver merge (TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.registry import register, rnd
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders x customer (shuffle/sort-merge at scale)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            rnd(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+register(
+    "join_inner",
+    oracle="""
+SELECT o_orderkey, c_custkey, c_name, c_mktsegment,
+       round(o_totalprice + 1e-9, 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+    tags=("join",),
+)(join_inner)
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + aggregate: order count / revenue per customer,
+    keeping customers with no orders (count 0)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            rnd(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("revenue"),
+        )
+    )
+
+
+register(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey, c_name,
+       count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0.0) + 1e-9, 2) AS revenue
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+    tags=("join",),
+)(join_left_outer)
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one urgent order (EXISTS)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+    tags=("join",),
+)(join_semi)
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all (NOT EXISTS)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    tags=("join",),
+)(join_anti)
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two keyed aggregates (customer vs supplier count
+    per nation) — exercises null-filling on both sides."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_customers")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    return (
+        c.withColumnRenamed("nationkey", "c_nk")
+        .join(s, F.col("c_nk") == s.nationkey, "full_outer")
+        .select(
+            F.coalesce(F.col("c_nk"), F.col("nationkey")).alias("nation_key"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+register(
+    "join_full_outer",
+    oracle="""
+WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+           FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+           FROM supplier GROUP BY 1)
+SELECT coalesce(c.nationkey, s.nationkey) AS nation_key,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+""",
+    tags=("join",),
+)(join_full_outer)
+
+
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range-predicate join: per order, lineitems shipped within 30
+    days of the order date. The range predicate rides on the equi key, so
+    Catalyst still plans a hash/sort-merge join on o_orderkey with the
+    interval condition as a post-join filter — no cross product."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    cond = (
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate >= orders.o_orderdate)
+        & (lineitem.l_shipdate <= F.date_add(orders.o_orderdate, 30))
+    )
+    return (
+        orders.join(lineitem, cond, "inner")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_quick_ship"),
+            rnd(F.sum("l_extendedprice"), 2).alias("quick_revenue"),
+        )
+    )
+
+
+register(
+    "join_interval",
+    oracle="""
+SELECT o_orderkey,
+       count(*) AS n_quick_ship,
+       round(sum(l_extendedprice) + 1e-9, 2) AS quick_revenue
+FROM orders JOIN lineitem
+  ON o_orderkey = l_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderkey
+""",
+    tags=("join", "range-join"),
+)(join_interval)
+
+
+# --------------------------------------------------------------------------
+# aggregations
+# --------------------------------------------------------------------------
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: exact distinct counts per group (two-stage
+    distinct-then-count plan at scale)."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+register(
+    "agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)(agg_distinct)
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HLL++). No oracle — sketch implementations
+    differ across engines; accuracy is asserted in tests/test_relational.py
+    against the exact count (rsd 5%)."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("approx_orders"),
+    )
+
+
+register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))(agg_approx_distinct)
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grouping_id to
+    disambiguate subtotal rows from genuine NULL keys."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+register(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("agg", "rollup"),
+)(agg_rollup)
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        rnd(F.avg("o_totalprice")).alias("avg_price"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+register(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(avg(o_totalprice) + 1e-9, 4) AS avg_price,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg", "cube"),
+)(agg_cube)
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate pack: min/max/avg/stddev/var/median-ish
+    percentile over lineitem prices per linestatus."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_linestatus").agg(
+        rnd(F.min("l_extendedprice"), 2).alias("min_price"),
+        rnd(F.max("l_extendedprice"), 2).alias("max_price"),
+        rnd(F.avg("l_extendedprice")).alias("avg_price"),
+        rnd(F.stddev_samp("l_extendedprice")).alias("std_price"),
+        rnd(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("weighted"),
+    )
+
+
+register(
+    "agg_stats",
+    oracle="""
+SELECT l_linestatus,
+       round(min(l_extendedprice) + 1e-9, 2) AS min_price,
+       round(max(l_extendedprice) + 1e-9, 2) AS max_price,
+       round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
+       round(stddev_samp(l_extendedprice) + 1e-9, 4) AS std_price,
+       round(var_samp(l_extendedprice) + 1e-9, 2) AS var_price,
+       round(sum(l_extendedprice * l_discount) + 1e-9, 2) AS weighted
+FROM lineitem GROUP BY l_linestatus
+""",
+    tags=("agg",),
+)(agg_stats)
+
+
+# --------------------------------------------------------------------------
+# set operations
+# --------------------------------------------------------------------------
+
+
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two filtered projections, then aggregate."""
+    orders = load(spark, sf_dir, "orders")
+    hi = orders.where(F.col("o_totalprice") > 200000).select(
+        "o_custkey", F.lit("high").alias("bucket")
+    )
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey", F.lit("urgent").alias("bucket")
+    )
+    return hi.unionAll(urgent).groupBy("bucket").agg(
+        F.count("*").alias("n"), F.countDistinct("o_custkey").alias("n_custs")
+    )
+
+
+register(
+    "set_union_all",
+    oracle="""
+WITH u AS (
+  SELECT o_custkey, 'high' AS bucket FROM orders WHERE o_totalprice > 200000
+  UNION ALL
+  SELECT o_custkey, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT bucket, count(*) AS n, count(DISTINCT o_custkey) AS n_custs
+FROM u GROUP BY bucket
+""",
+    tags=("setop",),
+)(set_union_all)
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers appearing in both buckets."""
+    orders = load(spark, sf_dir, "orders")
+    hi = orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return hi.intersect(urgent)
+
+
+register(
+    "set_intersect",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+    tags=("setop",),
+)(set_intersect)
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): high-value customers with no urgent orders."""
+    orders = load(spark, sf_dir, "orders")
+    hi = orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return hi.subtract(urgent)  # EXCEPT DISTINCT semantics, matching SQL
+
+
+register(
+    "set_except",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+    tags=("setop",),
+)(set_except)
+
+
+# --------------------------------------------------------------------------
+# sort / limit / top-k / pivot
+# --------------------------------------------------------------------------
+
+
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 by price, deterministic tie-break on key. Spark
+    executes as TakeOrderedAndProject: per-partition top-k, k-row merge —
+    no global sort even at 100 TB."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", rnd(F.col("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+register(
+    "top_orders_global",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice + 1e-9, 2) AS total_price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+""",
+    tags=("topk",),
+)(top_orders_global)
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment: window row_number + filter —
+    one shuffle on the group key, no global sort."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment",
+            "rk",
+            "o_orderkey",
+            rnd(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+register(
+    "topk_per_group",
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, rk, o_orderkey, round(o_totalprice + 1e-9, 2) AS total_price
+FROM ranked WHERE rk <= 3
+""",
+    tags=("topk", "window"),
+)(topk_per_group)
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority (rows) x status (columns), written
+    as conditional aggregation so the column set is static and portable."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_filled"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_partial"),
+    )
+
+
+register(
+    "pivot_status_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("pivot",),
+)(pivot_status_by_priority)

@@ -1,0 +1,232 @@
+"""Window functions: ranking, analytic (lag/lead), and frame aggregates.
+
+The reference hand-rolls exactly one windowed computation — trailing
+moving averages over per-key state (A7, flinkarima.py:130-142). This
+module provides the full window-function family as engine surface
+(SURVEY.md section 2.2). All are single-shuffle plans: hash exchange on
+the partition key, in-partition sort, WindowExec — no driver involvement,
+which is the 100 TB-safe shape as long as a single partition key's rows
+fit on one executor (true for all fixture keys; skewed real keys would
+be salted or range-repartitioned first).
+
+Determinism discipline: every ORDER BY a window function depends on is
+made total (unique tie-break column included) UNLESS the function is
+tie-stable by construction (rank/dense_rank give equal rows equal
+results; frame SUM over a total order is order-defined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.registry import register, rnd
+
+
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile / percent_rank / cume_dist
+    over lineitems per order. l_quantity has real ties, so rank vs
+    dense_rank genuinely diverge; row_number and ntile ride on a total
+    order (quantity, linenumber)."""
+    li = load(spark, sf_dir, "lineitem")
+    ties = Window.partitionBy("l_orderkey").orderBy(F.col("l_quantity").desc())
+    total = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_quantity").desc(), F.col("l_linenumber").asc()
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(F.col("l_quantity"), 2).alias("quantity"),
+        F.row_number().over(total).alias("rn"),
+        F.rank().over(ties).alias("rk"),
+        F.dense_rank().over(ties).alias("drk"),
+        F.ntile(4).over(total).alias("quartile"),
+        rnd(F.percent_rank().over(ties), 6).alias("pct_rank"),
+        rnd(F.cume_dist().over(ties), 6).alias("cume"),
+    )
+
+
+register(
+    "window_ranking",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_quantity + 1e-9, 2) AS quantity,
+       row_number() OVER total AS rn,
+       rank() OVER ties AS rk,
+       dense_rank() OVER ties AS drk,
+       ntile(4) OVER total AS quartile,
+       round(percent_rank() OVER ties + 1e-9, 6) AS pct_rank,
+       round(cume_dist() OVER ties + 1e-9, 6) AS cume
+FROM lineitem
+WINDOW ties AS (PARTITION BY l_orderkey ORDER BY l_quantity DESC),
+       total AS (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber ASC)
+""",
+    tags=("window", "ranking"),
+)(window_ranking)
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: per customer, each order's price vs previous
+    and next order (by date, tie-broken by key), plus delta vs previous.
+    This is the general form of the reference's 'compare current sample
+    to history' pattern (A2)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    prev = F.lag("o_totalprice", 1).over(w)
+    nxt = F.lead("o_totalprice", 1).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        rnd(F.col("o_totalprice"), 2).alias("price"),
+        rnd(prev, 2).alias("prev_price"),
+        rnd(nxt, 2).alias("next_price"),
+        rnd(F.col("o_totalprice") - prev, 2).alias("delta_prev"),
+    )
+
+
+register(
+    "window_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice + 1e-9, 2) AS price,
+       round(lag(o_totalprice, 1) OVER w + 1e-9, 2) AS prev_price,
+       round(lead(o_totalprice, 1) OVER w + 1e-9, 2) AS next_price,
+       round(o_totalprice - lag(o_totalprice, 1) OVER w + 1e-9, 2) AS delta_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""",
+    tags=("window", "analytic"),
+)(window_lag_lead)
+
+
+def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame aggregates per supplier over ship-date order: running total,
+    trailing-5 moving average, and running max — the batch generalization
+    of the reference's bounded history buffer (A3) + trend metrics (A7)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    trailing5 = w.rowsBetween(-4, 0)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        rnd(F.sum("l_extendedprice").over(running), 2).alias("running_revenue"),
+        rnd(F.avg("l_extendedprice").over(trailing5), 2).alias("trailing5_avg"),
+        rnd(F.max("l_extendedprice").over(running), 2).alias("running_max"),
+        F.count("*").over(running).alias("n_so_far"),
+    )
+
+
+register(
+    "window_running_frames",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_extendedprice) OVER running + 1e-9, 2) AS running_revenue,
+       round(avg(l_extendedprice) OVER trailing5 + 1e-9, 2) AS trailing5_avg,
+       round(max(l_extendedprice) OVER running + 1e-9, 2) AS running_max,
+       count(*) OVER running AS n_so_far
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC),
+       running AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       trailing5 AS (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "frames"),
+)(window_running_frames)
+
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value with explicit frames: each order's price
+    vs the customer's first and latest order price up to that point."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        rnd(F.col("o_totalprice"), 2).alias("price"),
+        rnd(F.first("o_totalprice").over(running), 2).alias("first_price"),
+        rnd(F.last("o_totalprice").over(running), 2).alias("latest_price"),
+    )
+
+
+register(
+    "window_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice + 1e-9, 2) AS price,
+       round(first_value(o_totalprice) OVER running + 1e-9, 2) AS first_price,
+       round(last_value(o_totalprice) OVER running + 1e-9, 2) AS latest_price
+FROM orders
+WINDOW running AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "analytic"),
+)(window_first_last)
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization over events: a new session starts after a >30-min
+    gap per user. Classic lag + cumulative-sum-of-boundaries — the batch
+    twin of streaming ``session_window`` (SURVEY.md section 2.2). One
+    shuffle on user_id; both window stages reuse the same partitioning."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ts_sec = F.col("ts").cast("long")
+    prev_ts = F.lag(ts_sec, 1).over(w)
+    new_session = F.when(
+        prev_ts.isNull() | ((ts_sec - prev_ts) > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = ev.select(
+        "user_id",
+        "event_id",
+        ts_sec.alias("ts_sec"),
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
+        F.col("value"),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_sec").alias("session_start"),
+        F.max("ts_sec").alias("session_end"),
+        rnd(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+register(
+    "sessionize",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         value,
+         CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT user_id, event_id, ts_sec, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM marked
+)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       min(ts_sec) AS session_start,
+       max(ts_sec) AS session_end,
+       round(sum(value) + 1e-9, 2) AS session_value
+FROM sessions GROUP BY user_id, session_no
+""",
+    tags=("window", "session"),
+)(sessionize)
