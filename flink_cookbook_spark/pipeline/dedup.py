@@ -1,0 +1,386 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Exact dedup (hash groupBy), n-gram Jaccard near-dup (inverted shingle
+index — no pairwise cross product), MinHash+LSH (shingle -> minhash ->
+band -> bucket-join), and SimHash. All hashing is engine-portable
+(md5-derived 60-bit integers) so every stage is DuckDB-oracle-checkable.
+
+Scale notes (100 TB):
+- exact dedup is one hash aggregate on a fingerprint — the canonical
+  map-side-combinable shape.
+- the Jaccard inverted index joins on shingle; hot shingles (stopword
+  runs) are the skew risk at scale — AQE skew-join handles moderate skew,
+  and production would drop ultra-frequent shingles (df > threshold)
+  before the join, exactly like dropping stopwords.
+- MinHash+LSH is the scale path: signature size k=16, 4 bands x 4 rows.
+  Candidate generation joins on (band_id, band_key) — output is near-
+  linear in the number of true near-dup pairs, not quadratic in corpus
+  size. P(candidate | j) = 1-(1-j^4)^4: j=0.9 -> 0.986, j=0.1 -> 4e-4.
+- fixture texts are whitespace-tokenized; production would normalize
+  (case-fold, strip punctuation) in the same select.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.registry import register, rnd
+
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # MINHASH_K / LSH_BANDS
+
+
+def _portable_hash(col) -> F.Column:
+    """60-bit positive integer hash, identical in Spark and DuckDB:
+    first 15 hex digits of md5. Spark: conv(substr(md5(x),1,15),16,10);
+    DuckDB: CAST('0x' || substr(md5(x),1,15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_SQL_HASH = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint: one row per distinct text,
+    keeping the minimum doc_id (the 'keeper') and the duplicate count."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+register(
+    "exact_dedup",
+    oracle="""
+SELECT md5(text) AS fingerprint,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    tags=("dedup", "llm-pipeline"),
+)(exact_dedup)
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs: word 3-grams."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts")).where(
+        F.size("ts") >= SHINGLE_K
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts)-3),"
+                    " i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         WHERE len(string_split(text, ' ')) >= 3),
+shingles AS (
+  SELECT DISTINCT doc_id, s AS shingle
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ts) - 1),
+                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        FROM toks)
+)
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact word-3-gram Jaccard >= 0.5, computed
+    via an inverted shingle index (join on shingle, count intersections,
+    |A union B| = |A|+|B|-|A intersect B|) — never a doc x doc cross
+    product."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2"))
+    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc1")
+        .join(sb, "doc2")
+        .withColumn("jaccard_raw", jac)
+        .where(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", rnd("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+register(
+    "ngram_jaccard_pairs",
+    oracle="WITH "
+    + _SHINGLES_CTE
+    + f""",
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       round(n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) + 1e-9, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc1 = sa.doc_id
+JOIN sizes sb ON doc2 = sb.doc_id
+WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+""",
+    tags=("dedup", "llm-pipeline", "near-dup"),
+)(ngram_jaccard_pairs)
+
+
+def _minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + MINHASH_K minhash columns mh0..mh15 (portable hashes)."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(_portable_hash(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sql_cols() -> str:
+    cols = []
+    for i in range(MINHASH_K):
+        seeded = "'" + str(i) + ":' || shingle"
+        cols.append(f"min({_SQL_HASH.format(x=seeded)}) AS mh{i}")
+    return ",\n         ".join(cols)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16) per document — the compressed set
+    representation whose collision probability estimates Jaccard."""
+    return _minhash_signatures_df(spark, sf_dir)
+
+
+register(
+    "minhash_signatures",
+    oracle="WITH "
+    + _SHINGLES_CTE
+    + f"""
+SELECT doc_id,
+         {_minhash_sql_cols()}
+FROM shingles GROUP BY doc_id
+""",
+    tags=("dedup", "llm-pipeline", "minhash"),
+)(minhash_signatures)
+
+
+def _band_exprs() -> list[F.Column]:
+    out = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh{b * LSH_ROWS + r}").cast("string") for r in range(LSH_ROWS)]
+        out.append(F.md5(F.concat_ws(",", *cols)).alias(f"band{b}"))
+    return out
+
+
+def _band_sql(b: int) -> str:
+    cols = " || ',' || ".join(
+        f"CAST(mh{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+    )
+    return f"md5({cols})"
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified: documents sharing at
+    least one LSH band bucket (4 bands x 4 rows), then confirmed with
+    exact Jaccard >= 0.5 over the shingle sets.
+
+    This is the 100 TB dedup path: candidate generation is a self-join on
+    (band_id, band_key) — cost proportional to bucket collisions, i.e.
+    to true near-dups — and exact verification runs only on candidates.
+    """
+    sigs = _minhash_signatures_df(spark, sf_dir)
+    bands = sigs.select("doc_id", *_band_exprs())
+    stacked = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key")) for b in range(LSH_BANDS)])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.band_key")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sh1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("s1"))
+    sh2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingle").alias("s2"))
+    inter = (
+        cand.join(sh1, "doc1")
+        .join(sh2, (F.col("doc2") == F.col("d2")) & (F.col("s1") == F.col("s2")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2"))
+    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc1")
+        .join(sb, "doc2")
+        .withColumn("jaccard_raw", jac)
+        .where(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", rnd("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+register(
+    "minhash_lsh_pairs",
+    oracle="WITH "
+    + _SHINGLES_CTE
+    + f""",
+sigs AS (
+  SELECT doc_id,
+         {_minhash_sql_cols()}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band_id,
+         CASE band_id
+           {" ".join(f"WHEN {b} THEN {_band_sql(b)}" for b in range(LSH_BANDS))}
+         END AS band_key
+  FROM sigs, (SELECT unnest(range(0, {LSH_BANDS})) AS band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS n_common
+  FROM cand c
+  JOIN shingles s1 ON s1.doc_id = c.doc1
+  JOIN shingles s2 ON s2.doc_id = c.doc2 AND s1.shingle = s2.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc1, i.doc2,
+       round(n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) + 1e-9, 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc1 = sa.doc_id
+JOIN sizes sb ON i.doc2 = sb.doc_id
+WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+""",
+    tags=("dedup", "llm-pipeline", "minhash", "lsh"),
+)(minhash_lsh_pairs)
+
+
+SIMHASH_BITS = 16  # demo width; production uses 64 — same construction
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash per document over word tokens: for each bit position, sum
+    +1/-1 according to the token-hash bit, then take the sign. Near-dups
+    land at small Hamming distance. 16-bit here (64 in production) so the
+    whole computation stays a single codegen'd aggregate — one column
+    expression per bit, no explosion of rows."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", _portable_hash(F.col("tok")))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+_SIMHASH_BIT_SQL = ",\n         ".join(
+    f"sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(SIMHASH_BITS)
+)
+_SIMHASH_COMBINE_SQL = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(SIMHASH_BITS)
+)
+
+register(
+    "simhash",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_HASH.format(x='tok')} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+bits AS (
+  SELECT doc_id,
+         {_SIMHASH_BIT_SQL}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_COMBINE_SQL} AS BIGINT) AS simhash
+FROM bits
+""",
+    tags=("dedup", "llm-pipeline", "simhash"),
+)(simhash)
+
+
+def simhash_bucket_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents colliding on the full SimHash value (Hamming distance 0
+    buckets) — the coarse-but-free dedup sweep before pairwise Hamming."""
+    sim = simhash(spark, sf_dir)
+    w = Window.partitionBy("simhash")
+    return (
+        sim.withColumn("n_docs", F.count("*").over(w))
+        .where(F.col("n_docs") > 1)
+        .select("simhash", "doc_id", "n_docs")
+    )
+
+
+register(
+    "simhash_bucket_dups",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_HASH.format(x='tok')} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+bits AS (
+  SELECT doc_id,
+         {_SIMHASH_BIT_SQL}
+  FROM toks GROUP BY doc_id
+),
+sims AS (
+  SELECT doc_id, CAST({_SIMHASH_COMBINE_SQL} AS BIGINT) AS simhash FROM bits
+)
+SELECT simhash, doc_id, n_docs
+FROM (SELECT *, count(*) OVER (PARTITION BY simhash) AS n_docs FROM sims)
+WHERE n_docs > 1
+""",
+    tags=("dedup", "llm-pipeline", "simhash"),
+)(simhash_bucket_dups)

@@ -1,0 +1,290 @@
+"""Text-analysis operators for LLM-training-data pipelines.
+
+Token counting, language statistics and a marker-based language-ID
+heuristic, quality scoring (length / token-shape / stopword ratios),
+document fingerprinting, token frequencies, and TF-IDF — all pure
+DataFrame expressions over the ``documents`` fixture table, each with a
+DuckDB oracle.
+
+Scale notes (100 TB): token-level operators explode to one row per
+token — at corpus scale that is the dominant shuffle, so everything
+that can stay per-document (quality score, fingerprint, token counts via
+array functions) does, and only frequency/TF-IDF computations explode.
+The explode -> groupBy pattern is map-side combinable; df (document
+frequency) joins are broadcast (vocabulary is small relative to corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.registry import register, rnd
+
+#: stopword markers per language for the ID heuristic (fixture vocab).
+STOPWORDS = ("the", "a")
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics without exploding: counts, distinct
+    counts, and mean token length via array higher-order functions."""
+    docs = load(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(ts).alias("n_tokens"),
+        F.size(F.array_distinct(ts)).alias("n_distinct_tokens"),
+        rnd(
+            F.aggregate(
+                F.transform(ts, lambda t: F.length(t)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size(ts),
+            4,
+        ).alias("mean_token_len"),
+        F.col("n_chars"),
+    )
+
+
+register(
+    "token_stats",
+    oracle="""
+WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ts FROM documents)
+SELECT doc_id, lang,
+       CAST(len(ts) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct_tokens,
+       round(CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE) / len(ts) + 1e-9, 4)
+         AS mean_token_len,
+       n_chars
+FROM t
+""",
+    tags=("text", "llm-pipeline"),
+)(token_stats)
+
+
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language profile: document counts and size stats per
+    declared language and source."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        rnd(F.avg("n_chars")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+register(
+    "lang_stats",
+    oracle="""
+SELECT lang, source,
+       count(*) AS n_docs,
+       round(avg(n_chars) + 1e-9, 4) AS avg_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang, source
+""",
+    tags=("text", "llm-pipeline"),
+)(lang_stats)
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: stopword ratio, repetition ratio
+    (1 - distinct/total), mean token length, and a composite score —
+    the standard cheap filters before expensive pipeline stages."""
+    docs = load(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    n = F.size(ts)
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.size(F.expr(f"filter(split(text, ' '), t -> t IN ({stop_in}))"))
+    stop_ratio = n_stop.cast("double") / n
+    rep_ratio = 1.0 - F.size(F.array_distinct(ts)).cast("double") / n
+    score = (
+        F.when(n < 10, 0.0).otherwise(1.0)
+        * (1.0 - rep_ratio)
+        * F.when(stop_ratio > 0.5, 0.5).otherwise(1.0)
+    )
+    return docs.select(
+        "doc_id",
+        F.col("n_chars"),
+        n.alias("n_tokens"),
+        rnd(stop_ratio, 4).alias("stopword_ratio"),
+        rnd(rep_ratio, 4).alias("repetition_ratio"),
+        rnd(score, 4).alias("quality"),
+    )
+
+
+register(
+    "quality_score",
+    oracle=f"""
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ts FROM documents),
+m AS (
+  SELECT doc_id, n_chars,
+         len(ts) AS n,
+         CAST(len(list_filter(ts, x -> x IN ({", ".join(repr(s) for s in STOPWORDS)}))) AS DOUBLE)
+           / len(ts) AS stop_ratio,
+         1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS rep_ratio
+  FROM t
+)
+SELECT doc_id, n_chars,
+       CAST(n AS INTEGER) AS n_tokens,
+       round(stop_ratio + 1e-9, 4) AS stopword_ratio,
+       round(rep_ratio + 1e-9, 4) AS repetition_ratio,
+       round((CASE WHEN n < 10 THEN 0.0 ELSE 1.0 END)
+             * (1.0 - rep_ratio)
+             * (CASE WHEN stop_ratio > 0.5 THEN 0.5 ELSE 1.0 END) + 1e-9, 4) AS quality
+FROM m
+""",
+    tags=("text", "llm-pipeline"),
+)(quality_score)
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: predict 'en' when stopword density
+    clears a threshold, else 'other'; report agreement with the declared
+    label. (A real n-gram model is the same shape: per-language marker
+    score columns + argmax.)"""
+    docs = load(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
+    ratio = (
+        F.size(F.expr(f"filter(split(text, ' '), t -> t IN ({stop_in}))")).cast("double")
+        / F.size(ts)
+    )
+    predicted = F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        rnd(ratio, 4).alias("marker_ratio"),
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("lang")).alias("agrees"),
+    )
+
+
+register(
+    "lang_id_heuristic",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(ts, x -> x IN ({", ".join(repr(s) for s in STOPWORDS)}))) AS DOUBLE)
+           / len(ts) AS ratio
+  FROM t
+)
+SELECT doc_id, lang AS declared_lang,
+       round(ratio + 1e-9, 4) AS marker_ratio,
+       CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END AS predicted_lang,
+       (CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END) = lang AS agrees
+FROM m
+""",
+    tags=("text", "llm-pipeline"),
+)(lang_id_heuristic)
+
+
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequencies, top-20 (tie-broken by token)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+register(
+    "top_tokens",
+    oracle="""
+SELECT token, count(*) AS n_occurrences
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY n_occurrences DESC, token ASC LIMIT 20
+""",
+    tags=("text", "llm-pipeline"),
+)(top_tokens)
+
+
+def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (document, token) for the first 50 documents:
+    tf = count in doc / doc length; idf = ln(N / df). The df table is a
+    small broadcast join at any corpus size (vocabulary << corpus)."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("n_tok"))
+        .withColumn("doc_len", F.sum("n_tok").over(Window.partitionBy("doc_id")))
+    )
+    df_tbl = toks.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    return (
+        tf.where(F.col("doc_id") < 50)
+        .join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            rnd(F.col("n_tok").cast("double") / F.col("doc_len"), 6).alias("tf"),
+            rnd(F.log(F.col("n").cast("double") / F.col("df")), 6).alias("idf"),
+            rnd(
+                (F.col("n_tok").cast("double") / F.col("doc_len"))
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                6,
+            ).alias("tf_idf"),
+        )
+    )
+
+
+register(
+    "tf_idf",
+    oracle="""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS n_tok,
+         sum(count(*)) OVER (PARTITION BY doc_id) AS doc_len
+  FROM toks GROUP BY doc_id, token
+),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+SELECT tf.doc_id, tf.token,
+       round(CAST(n_tok AS DOUBLE) / doc_len + 1e-9, 6) AS tf,
+       round(ln(CAST(n.n AS DOUBLE) / df.df) + 1e-9, 6) AS idf,
+       round((CAST(n_tok AS DOUBLE) / doc_len) * ln(CAST(n.n AS DOUBLE) / df.df) + 1e-9, 6)
+         AS tf_idf
+FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+WHERE tf.doc_id < 50
+""",
+    tags=("text", "llm-pipeline"),
+)(tf_idf)
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: content md5 plus a coarse structural
+    signature (length band x token count) for fast pre-clustering."""
+    docs = load(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.concat_ws(
+            ":",
+            (F.col("n_chars") / 100).cast("int").cast("string"),
+            F.size(ts).cast("string"),
+        ).alias("structural_sig"),
+    )
+
+
+register(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS content_md5,
+       CAST(CAST(n_chars // 100 AS INTEGER) AS VARCHAR) || ':' ||
+         CAST(len(string_split(text, ' ')) AS VARCHAR) AS structural_sig
+FROM documents
+""",
+    tags=("text", "llm-pipeline"),
+)(doc_fingerprint)
