@@ -1,0 +1,163 @@
+"""Structured Streaming recipes: the reference pipeline, Spark-first.
+
+The reference dataflow (stream_architecture.md:3-72):
+source -> parse -> key_by(node_id) -> 5-min tumble avg -> SARIMAX state op
+-> broadcast latest-baseline -> alert filter -> print sinks.
+
+Spark re-expression decided in SURVEY.md sections 1.4 / 2.1-J1 / 7.1:
+- event-time windows + watermarks instead of processing time (the
+  reference has no late-data story; watermarking adds one);
+- the stateful model runs in applyInPandasWithState, co-partitioned on
+  the key — Flink's broadcast edge disappears entirely because Spark
+  hash-partitions both the baseline and alert paths on node_id;
+- sinks are pluggable writeStream formats (console == the reference's
+  print sink; memory for tests; parquet/kafka for production).
+
+Streaming/batch duality: every stage is built from the same column
+expressions used by the batch twins in operators/metrics.py, so batch
+runs are the oracle for streaming runs (tests/test_streaming.py).
+
+Topology note: Spark does not allow a second stateful operator
+(applyInPandasWithState) after a streaming aggregation within ONE query,
+so the full pipeline runs as two chained queries connected by a durable
+intermediate (parquet dir or Kafka topic): [source -> parse -> watermark
+-> window agg] =sink=> [baseline state op -> alert filter -> sink].
+That intermediate is exactly where the reference's Kafka hop sits in a
+production deployment, and each query checkpoints independently (R1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from flink_cookbook_spark.streaming.sarimax import (
+    FIXTURE_CONFIG,
+    BaselineConfig,
+    baseline_streaming,
+)
+
+#: reference alert thresholds (flinkarima.py:516-533)
+Z_THRESHOLD = 3.0
+PCT_THRESHOLD = 50.0
+MIN_BASELINE = 1.0
+
+
+def windowed_avg_stream(
+    metrics: DataFrame,
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """W1/W2 streaming: event-time tumbling window average per node with
+    a watermark bounding state and late data (the reference used
+    processing time and kept no late-data bound — flinkarima.py:420-422).
+    Emits on window close (append mode compatible)."""
+    return (
+        metrics.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("node_id"))
+        .agg(
+            F.avg("cpu").alias("avg_value"),
+            F.count("*").alias("n_events"),
+            F.max("event_time").alias("max_event_time"),
+        )
+        .select(
+            F.col("node_id").alias("user_id"),
+            F.col("w.start").cast("long").alias("window_start"),
+            "avg_value",
+            "n_events",
+            "max_event_time",
+        )
+    )
+
+
+def sliding_window_stream(metrics: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Sliding windows (10-min window, 5-min slide) — engine surface
+    beyond the reference's tumble-only windows (SURVEY.md section 2.2)."""
+    return (
+        metrics.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "node_id")
+        .agg(F.avg("cpu").alias("avg_value"))
+        .select(
+            "node_id",
+            F.col("w.start").cast("long").alias("window_start"),
+            F.col("w.end").cast("long").alias("window_end"),
+            "avg_value",
+        )
+    )
+
+
+def session_window_stream(metrics: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows with a dynamic gap — batch twin: sessionize in
+    operators/windows.py."""
+    return (
+        metrics.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "node_id")
+        .agg(F.count("*").alias("n_events"), F.avg("cpu").alias("avg_value"))
+        .select(
+            "node_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def dedup_stream(metrics: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming dedup within the watermark horizon (SURVEY.md section
+    2.2: absent from the reference; one line in Spark)."""
+    return metrics.withWatermark("ts", watermark).dropDuplicates(["node_id", "event_time"])
+
+
+def alerts_stream(
+    windowed: DataFrame, cfg: BaselineConfig = FIXTURE_CONFIG
+) -> DataFrame:
+    """J1+J2 streaming: the stateful operator already holds the latest
+    baseline per key, so enrichment is state lookup, not a broadcast
+    join; the deviation/alert filter is pure column expressions on its
+    output. Here the baseline operator emits records only on cadence, so
+    alerts fire on cadence windows (the continuous-alert variant joins
+    via foreachBatch against the latest-baseline table)."""
+    baselines = baseline_streaming(windowed, cfg)
+    deviation = F.col("observed") - F.col("baseline")
+    pct = F.when(
+        F.col("baseline") >= MIN_BASELINE, deviation / F.col("baseline") * 100.0
+    ).otherwise(F.lit(0.0))
+    z = F.when(F.col("running_std") > 0, deviation / F.col("running_std")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        baselines.withColumn("deviation", deviation)
+        .withColumn("pct_deviation", pct)
+        .withColumn("z_score", z)
+        .where(
+            (F.abs(F.col("z_score")) >= Z_THRESHOLD)
+            | (F.abs(F.col("pct_deviation")) >= PCT_THRESHOLD)
+        )
+        .withColumn("alert_type", F.lit("cpu_deviation"))
+        .withColumn(
+            "severity",
+            F.when(F.abs(F.col("z_score")) >= 2 * Z_THRESHOLD, "high").otherwise("medium"),
+        )
+    )
+
+
+def to_sink(
+    df: DataFrame,
+    fmt: str = "console",
+    query_name: str = "fcs_stream",
+    checkpoint: str | None = None,
+    output_mode: str = "append",
+    **options,
+) -> StreamingQuery:
+    """O1/R1: sink + checkpointing. ``console`` mirrors the reference's
+    print sink; ``memory`` backs tests; parquet/kafka are the production
+    paths. Checkpointing (60 s in the reference, flinkarima.py:394) is
+    per-query state-store checkpointing here."""
+    writer = df.writeStream.format(fmt).outputMode(output_mode).queryName(query_name)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    return writer.start()

@@ -1,0 +1,337 @@
+"""The stateful time-series baseline operator (reference A1-A8).
+
+The reference keeps per-key state (scaled + raw history, Welford
+count/mean/M2, emit counter) and on every Nth window sample fits
+SARIMAX(1,1,1)x(0,1,1,s) on the scaled history, forecasts one step,
+inverse-scales, and emits a 9-field baseline record
+(/root/reference/src/flinkarima.py:171-256; contract README.md:113-126).
+
+Spark-first design (SURVEY.md section 4.2): the model is the one operator
+Catalyst cannot express, so it lives behind a pandas-UDF boundary —
+``applyInPandas`` per key in batch (each group processed as one ordered
+pandas frame), ``applyInPandasWithState`` in streaming (Arrow-batched
+state, vs the reference's per-record pickling). Everything around it
+(window agg, enrichment join, alert filter) stays relational.
+
+statsmodels is not installed in this container, so the default forecaster
+is a documented pure-numpy approximation (seasonal-naive level + EWMA of
+the seasonally differenced series ~ SARIMA(0,0,0)(0,1,1)s); when
+statsmodels is importable the exact reference model is used instead.
+
+State-update order replicated exactly (flinkarima.py:191-239):
+scale with PRE-update mean/std -> append + trim history -> Welford update
+-> emit-cadence check -> fit/forecast -> inverse-scale with POST-update
+mean/std -> clamp >= 0 -> trend metrics from raw history.
+
+Scale notes (100 TB): state per key is <= 2*max_history doubles + 4
+scalars (~23 KB at the reference's 1440) — far under state-store limits;
+keys hash-partition across executors, Arrow moves whole key-batches, and
+the emit cadence bounds model-fit cost to 1 fit per key per N windows.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cookbook_spark.registry import register
+
+try:  # pragma: no cover - not installed in this container
+    from statsmodels.tsa.statespace.sarimax import SARIMAX  # type: ignore
+
+    HAVE_STATSMODELS = True
+except ImportError:
+    HAVE_STATSMODELS = False
+
+
+@dataclass(frozen=True)
+class BaselineConfig:
+    """Reference defaults from run_job.sh:11-28 / flinkarima.py:498-515,
+    scaled down for the fixture cadence by the registered queries."""
+
+    max_history: int = 1440
+    min_history: int = 288
+    emit_every_n: int = 5
+    season: int = 288
+    order: tuple[int, int, int] = (1, 1, 1)
+    seasonal_order: tuple[int, int, int] = (0, 1, 1)
+    forecast_steps: int = 1
+
+
+#: fixture-scale config: 5-min windows over ~2 weeks of events, 12
+#: samples = one 'season' (hour); reference ratios preserved.
+FIXTURE_CONFIG = BaselineConfig(max_history=96, min_history=12, emit_every_n=5, season=12)
+
+BASELINE_SCHEMA = (
+    "user_id long, window_start long, observed double, baseline double, "
+    "history_size int, running_mean double, running_std double, "
+    "trend_latest double, trend_5season double"
+)
+
+
+def forecast_next(history: np.ndarray, cfg: BaselineConfig) -> float:
+    """One-step forecast of the scaled series.
+
+    statsmodels path: the reference's exact SARIMAX fit
+    (flinkarima.py:226-235). numpy fallback: seasonal-naive + EWMA of the
+    seasonally differenced series — EWMA(alpha) is the closed form of the
+    (0,1,1) MA-smoothing the reference's seasonal component applies.
+    """
+    z = np.asarray(history, dtype=np.float64)
+    if HAVE_STATSMODELS:  # pragma: no cover
+        model = SARIMAX(
+            z,
+            order=cfg.order,
+            seasonal_order=(*cfg.seasonal_order, cfg.season),
+            enforce_stationarity=False,
+            enforce_invertibility=False,
+        )
+        fitted = model.fit(disp=False)
+        return float(fitted.forecast(cfg.forecast_steps)[-1])
+    s = cfg.season
+    if len(z) < s + 1:
+        return float(z[-1]) if len(z) else 0.0
+    diffs = z[s:] - z[:-s]
+    alpha = 0.3
+    level = diffs[0]
+    for d in diffs[1:]:
+        level = alpha * d + (1 - alpha) * level
+    return float(z[len(z) - s] + level)
+
+
+def _trend_metrics(raw: list[float], season: int) -> tuple[float | None, float | None]:
+    """Twin of _daily_trend_metrics (flinkarima.py:130-142): averages of
+    the last season and last 5 seasons of raw samples."""
+    if not raw:
+        return None, None
+    latest = raw[-season:]
+    five = raw[-season * 5 :]
+    return (
+        float(sum(latest) / len(latest)),
+        float(sum(five) / len(five)),
+    )
+
+
+class _KeyState:
+    """Per-key mutable state, mirroring the reference's Flink state cells
+    (flinkarima.py:171-189)."""
+
+    __slots__ = ("count", "mean", "m2", "counter", "scaled", "raw")
+
+    def __init__(self, count=0, mean=0.0, m2=0.0, counter=0, scaled=None, raw=None):
+        self.count = count
+        self.mean = mean
+        self.m2 = m2
+        self.counter = counter
+        self.scaled = list(scaled) if scaled else []
+        self.raw = list(raw) if raw else []
+
+    def std(self) -> float:
+        if self.count > 1:
+            return math.sqrt(self.m2 / (self.count - 1))
+        return 0.0
+
+
+def _process_sample(
+    state: _KeyState, x: float, cfg: BaselineConfig
+) -> dict | None:
+    """One reference process_element step; returns a baseline record when
+    the emit cadence fires, else None."""
+    # 1. scale with PRE-update moments (flinkarima.py:194-199)
+    pre_std = state.std()
+    scaled = (x - state.mean) / pre_std if pre_std > 0 else 0.0
+    # 2. append + trim (flinkarima.py:199-206)
+    state.scaled.append(scaled)
+    state.raw.append(x)
+    if len(state.scaled) > cfg.max_history:
+        state.scaled = state.scaled[-cfg.max_history :]
+        state.raw = state.raw[-cfg.max_history :]
+    # 3. Welford update (flinkarima.py:208-216)
+    state.count += 1
+    delta = x - state.mean
+    state.mean += delta / state.count
+    state.m2 += delta * (x - state.mean)
+    # 4. emit cadence (flinkarima.py:218-224)
+    state.counter = (state.counter + 1) % cfg.emit_every_n
+    if state.counter != 0 or len(state.scaled) < cfg.min_history:
+        return None
+    # 5. fit + forecast on scaled history (flinkarima.py:226-235)
+    try:
+        scaled_fc = forecast_next(np.array(state.scaled), cfg)
+    except Exception:
+        return None  # reference logs & swallows per key
+    # 6. inverse scale with POST-update moments, clamp (flinkarima.py:236-248)
+    post_std = state.std()
+    baseline = scaled_fc * post_std + state.mean if post_std > 0 else state.mean
+    baseline = max(0.0, baseline)
+    trend_latest, trend_5 = _trend_metrics(state.raw, cfg.season)
+    return {
+        "observed": x,
+        "baseline": baseline,
+        "history_size": len(state.scaled),
+        "running_mean": state.mean,
+        "running_std": post_std,
+        "trend_latest": trend_latest,
+        "trend_5season": trend_5,
+    }
+
+
+def baseline_batch(
+    windowed: DataFrame, cfg: BaselineConfig = FIXTURE_CONFIG
+) -> DataFrame:
+    """Batch twin: replay each key's ordered window series through the
+    exact state loop via applyInPandas (one Arrow batch per key)."""
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_start")
+        state = _KeyState()
+        out = []
+        for row in pdf.itertuples(index=False):
+            rec = _process_sample(state, float(row.avg_value), cfg)
+            if rec is not None:
+                rec["user_id"] = int(row.user_id)
+                rec["window_start"] = int(row.window_start)
+                out.append(rec)
+        cols = [
+            "user_id", "window_start", "observed", "baseline", "history_size",
+            "running_mean", "running_std", "trend_latest", "trend_5season",
+        ]
+        return pd.DataFrame(out, columns=cols)
+
+    return windowed.groupBy("user_id").applyInPandas(run_group, schema=BASELINE_SCHEMA)
+
+
+def baseline_streaming(
+    windowed_stream: DataFrame, cfg: BaselineConfig = FIXTURE_CONFIG
+) -> DataFrame:
+    """Streaming form: applyInPandasWithState keeps (count, mean, m2,
+    counter, scaled, raw) per key across micro-batches — co-partitioned
+    on the key, so no broadcast is ever needed (SURVEY.md J1 note)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    state_schema = (
+        "count long, mean double, m2 double, counter int, "
+        "scaled array<double>, raw array<double>"
+    )
+
+    def run(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            count, mean, m2, counter, scaled, raw = state.get
+            ks = _KeyState(count, mean, m2, counter, scaled, raw)
+        else:
+            ks = _KeyState()
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("window_start")
+            for row in pdf.itertuples(index=False):
+                rec = _process_sample(ks, float(row.avg_value), cfg)
+                if rec is not None:
+                    rec["user_id"] = int(user_id)
+                    rec["window_start"] = int(row.window_start)
+                    out.append(rec)
+        state.update((ks.count, ks.mean, ks.m2, ks.counter, ks.scaled, ks.raw))
+        cols = [
+            "user_id", "window_start", "observed", "baseline", "history_size",
+            "running_mean", "running_std", "trend_latest", "trend_5season",
+        ]
+        yield pd.DataFrame(out, columns=cols)
+
+    return windowed_stream.groupBy("user_id").applyInPandasWithState(
+        run,
+        outputStructType=BASELINE_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sarimax_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A8 as a registered query: baseline records over the events
+    window series (fixture-scale config). Rows-only check — the model is
+    not SQL-expressible; numerical properties are pytest-verified
+    (tests/test_sarimax.py)."""
+    from flink_cookbook_spark.operators.metrics import _windowed
+
+    return baseline_batch(_windowed(spark, sf_dir), FIXTURE_CONFIG)
+
+
+register("sarimax_baseline", oracle=None, tags=("model", "A5", "A8", "stateful"))(
+    sarimax_baseline
+)
+
+
+def pipeline_alerts_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference-pipeline parity in batch: window agg -> stateful
+    baseline model -> latest-baseline as-of join -> deviation/alert
+    filter (J2 thresholds z>=3 or pct>=50, severity high at 2x). This is
+    the complete dataflow of flinkarima.py:392-476 as one lazy plan."""
+    from flink_cookbook_spark.operators.metrics import (
+        MIN_BASELINE,
+        PCT_THRESHOLD,
+        Z_THRESHOLD,
+        _windowed,
+        asof_join,
+    )
+
+    win = _windowed(spark, sf_dir)
+    baselines = baseline_batch(win, FIXTURE_CONFIG).select(
+        "user_id",
+        "window_start",
+        F.col("baseline").alias("baseline_value"),
+        F.col("running_std").alias("baseline_std"),
+    )
+    enriched = asof_join(
+        win,
+        baselines,
+        key="user_id",
+        left_ts="window_start",
+        right_ts="window_start",
+        value_cols=["baseline_value", "baseline_std"],
+        how="inner",
+    )
+    deviation = F.col("avg_value") - F.col("baseline_value_asof")
+    pct = F.when(
+        F.col("baseline_value_asof") >= MIN_BASELINE,
+        deviation / F.col("baseline_value_asof") * 100.0,
+    ).otherwise(F.lit(0.0))
+    z = F.when(
+        F.col("baseline_std_asof") > 0, deviation / F.col("baseline_std_asof")
+    ).otherwise(F.lit(0.0))
+    return (
+        enriched.withColumn("deviation", deviation)
+        .withColumn("pct_deviation", pct)
+        .withColumn("z_score", z)
+        .where(
+            (F.abs(F.col("z_score")) >= Z_THRESHOLD)
+            | (F.abs(F.col("pct_deviation")) >= PCT_THRESHOLD)
+        )
+        .select(
+            "user_id",
+            "window_start",
+            F.lit("cpu_deviation").alias("alert_type"),
+            F.when(F.abs(F.col("z_score")) >= 2 * Z_THRESHOLD, "high")
+            .otherwise("medium")
+            .alias("severity"),
+            F.col("avg_value").alias("observed"),
+            F.col("baseline_value_asof").alias("baseline"),
+            "deviation",
+            "pct_deviation",
+            "z_score",
+            F.col("window_start_asof").alias("baseline_window_start"),
+        )
+    )
+
+
+register(
+    "pipeline_alerts_end_to_end",
+    oracle=None,
+    tags=("flagship", "model", "J1", "J2", "stateful"),
+)(pipeline_alerts_end_to_end)

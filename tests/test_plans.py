@@ -1,0 +1,108 @@
+"""Physical-plan shape assertions: scale hygiene pinned by tests.
+
+These fail if a future change silently degrades a plan (filter stops
+pushing down, a dimension join stops broadcasting, a top-k becomes a
+global sort) — the regressions that only hurt at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.plans.explain import (
+    count_exchanges,
+    has_broadcast_join,
+    has_cartesian,
+    is_take_ordered,
+    pushed_filters,
+    read_schema_columns,
+    uses_whole_stage_codegen,
+)
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    from flink_cookbook_spark.operators.tpch import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+    assert any("l_discount" in f for f in filters), filters
+    assert any("l_quantity" in f for f in filters), filters
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must scan only those columns (lineitem has 11)."""
+    li = load(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    assert read_schema_columns(df) == {"l_orderkey", "l_quantity"}
+
+
+def test_q1_scans_only_needed_columns(spark, sf_dir):
+    from flink_cookbook_spark.operators.tpch import q1_pricing_summary
+
+    cols = read_schema_columns(q1_pricing_summary(spark, sf_dir))
+    assert cols == {
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+    }
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    from flink_cookbook_spark.operators.tpch import q5_local_supplier_volume
+
+    assert has_broadcast_join(q5_local_supplier_volume(spark, sf_dir))
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    from flink_cookbook_spark.operators.relational import top_orders_global
+
+    df = top_orders_global(spark, sf_dir)
+    assert is_take_ordered(df)
+
+
+def test_no_cartesian_in_joins(spark, sf_dir):
+    from flink_cookbook_spark.operators.relational import join_interval
+    from flink_cookbook_spark.pipeline.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    for df in (
+        join_interval(spark, sf_dir),
+        ngram_jaccard_pairs(spark, sf_dir),
+        minhash_lsh_pairs(spark, sf_dir),
+    ):
+        assert not has_cartesian(df)
+
+
+def test_window_agg_single_shuffle(spark, sf_dir):
+    """The 5-min window aggregate is one hash exchange (partial agg
+    map-side, final agg post-shuffle)."""
+    from flink_cookbook_spark.operators.metrics import five_min_window_agg
+
+    assert count_exchanges(five_min_window_agg(spark, sf_dir)) == 1
+
+
+def test_asof_join_single_shuffle_per_side(spark, sf_dir):
+    """The union+last_value as-of join must not expand into a range join:
+    union of two scans -> one exchange on the key -> window sweep."""
+    from flink_cookbook_spark.operators.metrics import latest_baseline_join
+
+    df = latest_baseline_join(spark, sf_dir)
+    assert not has_cartesian(df)
+    # windowed agg (1 per side pre-union) + key exchange for the sweep +
+    # row_number exchange for baselines; anything >5 means a plan blowup
+    assert count_exchanges(df) <= 5
+
+
+def test_codegen_in_scalar_paths(spark, sf_dir):
+    from flink_cookbook_spark.functions.scalars import math_funcs, string_funcs
+
+    assert uses_whole_stage_codegen(string_funcs(spark, sf_dir))
+    assert uses_whole_stage_codegen(math_funcs(spark, sf_dir))
+
+
+def test_events_scan_prunes_for_window_agg(spark, sf_dir):
+    """The flagship path reads only (ts, user_id, value) from events."""
+    from flink_cookbook_spark.operators.metrics import zscore_flags
+
+    cols = read_schema_columns(zscore_flags(spark, sf_dir))
+    assert cols == {"ts", "user_id", "value"}

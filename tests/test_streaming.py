@@ -1,0 +1,207 @@
+"""Streaming twins tested against their batch oracles (SURVEY.md section
+5.2.3): a static parquet directory drives each streaming query to
+completion through a memory sink, then results are compared with the
+identical batch expressions."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Streaming-readable copy of events with a stable (nanos-free)
+    schema: readStream needs an explicit schema + directory input."""
+    from flink_cookbook_spark.catalog import load
+
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _read_stream(spark, path):
+    static = spark.read.parquet(path)
+    return spark.readStream.schema(static.schema).parquet(path)
+
+
+def _run_to_memory(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def _metrics_view(stream_df):
+    """events -> the pipeline's metric shape (node/cpu naming)."""
+    return stream_df.select(
+        F.col("user_id").cast("string").alias("node_id"),
+        F.col("ts"),
+        F.col("value").alias("cpu"),
+        (F.col("ts").cast("long") * 1000).alias("event_time"),
+    )
+
+
+def test_streaming_window_agg_equals_batch(spark, sf_dir, events_stream_dir):
+    """W1/W2: streaming event-time tumble == the batch twin on the same
+    data (closed windows only — all close because input is finite)."""
+    from flink_cookbook_spark.streaming.recipes import windowed_avg_stream
+
+    stream = windowed_avg_stream(_metrics_view(_read_stream(spark, events_stream_dir)))
+    _run_to_memory(stream, "win_agg")
+    got = {
+        (int(r.user_id), r.window_start): (round(r.avg_value, 6), r.n_events)
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    batch = (
+        spark.read.parquet(events_stream_dir)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.avg("value").alias("avg_value"), F.count("*").alias("n"))
+        .select(
+            F.col("user_id"), F.col("w.start").cast("long").alias("ws"), "avg_value", "n"
+        )
+    )
+    want = {(int(r.user_id), r.ws): (round(r.avg_value, 6), r.n) for r in batch.collect()}
+    # the streaming side legitimately withholds windows not yet closed by
+    # the watermark (the tail of the finite input); everything closed must
+    # match the batch twin exactly.
+    max_ts = spark.read.parquet(events_stream_dir).agg(F.max(F.col("ts").cast("long"))).collect()[0][0]
+    horizon = max_ts - 600  # 10-minute watermark
+    missing = set(want) - set(got)
+    assert all(ws + 300 > horizon for _, ws in missing), f"closed windows missing: {missing}"
+    for k in got:
+        assert got[k] == want[k]
+    assert len(got) > 100
+
+
+def test_streaming_session_window(spark, events_stream_dir):
+    from flink_cookbook_spark.streaming.recipes import session_window_stream
+
+    stream = session_window_stream(_metrics_view(_read_stream(spark, events_stream_dir)))
+    _run_to_memory(stream, "sessions")
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert rows
+    for r in rows:
+        assert r.session_end >= r.session_start
+        assert r.n_events >= 1
+
+
+def test_streaming_dedup(spark, events_stream_dir):
+    from flink_cookbook_spark.streaming.recipes import dedup_stream
+
+    base = _metrics_view(_read_stream(spark, events_stream_dir))
+    doubled = base.union(base)  # duplicate every record
+    _run_to_memory(dedup_stream(doubled), "dedup")
+    n_dedup = spark.sql("SELECT count(*) AS n FROM dedup").collect()[0].n
+    n_src = spark.read.parquet(events_stream_dir).count()
+    assert n_dedup == n_src
+
+
+@pytest.fixture(scope="module")
+def windowed_stage_dir(spark, events_stream_dir, tmp_path_factory):
+    """Stage 1 of the two-stage pipeline: the streaming window aggregate
+    materialized to a durable intermediate (Spark does not allow a second
+    stateful operator after a streaming aggregation in one query — the
+    production shape is window-agg query -> parquet/kafka -> model query)."""
+    from flink_cookbook_spark.streaming.recipes import to_sink
+
+    win = (
+        _read_stream(spark, events_stream_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.round(F.avg("value") + F.lit(1e-9), 4).alias("avg_value"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "user_id", "avg_value")
+    )
+    out = str(tmp_path_factory.mktemp("windowed_stage"))
+    ckpt = str(tmp_path_factory.mktemp("windowed_ckpt"))
+    q = to_sink(win, fmt="parquet", query_name="win_stage", checkpoint=ckpt, path=out)
+    q.processAllAvailable()
+    q.stop()
+    return out
+
+
+def test_streaming_baseline_equals_batch_twin(spark, windowed_stage_dir):
+    """M3: applyInPandasWithState over the streamed window series emits
+    exactly the applyInPandas batch twin's records on the same input."""
+    from flink_cookbook_spark.streaming.sarimax import baseline_batch, baseline_streaming
+
+    win_stream = _read_stream(spark, windowed_stage_dir)
+    _run_to_memory(baseline_streaming(win_stream), "baselines_s")
+    got = {
+        (r.user_id, r.window_start): (r.baseline, r.history_size)
+        for r in spark.sql("SELECT * FROM baselines_s").collect()
+    }
+    want = {
+        (r.user_id, r.window_start): (r.baseline, r.history_size)
+        for r in baseline_batch(spark.read.parquet(windowed_stage_dir)).collect()
+    }
+    assert set(got) == set(want)
+    assert got
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0], abs=1e-9)
+        assert got[k][1] == want[k][1]
+
+
+def test_streaming_alerts_pipeline(spark, windowed_stage_dir):
+    """End-to-end streaming recipe stage 2: stateful baseline -> alert
+    filter, through a memory sink."""
+    from flink_cookbook_spark.streaming.recipes import alerts_stream
+
+    _run_to_memory(alerts_stream(_read_stream(spark, windowed_stage_dir)), "alerts_s")
+    rows = spark.sql("SELECT * FROM alerts_s").collect()
+    for r in rows:
+        assert r.alert_type == "cpu_deviation"
+        assert r.severity in ("high", "medium")
+        assert abs(r.z_score) >= 3.0 or abs(r.pct_deviation) >= 50.0
+
+
+def test_synthetic_generator_value_model(spark):
+    """S2/S3 twin properties: values clamped to [0,100], deterministic
+    across runs (same seed), hour-of-day seasonality visible."""
+    from flink_cookbook_spark.streaming.sources import synthetic_metrics_batch
+
+    a = synthetic_metrics_batch(spark, n_rows=5000).collect()
+    b = synthetic_metrics_batch(spark, n_rows=5000).collect()
+    assert [r.cpu for r in a] == [r.cpu for r in b]  # rand(seed) determinism
+    assert all(0.0 <= r.cpu <= 100.0 for r in a)
+    assert len({r.node_id for r in a}) == 5
+
+
+def test_json_wire_roundtrip_lossless(spark):
+    """S3 serialize -> P1 parse is lossless over the wire format."""
+    from flink_cookbook_spark.streaming.sources import (
+        metrics_to_json,
+        parse_metrics,
+        synthetic_metrics_batch,
+    )
+
+    gen = synthetic_metrics_batch(spark, n_rows=1000)
+    parsed = parse_metrics(metrics_to_json(gen))
+    src = [(r.node_id, r.cpu, r.event_time) for r in gen.collect()]
+    rt = [(r.node_id, r.cpu, r.event_time) for r in parsed.collect()]
+    assert sorted(src) == sorted(rt)
+
+
+def test_parse_metrics_drops_invalid(spark):
+    """P1 drop semantics: malformed JSON and missing required fields are
+    dropped (the reference throws per record; from_json nulls + filter)."""
+    from flink_cookbook_spark.streaming.sources import parse_metrics
+
+    raw = spark.createDataFrame(
+        [
+            ('{"node_id": "n1", "cpu_utilization": 55.5, "timestamp": 123}',),
+            ('{"node_id": "n2", "cpu_utilization": 10.0}',),  # ts defaults 0
+            ('{"cpu_utilization": 1.0}',),  # missing node_id -> drop
+            ('{"node_id": "n3"}',),  # missing cpu -> drop
+            ("not json at all",),  # corrupt -> drop
+        ],
+        ["value"],
+    )
+    rows = {r.node_id: (r.cpu, r.event_time) for r in parse_metrics(raw).collect()}
+    assert rows == {"n1": (55.5, 123), "n2": (10.0, 0)}
