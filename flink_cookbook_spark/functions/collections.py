@@ -1,0 +1,250 @@
+"""Collection (array/map) function pack + unpivot + quantiles + subqueries.
+
+Engine-scope surface beyond the reference (SURVEY.md section 2.2): the
+fixture ``embeddings.embedding`` array column and string-split arrays
+exercise the array family; maps are built inline (the record schemas have
+none); unpivot is ``stack``; quantiles use exact interpolated percentile
+(Spark ``percentile`` == DuckDB ``quantile_cont``) so they oracle-match,
+unlike the sketch-based approx variants (tested separately).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.registry import register, rnd
+
+
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array pack over embeddings: size/slice/contains-ish/sort/extrema
+    plus higher-order transform/filter/aggregate."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    return emb.select(
+        "vec_id",
+        F.size("e").alias("dim"),
+        rnd(F.element_at("e", 1), 6).alias("first_val"),
+        rnd(F.element_at("e", -1), 6).alias("last_val"),
+        rnd(F.array_max("e"), 6).alias("max_val"),
+        rnd(F.array_min("e"), 6).alias("min_val"),
+        F.size(F.slice("e", 1, 8)).alias("head_len"),
+        F.size(F.expr("filter(e, x -> x > 0)")).alias("n_positive"),
+        rnd(F.element_at(F.array_sort("e"), 32), 6).alias("median_low"),
+        rnd(F.aggregate(F.expr("transform(e, x -> x * x)"), F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "sum_sq"
+        ),
+    )
+
+
+register(
+    "array_funcs",
+    oracle="""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id,
+       CAST(len(e) AS INTEGER) AS dim,
+       round(e[1] + 1e-9, 6) AS first_val,
+       round(e[-1] + 1e-9, 6) AS last_val,
+       round(list_max(e) + 1e-9, 6) AS max_val,
+       round(list_min(e) + 1e-9, 6) AS min_val,
+       CAST(len(e[1:8]) AS INTEGER) AS head_len,
+       CAST(len(list_filter(e, x -> x > 0)) AS INTEGER) AS n_positive,
+       round(list_sort(e)[32] + 1e-9, 6) AS median_low,
+       round(list_sum(list_transform(e, x -> x * x)) + 1e-9, 6) AS sum_sq
+FROM emb
+""",
+    tags=("scalar", "array"),
+)(array_funcs)
+
+
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map pack: build a map inline from order fields, then key/value ops.
+    (No map columns exist in the fixtures or the reference record schema —
+    SURVEY.md section 1.2 — so the map is constructed, which is itself the
+    map_from_entries surface.)"""
+    o = load(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        m.getItem("status").alias("status_val"),
+        m.getItem("priority").alias("priority_val"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+    )
+
+
+register(
+    "map_funcs",
+    oracle="""
+SELECT o_orderkey,
+       m['status'][1] AS status_val,    -- DuckDB map subscript yields a list
+       m['priority'][1] AS priority_val,
+       CAST(cardinality(m) AS INTEGER) AS n_keys,
+       array_to_string(map_keys(m), ',') AS keys_joined
+FROM (SELECT o_orderkey,
+             MAP {'status': o_orderstatus, 'priority': o_orderpriority} AS m
+      FROM orders)
+""",
+    tags=("scalar", "map"),
+)(map_funcs)
+
+
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack: lineitem's three charge components to
+    (component, amount) rows."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'price', l_extendedprice, 'discount', l_discount, 'tax', l_tax)"
+        ).alias("component", "amount_raw"),
+    ).select(
+        "l_orderkey", "l_linenumber", "component", rnd("amount_raw", 4).alias("amount")
+    )
+
+
+register(
+    "unpivot_stack",
+    oracle="""
+SELECT l_orderkey, l_linenumber, component, round(amount_raw + 1e-9, 4) AS amount
+FROM (
+  SELECT l_orderkey, l_linenumber, 'price' AS component, l_extendedprice AS amount_raw FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+)
+""",
+    tags=("unpivot",),
+)(unpivot_stack)
+
+
+def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group: Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` (both linear interpolation on the sorted
+    set). The approx sketch variant is tested in pytest for accuracy."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
+        rnd(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90"),
+        rnd(F.expr("percentile(l_extendedprice, 0.99)")).alias("p99"),
+    )
+
+
+register(
+    "exact_quantiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9) + 1e-9, 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99) + 1e-9, 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "quantile"),
+)(exact_quantiles)
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): totals by (flag,
+    status), by flag alone, and grand total — via SQL on a temp view so
+    the construct itself is exercised."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+               grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gmask
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+register(
+    "grouping_sets_agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+       GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gmask
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    tags=("agg", "grouping-sets"),
+)(grouping_sets_agg)
+
+
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + IN subqueries: orders above the global average price from
+    customers in nations that have suppliers."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    orders.createOrReplaceTempView("_o_sub")
+    customer.createOrReplaceTempView("_c_sub")
+    supplier.createOrReplaceTempView("_s_sub")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice + 1e-9, 2) AS total_price
+        FROM _o_sub
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM _o_sub)
+          AND o_custkey IN (SELECT c_custkey FROM _c_sub
+                            WHERE c_nationkey IN (SELECT s_nationkey FROM _s_sub))
+        """
+    )
+
+
+register(
+    "scalar_subquery",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice + 1e-9, 2) AS total_price
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+  AND o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_nationkey IN (SELECT s_nationkey FROM supplier))
+""",
+    tags=("subquery",),
+)(scalar_subquery)
+
+
+def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with an aggregate-correlated predicate: customers
+    whose most expensive order exceeds 1.5x their average order."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_o_corr")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_c_corr")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM _c_corr
+        WHERE EXISTS (
+          SELECT 1 FROM _o_corr o1
+          WHERE o1.o_custkey = c_custkey
+            AND o1.o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM _o_corr o2
+                                         WHERE o2.o_custkey = o1.o_custkey)
+        )
+        """
+    )
+
+
+register(
+    "correlated_exists",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders o1
+  WHERE o1.o_custkey = c_custkey
+    AND o1.o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                                 WHERE o2.o_custkey = o1.o_custkey)
+)
+""",
+    tags=("subquery",),
+)(correlated_exists)

@@ -1,0 +1,91 @@
+"""File-format source/sink roundtrips + partitioned-write pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.sources.formats import read_stream, read_table, write_table
+
+
+def _orders_sample(spark, sf_dir):
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    src = _orders_sample(spark, sf_dir)
+    path = str(tmp_path / "orders_csv")
+    write_table(src, path, fmt="csv", header="true")
+    back = read_table(
+        spark, path, fmt="csv",
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+        header="true",
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    src = _orders_sample(spark, sf_dir)
+    path = str(tmp_path / "orders_json")
+    write_table(src, path, fmt="json")
+    back = read_table(
+        spark, path, fmt="json",
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    src = _orders_sample(spark, sf_dir)
+    path = str(tmp_path / "orders_orc")
+    write_table(src, path, fmt="orc")
+    back = read_table(spark, path, fmt="orc")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """partitionBy layout must give partition pruning: a status filter
+    reads only that partition's directory."""
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    src = _orders_sample(spark, sf_dir)
+    path = str(tmp_path / "orders_part")
+    write_table(src, path, partition_by=["o_orderstatus"])
+    back = read_table(spark, path).where(F.col("o_orderstatus") == "F")
+    want = src.where(F.col("o_orderstatus") == "F").count()
+    assert back.count() == want
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_streaming_file_source_json(spark, sf_dir, tmp_path):
+    """JSON directory as a streaming source == its batch read."""
+    src = _orders_sample(spark, sf_dir)
+    path = str(tmp_path / "orders_stream_json")
+    write_table(src, path, fmt="json")
+    schema = "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double"
+    stream = read_stream(spark, path, fmt="json", schema=schema)
+    q = (
+        stream.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+        .writeStream.format("memory").queryName("json_src").outputMode("complete")
+        .trigger(availableNow=True).start()
+    )
+    q.processAllAvailable(); q.stop()
+    got = {r.o_orderstatus: r.n for r in spark.sql("SELECT * FROM json_src").collect()}
+    want = {r.o_orderstatus: r.n for r in src.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    assert got == want
+
+
+def test_kafka_source_requires_connector(spark):
+    """S1: the Kafka builder constructs the right plan; without a broker/
+    connector in this container, starting it must fail cleanly — the
+    builder itself is the testable surface."""
+    import pytest
+
+    from flink_cookbook_spark.streaming.sources import kafka_metrics_stream
+
+    with pytest.raises(Exception):
+        df = kafka_metrics_stream(spark)
+        df.writeStream.format("memory").queryName("_kafka_probe").start()
