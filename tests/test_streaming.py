@@ -205,3 +205,43 @@ def test_parse_metrics_drops_invalid(spark):
     )
     rows = {r.node_id: (r.cpu, r.event_time) for r in parse_metrics(raw).collect()}
     assert rows == {"n1": (55.5, 123), "n2": (10.0, 0)}
+
+
+def test_continuous_alerts_foreach_batch(spark, windowed_stage_dir):
+    """J1 foreachBatch variant: alerts fire on every window (not only
+    cadence windows) against the latest broadcast baseline table."""
+    from flink_cookbook_spark.streaming.recipes import continuous_alerts_foreach_batch
+
+    sink: list = []
+    q = continuous_alerts_foreach_batch(
+        _read_stream(spark, windowed_stage_dir), "latest_baselines", sink
+    )
+    q.processAllAvailable()
+    q.stop()
+    for a in sink:
+        assert abs(a["z_score"]) >= 3.0 or abs(a["pct_deviation"]) >= 50.0
+        assert a["severity"] in ("high", "medium")
+
+
+def test_cli_batch_mode_runs(spark, capsys):
+    """C1: the reference's launch surface end-to-end in batch datagen
+    mode (small run)."""
+    from flink_cookbook_spark.cli import run
+
+    rc = run([
+        "--mode", "batch", "--use-datagen",
+        "--nodes", "3", "--rate", "2.0", "--duration-seconds", "900",
+        "--max-history", "48", "--min-history", "6", "--emit-every-n", "5",
+        "--order", "1,1,1", "--seasonal-order", "0,1,1,6",
+    ])
+    assert rc == 0
+    assert "baseline" in capsys.readouterr().out
+
+
+def test_cli_validator_rejects_bad_order():
+    import pytest
+
+    from flink_cookbook_spark.cli import build_parser
+
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["--order", "1,2"])
