@@ -1,0 +1,74 @@
+"""Robustness: property-based checks of the engine's foundational pieces
+— the as-of join (used by J1) against a naive per-row reference, and the
+cross-engine tie-stable rounding convention every oracle depends on."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+
+@st.composite
+def asof_case(draw):
+    keys = draw(st.lists(st.integers(0, 3), min_size=1, max_size=4, unique=True))
+    left, right = [], []
+    for k in keys:
+        lts = draw(st.lists(st.integers(0, 50), min_size=1, max_size=8, unique=True))
+        rts = draw(st.lists(st.integers(0, 50), min_size=0, max_size=5, unique=True))
+        left += [(k, t, float(t * 10 + k)) for t in lts]
+        right += [(k, t, float(t * 100 + k)) for t in rts]
+    return left, right
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_case())
+def test_asof_join_matches_naive(spark, case):
+    """asof_join == 'for each left row, latest right with ts <= left ts'."""
+    from flink_cookbook_spark.operators.metrics import asof_join
+
+    left_rows, right_rows = case
+    left = spark.createDataFrame(left_rows, "k long, ts long, lval double")
+    right = spark.createDataFrame(right_rows, "k long, ts long, rval double")
+    got = {
+        (r.k, r.ts): (r.rval_asof, r.ts_asof)
+        for r in asof_join(left, right, "k", "ts", "ts", ["rval"], how="inner").collect()
+    }
+    want = {}
+    for k, lts, _ in left_rows:
+        cands = [(rts, rv) for rk, rts, rv in right_rows if rk == k and rts <= lts]
+        if cands:
+            rts, rv = max(cands)
+            want[(k, lts)] = (rv, rts)
+    assert got == want
+
+
+def test_tie_stable_rounding_cross_engine(spark):
+    """registry.rnd (Spark) and round((x)+1e-9, 4) (DuckDB) must agree on
+    engineered .00005 ties AND random doubles — the convention every
+    oracle query in the registry relies on."""
+    random.seed(7)
+    values = [round(random.uniform(-1000, 1000), 5) for _ in range(5000)]
+    # engineered exact half-ties at the 4th decimal, both signs
+    values += [i / 10 + 0.00005 for i in range(-50, 50)]
+    values += [i / 10 + 0.00015 for i in range(-50, 50)]
+
+    from flink_cookbook_spark.registry import rnd
+
+    sdf = spark.createDataFrame([(v,) for v in values], "x double")
+    spark_out = [r.y for r in sdf.select(rnd(F.col("x")).alias("y")).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vals (i INTEGER, x DOUBLE)")
+    con.executemany("INSERT INTO vals VALUES (?, ?)", list(enumerate(values)))
+    duck_out = [
+        r[0] for r in con.execute(
+            "SELECT round(x + 1e-9, 4) FROM vals ORDER BY i"
+        ).fetchall()
+    ]
+    assert spark_out == pytest.approx(duck_out, abs=0)  # bit-identical
