@@ -150,21 +150,33 @@ WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_TH
 )(ngram_jaccard_pairs)
 
 
+#: universal-hash family over the Mersenne prime 2^31-1: one md5 per
+#: shingle, then k cheap affine mixes h_i = (a_i*h + b_i) mod p — the
+#: textbook minhash construction; 16x fewer md5 evaluations than seeding
+#: the cryptographic hash per permutation. a_i/b_i are fixed odd/dense
+#: constants so both engines reproduce them literally. a*h < 2^62 fits
+#: int64, and Spark/DuckDB agree on positive int64 arithmetic.
+MERSENNE_P = (1 << 31) - 1
+_MINHASH_PARAMS = [(2 * i + 3, 7 * i + 1) for i in range(MINHASH_K)]
+
+
 def _minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + MINHASH_K minhash columns mh0..mh15 (portable hashes)."""
     sh = _shingles(spark, sf_dir)
+    base = (F.pmod(_portable_hash(F.col("shingle")), F.lit(MERSENNE_P))).alias("h")
+    hashed = sh.select("doc_id", base)
     aggs = [
-        F.min(_portable_hash(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(MINHASH_K)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MINHASH_PARAMS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def _minhash_sql_cols() -> str:
+    base = f"({_SQL_HASH.format(x='shingle')} % {MERSENNE_P})"
     cols = []
-    for i in range(MINHASH_K):
-        seeded = "'" + str(i) + ":' || shingle"
-        cols.append(f"min({_SQL_HASH.format(x=seeded)}) AS mh{i}")
+    for i, (a, b) in enumerate(_MINHASH_PARAMS):
+        cols.append(f"min(({a} * {base} + {b}) % {MERSENNE_P}) AS mh{i}")
     return ",\n         ".join(cols)
 
 
