@@ -11,11 +11,17 @@ only adapts the registry to the driver's entry-point shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_cookbook_spark import registry
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:  # robust to being imported from any cwd
+    sys.path.insert(0, _REPO_ROOT)
+
+from flink_cookbook_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
