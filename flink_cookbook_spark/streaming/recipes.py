@@ -143,6 +143,41 @@ def alerts_stream(
     )
 
 
+def stream_stream_enrichment_join(
+    raw: DataFrame,
+    baselines: DataFrame,
+    max_lag: str = "15 minutes",
+) -> DataFrame:
+    """Stream-stream inner join (engine surface beyond the reference):
+    each raw metric joins baseline records for the same key within a
+    bounded event-time range. Watermarks on BOTH sides bound the join
+    state — Spark buffers only rows inside the watermark horizon, the
+    missing piece in the reference's unbounded broadcast map.
+
+    The time-range predicate (baseline.bts in [raw.ts - max_lag, raw.ts])
+    is what makes state eviction possible; an unbounded as-of would keep
+    all history forever in a true stream-stream setting.
+    """
+    r = raw.withWatermark("ts", "10 minutes").alias("r")
+    b = baselines.withWatermark("bts", "10 minutes").alias("b")
+    return r.join(
+        b,
+        F.expr(
+            f"""
+            r.node_id = b.node_id AND
+            b.bts BETWEEN r.ts - INTERVAL {max_lag} AND r.ts
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("r.node_id").alias("node_id"),
+        F.col("r.ts").alias("ts"),
+        F.col("r.cpu").alias("cpu"),
+        F.col("b.bts").alias("baseline_ts"),
+        F.col("b.baseline").alias("baseline"),
+    )
+
+
 def continuous_alerts_foreach_batch(
     windowed: DataFrame,
     baseline_table: str,

@@ -245,3 +245,41 @@ def test_cli_validator_rejects_bad_order():
 
     with pytest.raises(SystemExit):
         build_parser().parse_args(["--order", "1,2"])
+
+
+def test_stream_stream_join(spark, events_stream_dir):
+    """Stream-stream inner join with watermarked time-range condition ==
+    the equivalent batch join on the same data (within closed horizons)."""
+    from flink_cookbook_spark.streaming.recipes import stream_stream_enrichment_join
+
+    raw = _metrics_view(_read_stream(spark, events_stream_dir))
+    # second stream: per-key 'baselines' = the same events, values halved,
+    # acting as a keyed changelog stream
+    baselines = _read_stream(spark, events_stream_dir).select(
+        F.col("user_id").cast("string").alias("node_id"),
+        F.col("ts").alias("bts"),
+        (F.col("value") / 2).alias("baseline"),
+    )
+    joined = stream_stream_enrichment_join(raw, baselines)
+    _run_to_memory(joined, "ss_join")
+    got = spark.sql("SELECT count(*) AS n FROM ss_join").collect()[0].n
+
+    static = spark.read.parquet(events_stream_dir)
+    r = static.select(
+        F.col("user_id").alias("k"), F.col("ts").alias("rts"), F.col("value")
+    )
+    b = static.select(
+        F.col("user_id").alias("k2"), F.col("ts").alias("bts"), (F.col("value") / 2).alias("bv")
+    )
+    want = (
+        r.join(b, (F.col("k") == F.col("k2")))
+        .where(
+            (F.col("bts") <= F.col("rts"))
+            & (F.col("bts") >= F.col("rts") - F.expr("INTERVAL 15 minutes"))
+        )
+        .count()
+    )
+    # stream side may withhold pairs near the un-closed tail; everything
+    # else must be present (joined rows are a subset of the batch join)
+    assert got <= want
+    assert got >= int(want * 0.9), (got, want)
