@@ -207,6 +207,89 @@ FROM buckets GROUP BY bucket
 )(lsh_bucket_profile)
 
 
+N_CENTROIDS = 8
+KMEANS_ITERS = 4
+
+
+def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over the embedding corpus, expressed
+    as iterative DataFrame jobs (assign = broadcast of k centroids +
+    argmin over literal arrays; update = groupBy mean per dimension).
+
+    Each iteration is one distributed pass; only the k x DIM centroid
+    matrix ever reaches the driver (the same driver-sized object any
+    broadcast join ships). Seeds are the first k vectors by vec_id —
+    deterministic, no RNG.
+    """
+    emb = _emb_double(load(spark, sf_dir, "embeddings")).select("vec_id", "emb")
+    seed_rows = emb.orderBy("vec_id").limit(N_CENTROIDS).collect()
+    centroids = [list(r.emb) for r in seed_rows]
+    for _ in range(KMEANS_ITERS):
+        assigned = emb.withColumn("cid", _nearest_centroid_expr(centroids))
+        sums = assigned.select(
+            "cid", *[F.col("emb")[i].alias(f"d{i}") for i in range(DIM)]
+        ).groupBy("cid").agg(
+            F.count("*").alias("n"), *[F.avg(f"d{i}").alias(f"d{i}") for i in range(DIM)]
+        )
+        new = {r.cid: [r[f"d{i}"] for i in range(DIM)] for r in sums.collect()}
+        centroids = [new.get(c, centroids[c]) for c in range(N_CENTROIDS)]
+    return centroids
+
+
+def _nearest_centroid_expr(centroids: list[list[float]]) -> F.Column:
+    """argmin over squared distance to each centroid (literal arrays)."""
+    best_id = F.lit(0)
+    best_d = None
+    for cid, c in enumerate(centroids):
+        c_lit = F.array(*[F.lit(float(v)) for v in c])
+        d = F.aggregate(
+            F.zip_with(F.col("emb"), c_lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_d is None:
+            best_d, best_id = d, F.lit(cid)
+        else:
+            best_id = F.when(d < best_d, F.lit(cid)).otherwise(best_id)
+            best_d = F.when(d < best_d, d).otherwise(best_d)
+    return best_id.cast("int")
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: k-means coarse quantizer, then
+    exact cosine only within each query's nearest centroid cell (nprobe=1
+    here; production probes several cells). The 100 TB shape: centroid
+    assignment is a map-only pass, candidate search is an equi-join on
+    cell id — corpus never cross-joins. Rows-only check (k-means is
+    iterative, not SQL-expressible); recall vs brute force is pinned in
+    tests/test_pipeline.py."""
+    centroids = _kmeans_centroids(spark, sf_dir)
+    emb = _emb_double(load(spark, sf_dir, "embeddings")).select("vec_id", "emb")
+    cells = emb.withColumn("cid", _nearest_centroid_expr(centroids))
+    queries = cells.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), F.col("cid")
+    )
+    cand = cells.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb"), "cid")
+    scored = (
+        cand.join(F.broadcast(queries), "cid")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_raw",
+            _dot(F.col("qemb"), F.col("cemb"))
+            / (_norm(F.col("qemb")) * _norm(F.col("cemb"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "rk", "cand_id", rnd("cosine_raw", 6).alias("cosine"))
+    )
+
+
+register("ivf_topk", oracle=None, tags=("similarity", "llm-pipeline", "ivf", "ann"))(ivf_topk)
+
+
 def embedding_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-accelerated: candidates
     share an LSH bucket; exact cosine >= 0.95 confirms. The bucket

@@ -75,3 +75,21 @@ def test_lsh_buckets_group_similar_vectors(spark, sf_dir):
     total = sum(r.n_vectors for r in rows)
     assert len(rows) > 4
     assert max(r.n_vectors for r in rows) < total * 0.5
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    """IVF (nprobe=1) must recover a solid fraction of the exact top-5
+    per query — embeddings are clustered by label, so the coarse
+    quantizer should rarely split true neighbors from their query."""
+    from flink_cookbook_spark.pipeline.similarity import cosine_topk, ivf_topk
+
+    exact = {}
+    for r in cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.cand_id)
+    approx = {}
+    for r in ivf_topk(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.cand_id)
+    assert set(approx) == set(exact)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.6, f"IVF recall {hits}/{total}"
