@@ -268,6 +268,68 @@ def baseline_streaming(
     )
 
 
+def baseline_streaming_tws(
+    windowed_stream: DataFrame, cfg: BaselineConfig = FIXTURE_CONFIG
+) -> DataFrame:
+    """Modern-API variant: the same operator on Spark 4's
+    transformWithStateInPandas (StatefulProcessor + typed value state,
+    RocksDB-backed — the state store one would run at 100 TB key
+    cardinality). Semantics identical to baseline_streaming; equality is
+    pinned in tests/test_streaming.py (skipped in containers lacking
+    protobuf, which this API's state-server protocol requires)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql import types as T
+
+    state_schema = T.StructType(
+        [
+            T.StructField("count", T.LongType()),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("m2", T.DoubleType()),
+            T.StructField("counter", T.IntegerType()),
+            T.StructField("scaled", T.ArrayType(T.DoubleType())),
+            T.StructField("raw", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    cols = [
+        "user_id", "window_start", "observed", "baseline", "history_size",
+        "running_mean", "running_std", "trend_latest", "trend_5season",
+    ]
+
+    class BaselineProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("baseline_state", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            if self._state.exists():
+                count, mean, m2, counter, scaled, raw = self._state.get()
+                ks = _KeyState(count, mean, m2, counter, list(scaled), list(raw))
+            else:
+                ks = _KeyState()
+            (user_id,) = key
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values("window_start")
+                for row in pdf.itertuples(index=False):
+                    rec = _process_sample(ks, float(row.avg_value), cfg)
+                    if rec is not None:
+                        rec["user_id"] = int(user_id)
+                        rec["window_start"] = int(row.window_start)
+                        out.append(rec)
+            self._state.update((ks.count, ks.mean, ks.m2, ks.counter, ks.scaled, ks.raw))
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+        def close(self) -> None:
+            pass
+
+    return windowed_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=BaselineProcessor(),
+        outputStructType=BASELINE_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def sarimax_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/A8 as a registered query: baseline records over the events
     window series (fixture-scale config). Rows-only check — the model is

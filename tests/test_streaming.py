@@ -283,3 +283,39 @@ def test_stream_stream_join(spark, events_stream_dir):
     # else must be present (joined rows are a subset of the batch join)
     assert got <= want
     assert got >= int(want * 0.9), (got, want)
+
+
+def test_transform_with_state_equals_batch_twin(spark, windowed_stage_dir):
+    """Modern-API variant (transformWithStateInPandas + RocksDB state
+    store) emits exactly the batch twin's records. Requires protobuf
+    (not in this container) — skipped when absent, runs on real clusters."""
+    pytest.importorskip("google.protobuf")
+    from flink_cookbook_spark.streaming.sarimax import (
+        baseline_batch,
+        baseline_streaming_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        win_stream = _read_stream(spark, windowed_stage_dir)
+        _run_to_memory(baseline_streaming_tws(win_stream), "baselines_tws")
+        got = {
+            (r.user_id, r.window_start): (r.baseline, r.history_size)
+            for r in spark.sql("SELECT * FROM baselines_tws").collect()
+        }
+        want = {
+            (r.user_id, r.window_start): (r.baseline, r.history_size)
+            for r in baseline_batch(spark.read.parquet(windowed_stage_dir)).collect()
+        }
+        assert set(got) == set(want) and got
+        for k in want:
+            assert got[k][0] == pytest.approx(want[k][0], abs=1e-9)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
