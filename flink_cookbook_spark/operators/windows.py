@@ -172,6 +172,55 @@ WINDOW running AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey A
 )(window_first_last)
 
 
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming sliding window (10-min window, 5-min
+    slide): every event lands in exactly two windows. Spark's ``window``
+    with a slide expands rows internally; the oracle reproduces it by
+    unioning the two bucket assignments."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "user_id")
+        .agg(
+            rnd(F.avg("value")).alias("avg_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            F.col("w.end").cast("long").alias("window_end"),
+            "user_id",
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+register(
+    "sliding_window_agg",
+    oracle="""
+WITH buckets AS (
+  SELECT user_id, value,
+         CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b
+  FROM events
+),
+assigned AS (
+  -- an event in 5-min bucket b belongs to sliding windows starting at
+  -- b and b-300 (window length 600, slide 300)
+  SELECT user_id, value, b AS window_start FROM buckets
+  UNION ALL
+  SELECT user_id, value, b - 300 FROM buckets
+)
+SELECT window_start,
+       window_start + 600 AS window_end,
+       user_id,
+       round(avg(value) + 1e-9, 4) AS avg_value,
+       count(*) AS n_events
+FROM assigned
+GROUP BY window_start, user_id
+""",
+    tags=("window", "sliding", "streaming-twin"),
+)(sliding_window_agg)
+
+
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization over events: a new session starts after a >30-min
     gap per user. Classic lag + cumulative-sum-of-boundaries — the batch

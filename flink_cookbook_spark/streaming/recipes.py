@@ -110,6 +110,19 @@ def dedup_stream(metrics: DataFrame, watermark: str = "10 minutes") -> DataFrame
     return metrics.withWatermark("ts", watermark).dropDuplicates(["node_id", "event_time"])
 
 
+def dedup_stream_within_watermark(
+    metrics: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark: dedup keyed on business identity
+    only (no event-time column in the key) — duplicates arriving with
+    *different* timestamps inside the watermark window still collapse,
+    the at-least-once-ingestion case dropDuplicates cannot handle; state
+    evicts after the watermark delay."""
+    return metrics.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["node_id", "event_time"]
+    )
+
+
 def alerts_stream(
     windowed: DataFrame, cfg: BaselineConfig = FIXTURE_CONFIG
 ) -> DataFrame:

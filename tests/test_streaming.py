@@ -319,3 +319,16 @@ def test_transform_with_state_equals_batch_twin(spark, windowed_stage_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_dedup_within_watermark(spark, events_stream_dir):
+    """Duplicates with jittered timestamps (late re-delivery) collapse
+    under dropDuplicatesWithinWatermark."""
+    from flink_cookbook_spark.streaming.recipes import dedup_stream_within_watermark
+
+    base = _metrics_view(_read_stream(spark, events_stream_dir))
+    jittered = base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 second"))
+    _run_to_memory(dedup_stream_within_watermark(base.union(jittered)), "dedup_ww")
+    n = spark.sql("SELECT count(*) AS n FROM dedup_ww").collect()[0].n
+    n_src = spark.read.parquet(events_stream_dir).count()
+    assert n == n_src
