@@ -45,7 +45,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer division: epoch nanos (~1.7e18) exceed double's
+            # 53-bit mantissa, so `/ 1000` through a double corrupts ~12%
+            # of microsecond values by 1 us.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

@@ -109,7 +109,7 @@ def run(argv: list[str] | None = None) -> int:
         # node_id is a string here; the model schema keys by long for the
         # fixture tables — map through a dense key for display purposes.
         windowed = windowed.withColumn(
-            "user_id", F.xxhash64("user_id") % 1_000_000
+            "user_id", F.pmod(F.xxhash64("user_id"), F.lit(1_000_000))
         )
         baselines = baseline_batch(windowed, cfg)
         baselines.show(20, truncate=False)

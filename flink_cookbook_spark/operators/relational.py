@@ -176,7 +176,9 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = (
         (orders.o_orderkey == lineitem.l_orderkey)
         & (lineitem.l_shipdate >= orders.o_orderdate)
-        & (lineitem.l_shipdate <= F.date_add(orders.o_orderdate, 30))
+        # timestamp arithmetic (not date_add, which truncates to DateType
+        # midnight) so the bound matches the oracle's INTERVAL semantics
+        & (lineitem.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 30 DAYS"))
     )
     return (
         orders.join(lineitem, cond, "inner")

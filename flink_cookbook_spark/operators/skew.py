@@ -28,7 +28,16 @@ def salted_join(
     The big side's hot keys scatter uniformly over ``n_salts`` partitions;
     the small side is exploded x n_salts (fine — it is the small side).
     Result columns match a plain ``big.join(small, key, how)``.
+
+    Only ``inner`` and ``left`` (big-side-preserving) joins are valid:
+    a right/full join would surface each unmatched small-side row once
+    per salt replica.
     """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}: the "
+            "replicated small side would duplicate unmatched rows"
+        )
     salted_big = big.withColumn("_salt", (F.rand(seed) * n_salts).cast("int"))
     salted_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

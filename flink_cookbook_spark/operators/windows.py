@@ -227,8 +227,11 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of streaming ``session_window`` (SURVEY.md section 2.2). One
     shuffle on user_id; both window stages reuse the same partitioning."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     ts_sec = F.col("ts").cast("long")
+    # order by the SECOND-truncated time + event_id on both engines:
+    # ordering by full-precision ts here but truncated ts in the oracle
+    # would let same-second siblings number sessions differently.
+    w = Window.partitionBy("user_id").orderBy(ts_sec.asc(), F.col("event_id").asc())
     prev_ts = F.lag(ts_sec, 1).over(w)
     new_session = F.when(
         prev_ts.isNull() | ((ts_sec - prev_ts) > 1800), F.lit(1)
@@ -262,7 +265,8 @@ WITH marked AS (
                    - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC)
 ),
 sessions AS (
   SELECT user_id, event_id, ts_sec, value,

@@ -151,12 +151,19 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = with_payload(docs).select(
         "doc_id", "payload", F.col("meta.n_bytes").alias("n_bytes")
     )
-    frames = payload.select(
-        "doc_id",
-        F.posexplode(
-            F.expr("transform(sequence(0, int(floor((n_bytes-1)/64))), i -> substring(payload, i*64+1, 64))")
-        ).alias("frame_no", "frame_bytes"),
-    ).where(F.col("frame_no") % 4 == 0)
+    frames = (
+        payload.where(F.col("n_bytes") > 0)  # empty payload => no frames
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, int(floor((n_bytes-1)/64))),"
+                    " i -> substring(payload, i*64+1, 64))"
+                )
+            ).alias("frame_no", "frame_bytes"),
+        )
+        .where(F.col("frame_no") % 4 == 0)
+    )
     return frames.select(
         "doc_id",
         "frame_no",
@@ -173,15 +180,16 @@ register(
 WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
            FROM documents),
 frames AS (
+  -- per-row range: no arbitrary frame cap, empty payloads yield no rows
   SELECT doc_id,
-         i AS frame_no,
-         substring(text, i*64 + 1, 64) AS frame_chars
-  FROM p, (SELECT unnest(range(0, 100)) AS i)
-  WHERE i <= (n_bytes - 1) // 64
+         unnest(range(0, greatest((n_bytes - 1) // 64 + 1, 0))) AS frame_no,
+         text
+  FROM p WHERE n_bytes > 0
 )
 SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
-       CAST(octet_length(encode(frame_chars)) AS INTEGER) AS frame_size,
-       md5(frame_chars) AS frame_md5
+       CAST(octet_length(encode(substring(text, frame_no*64 + 1, 64))) AS INTEGER)
+         AS frame_size,
+       md5(substring(text, frame_no*64 + 1, 64)) AS frame_md5
 FROM frames WHERE frame_no % 4 = 0
 """,
     tags=("multimodal", "llm-pipeline"),

@@ -228,31 +228,32 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         assigned = emb.withColumn("cid", _nearest_centroid_expr(centroids))
         sums = assigned.select(
             "cid", *[F.col("emb")[i].alias(f"d{i}") for i in range(DIM)]
-        ).groupBy("cid").agg(
-            F.count("*").alias("n"), *[F.avg(f"d{i}").alias(f"d{i}") for i in range(DIM)]
-        )
+        ).groupBy("cid").agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(DIM)])
         new = {r.cid: [r[f"d{i}"] for i in range(DIM)] for r in sums.collect()}
         centroids = [new.get(c, centroids[c]) for c in range(N_CENTROIDS)]
     return centroids
 
 
 def _nearest_centroid_expr(centroids: list[list[float]]) -> F.Column:
-    """argmin over squared distance to each centroid (literal arrays)."""
-    best_id = F.lit(0)
-    best_d = None
-    for cid, c in enumerate(centroids):
+    """argmin over squared distance to each centroid (literal arrays).
+
+    Built as array_position(dists, array_min(dists)) so each distance
+    aggregate appears ONCE in the expression tree — a chained
+    when/otherwise argmin would embed prior distances twice per step
+    (~2^k expression blowup). Ties resolve to the lowest centroid id
+    (array_position returns the first match)."""
+    dists = []
+    for c in centroids:
         c_lit = F.array(*[F.lit(float(v)) for v in c])
-        d = F.aggregate(
-            F.zip_with(F.col("emb"), c_lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        dists.append(
+            F.aggregate(
+                F.zip_with(F.col("emb"), c_lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         )
-        if best_d is None:
-            best_d, best_id = d, F.lit(cid)
-        else:
-            best_id = F.when(d < best_d, F.lit(cid)).otherwise(best_id)
-            best_d = F.when(d < best_d, d).otherwise(best_d)
-    return best_id.cast("int")
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

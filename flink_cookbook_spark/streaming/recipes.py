@@ -211,11 +211,17 @@ def continuous_alerts_foreach_batch(
     """
     from pyspark.sql import functions as FF
 
-    # latest baseline per key: bounded by key cardinality — the same bound
-    # as the reference's broadcast MapState, which Flink replicates to
-    # EVERY alert subtask (flinkarima.py:288). It re-enters each batch as
-    # a broadcast DataFrame; scoring stays on executors.
+    from flink_cookbook_spark.streaming.sarimax import _KeyState, _process_sample
+
+    # Cross-batch state, bounded by key cardinality — the same bound as
+    # the reference's broadcast MapState, which Flink replicates to EVERY
+    # alert subtask (flinkarima.py:288). `latest` re-enters each batch as
+    # a broadcast DataFrame; alert scoring stays on executors. The model
+    # state update runs over the batch's WINDOW AGGREGATES (<= 1 row per
+    # key per window — already reduced), not raw events; for unbounded
+    # key cardinality use the applyInPandasWithState recipe instead.
     latest: dict = {}  # user_id -> (window_start, baseline, running_std)
+    states: dict = {}  # user_id -> _KeyState, persists across micro-batches
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -254,14 +260,23 @@ def continuous_alerts_foreach_batch(
                 )
             )
             alert_sink.extend(r.asDict() for r in alerts.collect())
-        # 2. fold the batch into the model state; the cadence emissions
-        #    (1 row per key per N windows) upsert the latest-value table.
-        from flink_cookbook_spark.streaming.sarimax import baseline_batch
-
-        for b in baseline_batch(batch_df, cfg).collect():
-            cur = latest.get(b.user_id)
-            if cur is None or b.window_start >= cur[0]:
-                latest[b.user_id] = (b.window_start, b.baseline, b.running_std)
+        # 2. fold the batch into the persistent model state; cadence
+        #    emissions upsert the latest-value table. State carries over
+        #    micro-batches (a batch may hold as little as one window per
+        #    key — the steady-state live-stream shape).
+        for r in sorted(
+            batch_df.collect(), key=lambda r: (r.user_id, r.window_start)
+        ):
+            ks = states.setdefault(r.user_id, _KeyState())
+            rec = _process_sample(ks, float(r.avg_value), cfg)
+            if rec is not None:
+                cur = latest.get(r.user_id)
+                if cur is None or r.window_start >= cur[0]:
+                    latest[r.user_id] = (
+                        r.window_start,
+                        rec["baseline"],
+                        rec["running_std"],
+                    )
 
     return (
         windowed.writeStream.outputMode("append")

@@ -244,9 +244,12 @@ def baseline_streaming(
         else:
             ks = _KeyState()
         out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("window_start")
-            for row in pdf.itertuples(index=False):
+        # a key's rows can span multiple Arrow chunks in shuffle order —
+        # concatenate BEFORE sorting or samples process out of window order
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True).sort_values("window_start")
+            for row in whole.itertuples(index=False):
                 rec = _process_sample(ks, float(row.avg_value), cfg)
                 if rec is not None:
                     rec["user_id"] = int(user_id)
@@ -307,9 +310,10 @@ def baseline_streaming_tws(
                 ks = _KeyState()
             (user_id,) = key
             out = []
-            for pdf in rows:
-                pdf = pdf.sort_values("window_start")
-                for row in pdf.itertuples(index=False):
+            chunks = [pdf for pdf in rows]  # sort the WHOLE group, not per chunk
+            if chunks:
+                whole = pd.concat(chunks, ignore_index=True).sort_values("window_start")
+                for row in whole.itertuples(index=False):
                     rec = _process_sample(ks, float(row.avg_value), cfg)
                     if rec is not None:
                         rec["user_id"] = int(user_id)

@@ -65,6 +65,10 @@ def parse_metrics(raw: DataFrame) -> DataFrame:
             F.coalesce(j.getField("timestamp"), F.lit(0)).alias("event_time"),
         )
         .where(F.col("node_id").isNotNull() & F.col("cpu").isNotNull())
+        # native event time for watermarks/windows downstream (the
+        # reference's ms epoch; 0-default rows land at 1970 like the
+        # reference's parse fallback)
+        .withColumn("ts", F.timestamp_millis(F.col("event_time")))
     )
 
 

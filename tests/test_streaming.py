@@ -332,3 +332,52 @@ def test_dedup_within_watermark(spark, events_stream_dir):
     n = spark.sql("SELECT count(*) AS n FROM dedup_ww").collect()[0].n
     n_src = spark.read.parquet(events_stream_dir).count()
     assert n == n_src
+
+
+def test_multi_batch_state_continuity(spark, windowed_stage_dir, tmp_path):
+    """State must persist ACROSS micro-batches: feed the windowed series
+    in three time-ordered chunks (separate triggers) and require the
+    stateful baseline operator to emit exactly the batch twin's records,
+    and the foreachBatch variant to keep its model state growing."""
+    from flink_cookbook_spark.streaming.recipes import continuous_alerts_foreach_batch
+    from flink_cookbook_spark.streaming.sarimax import baseline_batch, baseline_streaming
+
+    win = spark.read.parquet(windowed_stage_dir).orderBy("window_start")
+    rows = win.collect()
+    thirds = [rows[: len(rows) // 3], rows[len(rows) // 3 : 2 * len(rows) // 3], rows[2 * len(rows) // 3 :]]
+    # one part-file per chunk: parquet part files commit via rename, so a
+    # continuously-triggering file source sees each chunk atomically and
+    # never splits it mid-write across micro-batches in file order
+    src = str(tmp_path / "chunked")
+
+    schema = "window_start long, user_id long, avg_value double"
+    spark.createDataFrame(thirds[0], schema=win.schema).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(win.schema).option("maxFilesPerTrigger", "100").parquet(src)
+    sink: list = []
+    q_alerts = continuous_alerts_foreach_batch(stream, "latest_mb", sink)
+    q_base = (
+        baseline_streaming(spark.readStream.schema(win.schema).parquet(src))
+        .writeStream.format("memory").queryName("baselines_mb").outputMode("append")
+        .start()
+    )
+    q_alerts.processAllAvailable(); q_base.processAllAvailable()
+    for chunk in thirds[1:]:
+        spark.createDataFrame(chunk, schema=win.schema).coalesce(1).write.mode("append").parquet(src)
+        q_alerts.processAllAvailable(); q_base.processAllAvailable()
+    q_alerts.stop(); q_base.stop()
+
+    got = {
+        (r.user_id, r.window_start): (r.baseline, r.history_size)
+        for r in spark.sql("SELECT * FROM baselines_mb").collect()
+    }
+    want = {
+        (r.user_id, r.window_start): (r.baseline, r.history_size)
+        for r in baseline_batch(spark.read.parquet(windowed_stage_dir)).collect()
+    }
+    assert set(got) == set(want) and got, (len(got), len(want))
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0], abs=1e-9)
+    # foreachBatch variant: model state survived batches => alerts fired
+    # on post-warmup batches too (not only the first)
+    assert sink, "continuous alerts must fire across micro-batches"
