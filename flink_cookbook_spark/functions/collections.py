@@ -174,7 +174,7 @@ register(
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
        round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
-       GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gmask
+       CAST(GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS INTEGER) AS gmask
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """,

@@ -379,7 +379,7 @@ numbered AS (
          row_number() OVER (PARTITION BY user_id ORDER BY window_start) AS sample_no
   FROM windowed
 )
-SELECT user_id, window_start, avg_value, sample_no
+SELECT user_id, window_start, avg_value, CAST(sample_no AS INTEGER) AS sample_no
 FROM numbered WHERE sample_no % {EMIT_EVERY_N} = 0
 """,
     tags=("streaming-twin", "A4"),

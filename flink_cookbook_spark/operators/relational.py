@@ -454,7 +454,7 @@ WITH ranked AS (
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
   FROM orders JOIN customer ON o_custkey = c_custkey
 )
-SELECT c_mktsegment, rk, o_orderkey, round(o_totalprice + 1e-9, 2) AS total_price
+SELECT c_mktsegment, CAST(rk AS INTEGER) AS rk, o_orderkey, round(o_totalprice + 1e-9, 2) AS total_price
 FROM ranked WHERE rk <= 3
 """,
     tags=("topk", "window"),

@@ -52,10 +52,10 @@ register(
     oracle="""
 SELECT l_orderkey, l_linenumber,
        round(l_quantity + 1e-9, 2) AS quantity,
-       row_number() OVER total AS rn,
-       rank() OVER ties AS rk,
-       dense_rank() OVER ties AS drk,
-       ntile(4) OVER total AS quartile,
+       CAST(row_number() OVER total AS INTEGER) AS rn,
+       CAST(rank() OVER ties AS INTEGER) AS rk,
+       CAST(dense_rank() OVER ties AS INTEGER) AS drk,
+       CAST(ntile(4) OVER total AS INTEGER) AS quartile,
        round(percent_rank() OVER ties + 1e-9, 6) AS pct_rank,
        round(cume_dist() OVER ties + 1e-9, 6) AS cume
 FROM lineitem
@@ -274,7 +274,7 @@ sessions AS (
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
   FROM marked
 )
-SELECT user_id, session_no,
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
        count(*) AS n_events,
        min(ts_sec) AS session_start,
        max(ts_sec) AS session_end,

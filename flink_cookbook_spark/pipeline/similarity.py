@@ -95,7 +95,7 @@ ranked AS (
                                ORDER BY cosine_raw DESC, cand_id ASC) AS rk
   FROM scored
 )
-SELECT query_id, rk, cand_id, round(cosine_raw + 1e-9, 6) AS cosine
+SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id, round(cosine_raw + 1e-9, 6) AS cosine
 FROM ranked WHERE rk <= {TOP_K}
 """,
     tags=("similarity", "llm-pipeline", "bench"),
