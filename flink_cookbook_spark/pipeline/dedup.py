@@ -396,3 +396,112 @@ WHERE n_docs > 1
 """,
     tags=("dedup", "llm-pipeline", "simhash"),
 )(simhash_bucket_dups)
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate clusters: connected components over the
+    MinHash+LSH pair graph, each doc labeled with its component's minimum
+    doc_id (the keeper). Iterative min-label propagation — each round is
+    one distributed join+aggregate; rounds = graph diameter (near-dup
+    clusters are tiny, so 2-3). The driver only sees a changed-label
+    count per round (convergence check), never the data.
+
+    The DuckDB oracle computes the same fixpoint with a recursive CTE —
+    an iterative distributed algorithm checked against recursive SQL.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc1", "doc2")
+    # undirected edge list
+    edges = pairs.union(
+        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+    ).distinct()
+    edges.cache()
+    nodes = edges.select(F.col("doc1").alias("doc_id")).distinct()
+    labels = nodes.withColumn("label", F.col("doc_id"))
+    for _ in range(20):  # diameter bound; fixture clusters converge in <=3
+        neighbor_min = (
+            edges.join(labels, edges.doc2 == labels.doc_id)
+            .groupBy(F.col("doc1").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+
+
+register(
+    "dedup_clusters",
+    oracle="WITH RECURSIVE "
+    + _SHINGLES_CTE.strip().lstrip()
+    + f""",
+sigs AS (
+  SELECT doc_id,
+         {_minhash_sql_cols()}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band_id,
+         CASE band_id
+           {" ".join(f"WHEN {b} THEN {_band_sql(b)}" for b in range(LSH_BANDS))}
+         END AS band_key
+  FROM sigs, (SELECT unnest(range(0, {LSH_BANDS})) AS band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS n_common
+  FROM cand c
+  JOIN shingles s1 ON s1.doc_id = c.doc1
+  JOIN shingles s2 ON s2.doc_id = c.doc2 AND s1.shingle = s2.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc1, i.doc2
+  FROM inter i
+  JOIN sizes sa ON i.doc1 = sa.doc_id
+  JOIN sizes sb ON i.doc2 = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM verified
+  UNION
+  SELECT doc2, doc1 FROM verified
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       least(src, min(dst)) AS cluster_id,
+       src = least(src, min(dst)) AS is_keeper
+FROM reach
+GROUP BY src
+""",
+    tags=("dedup", "llm-pipeline", "clustering", "iterative"),
+)(dedup_clusters)
