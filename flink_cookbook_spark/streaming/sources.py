@@ -128,10 +128,26 @@ def synthetic_metrics_stream(
     rows_per_second: int = 10,
     n_nodes: int = N_NODES,
     seed: int = SEED,
+    micro_batch: bool = False,
 ) -> DataFrame:
     """S2 streaming twin: rate source -> the same value-model expressions.
-    10 rows/s default == the reference's 5 nodes x 2 msg/s."""
-    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    10 rows/s default == the reference's 5 nodes x 2 msg/s.
+    ``micro_batch=True`` uses rate-micro-batch: a deterministic timestamp
+    grid (fixed start/advance per batch) instead of wall-clock time.
+    Note Spark re-seeds rand() per streaming run, so the noise component
+    is per-run even on the deterministic grid; the batch twin
+    (synthetic_metrics_batch) is the fully deterministic oracle-checked
+    form."""
+    if micro_batch:
+        rate = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows_per_second)
+            .option("startTimestamp", "1704067200000")
+            .option("advanceMillisPerBatch", "1000")
+            .load()
+        )
+    else:
+        rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
     df = rate.select(
         F.concat(
             F.lit("node-"), F.lpad((F.col("value") % n_nodes).cast("string"), 2, "0")

@@ -93,3 +93,16 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.6, f"IVF recall {hits}/{total}"
+
+
+def test_registry_consistency():
+    """The driver contract must expose the full registered surface."""
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert len(qs) >= 75
+    assert set(os_) <= set(qs)
+    assert len(os_) >= 69
+    for flagship in ("zscore_flags", "pipeline_alerts_end_to_end", "minhash_lsh_pairs",
+                     "cosine_topk", "sarimax_baseline", "dedup_clusters"):
+        assert flagship in qs

@@ -381,3 +381,58 @@ def test_multi_batch_state_continuity(spark, windowed_stage_dir, tmp_path):
     # foreachBatch variant: model state survived batches => alerts fired
     # on post-warmup batches too (not only the first)
     assert sink, "continuous alerts must fire across micro-batches"
+
+
+def test_update_mode_aggregation(spark, events_stream_dir):
+    """Update output mode: per-key counts re-emitted as batches arrive —
+    the reference's continuously-updating baseline view shape."""
+    counts = (
+        _metrics_view(_read_stream(spark, events_stream_dir))
+        .groupBy("node_id")
+        .agg(F.count("*").alias("n"), F.avg("cpu").alias("avg_cpu"))
+    )
+    q = (
+        counts.writeStream.format("memory").queryName("upd_counts")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable(); q.stop()
+    got = {r.node_id: r.n for r in spark.sql(
+        "SELECT node_id, max(n) AS n FROM upd_counts GROUP BY node_id"
+    ).collect()}
+    want = {
+        str(r.user_id): r.n
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_rate_micro_batch_source_deterministic(spark):
+    """rate-micro-batch: replayable deterministic timestamps."""
+    from flink_cookbook_spark.streaming.sources import synthetic_metrics_stream
+
+    def run(name):
+        df = synthetic_metrics_stream(spark, rows_per_second=50, micro_batch=True)
+        q = (
+            df.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        )
+        # a few micro-batches, then stop
+        import time as _t
+        _t.sleep(3)
+        q.stop()
+        out = {}
+        for r in spark.sql(f"SELECT * FROM {name}").collect():
+            out.setdefault(r.ts, []).append((r.node_id, r.cpu))
+        return {k: sorted(v) for k, v in out.items()}
+
+    a, b = run("rmb_a"), run("rmb_b")
+    # rate-micro-batch's determinism is STRUCTURAL: fixed start timestamp,
+    # fixed rows/batch, fixed advance — the same ts grid and node fan-out
+    # on every run (Spark re-seeds rand() per streaming run, so exact
+    # noise values are per-run; the oracle-checked batch twin pins those).
+    common = set(a) & set(b)
+    assert common and min(a) == min(b), "runs must share the fixed ts grid"
+    for k in common:
+        assert [n for n, _ in a[k]] == [n for n, _ in b[k]]  # same node layout
+        assert all(0.0 <= c <= 100.0 for _, c in a[k] + b[k])  # clamp holds
