@@ -45,14 +45,14 @@ register(
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
 SELECT vec_id,
        CAST(len(e) AS INTEGER) AS dim,
-       round(e[1] + 1e-9, 6) AS first_val,
-       round(e[-1] + 1e-9, 6) AS last_val,
-       round(list_max(e) + 1e-9, 6) AS max_val,
-       round(list_min(e) + 1e-9, 6) AS min_val,
+       round(e[1] + 1e-6, 6) AS first_val,
+       round(e[-1] + 1e-6, 6) AS last_val,
+       round(list_max(e) + 1e-6, 6) AS max_val,
+       round(list_min(e) + 1e-6, 6) AS min_val,
        CAST(len(e[1:8]) AS INTEGER) AS head_len,
        CAST(len(list_filter(e, x -> x > 0)) AS INTEGER) AS n_positive,
-       round(list_sort(e)[32] + 1e-9, 6) AS median_low,
-       round(list_sum(list_transform(e, x -> x * x)) + 1e-9, 6) AS sum_sq
+       round(list_sort(e)[32] + 1e-6, 6) AS median_low,
+       round(list_sum(list_transform(e, x -> x * x)) + 1e-6, 6) AS sum_sq
 FROM emb
 """,
     tags=("scalar", "array"),
@@ -112,7 +112,7 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "unpivot_stack",
     oracle="""
-SELECT l_orderkey, l_linenumber, component, round(amount_raw + 1e-9, 4) AS amount
+SELECT l_orderkey, l_linenumber, component, round(amount_raw + 1e-6, 4) AS amount
 FROM (
   SELECT l_orderkey, l_linenumber, 'price' AS component, l_extendedprice AS amount_raw FROM lineitem
   UNION ALL
@@ -141,9 +141,9 @@ register(
     "exact_quantiles",
     oracle="""
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) AS p50,
-       round(quantile_cont(l_extendedprice, 0.9) + 1e-9, 4) AS p90,
-       round(quantile_cont(l_extendedprice, 0.99) + 1e-9, 4) AS p99
+       round(quantile_cont(l_extendedprice, 0.5) + 1e-6, 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9) + 1e-6, 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99) + 1e-6, 4) AS p99
 FROM lineitem GROUP BY l_returnflag
 """,
     tags=("agg", "quantile"),
@@ -160,7 +160,7 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n_rows,
-               round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+               round(sum(l_quantity) + 1e-6, 2) AS sum_qty,
                grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gmask
         FROM _li_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -173,7 +173,7 @@ register(
     oracle="""
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
-       round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+       round(sum(l_quantity) + 1e-6, 2) AS sum_qty,
        CAST(GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS INTEGER) AS gmask
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -193,7 +193,7 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier.createOrReplaceTempView("_s_sub")
     return spark.sql(
         """
-        SELECT o_orderkey, round(o_totalprice + 1e-9, 2) AS total_price
+        SELECT o_orderkey, round(o_totalprice + 1e-6, 2) AS total_price
         FROM _o_sub
         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM _o_sub)
           AND o_custkey IN (SELECT c_custkey FROM _c_sub
@@ -205,7 +205,7 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "scalar_subquery",
     oracle="""
-SELECT o_orderkey, round(o_totalprice + 1e-9, 2) AS total_price
+SELECT o_orderkey, round(o_totalprice + 1e-6, 2) AS total_price
 FROM orders
 WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
   AND o_custkey IN (SELECT c_custkey FROM customer

@@ -127,11 +127,11 @@ register(
     "math_funcs",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       round(sqrt(l_extendedprice) + 1e-9, 6) AS price_sqrt,
-       round(pow(l_discount, 2) + 1e-9, 6) AS disc_sq,
-       round(exp(l_discount) + 1e-9, 6) AS disc_exp,
-       round(ln(l_extendedprice) + 1e-9, 6) AS price_ln,
-       round(log10(l_extendedprice) + 1e-9, 6) AS price_log10,
+       round(sqrt(l_extendedprice) + 1e-6, 6) AS price_sqrt,
+       round(pow(l_discount, 2) + 1e-6, 6) AS disc_sq,
+       round(exp(l_discount) + 1e-6, 6) AS disc_exp,
+       round(ln(l_extendedprice) + 1e-6, 6) AS price_ln,
+       round(log10(l_extendedprice) + 1e-6, 6) AS price_log10,
        CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
        CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
        abs(l_quantity - 25) AS qty_dev,
@@ -226,7 +226,7 @@ SELECT c_custkey,
             ELSE 'high' END AS bal_band,
        coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_masked,
        c_acctbal IS NULL AS bal_is_null,
-       round(greatest(c_acctbal, 0.0) + 1e-9, 2) AS bal_floor0
+       round(greatest(c_acctbal, 0.0) + 1e-6, 2) AS bal_floor0
 FROM customer
 """,
     tags=("scalar", "conditional"),

@@ -67,7 +67,7 @@ def five_min_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_AGG_ORACLE = f"""
 SELECT CAST(floor(epoch(ts) / {WINDOW_SECONDS}) * {WINDOW_SECONDS} AS BIGINT) AS window_start,
        user_id,
-       round(avg(value) + 1e-9, {ROUND_DP}) AS avg_value,
+       round(avg(value) + 1e-6, {ROUND_DP}) AS avg_value,
        count(*) AS n_events,
        CAST(floor(max(epoch(ts))) AS BIGINT) AS max_ts
 FROM events
@@ -93,7 +93,7 @@ _WINDOWED_CTE = f"""
 windowed AS (
   SELECT CAST(floor(epoch(ts) / {WINDOW_SECONDS}) * {WINDOW_SECONDS} AS BIGINT) AS window_start,
          user_id,
-         round(avg(value) + 1e-9, {ROUND_DP}) AS avg_value
+         round(avg(value) + 1e-6, {ROUND_DP}) AS avg_value
   FROM events
   GROUP BY 1, 2
 )
@@ -123,8 +123,8 @@ register(
     + f"""
 SELECT user_id,
        count(avg_value) AS n_samples,
-       round(avg(avg_value) + 1e-9, {ROUND_DP}) AS running_mean,
-       round(stddev_samp(avg_value) + 1e-9, {ROUND_DP}) AS running_std
+       round(avg(avg_value) + 1e-6, {ROUND_DP}) AS running_mean,
+       round(stddev_samp(avg_value) + 1e-6, {ROUND_DP}) AS running_std
 FROM windowed
 GROUP BY user_id
 """,
@@ -218,9 +218,9 @@ calc AS (
 )
 SELECT user_id, window_start,
        avg_value AS observed,
-       round(mean_prior + 1e-9, {ROUND_DP}) AS baseline,
-       round(z_raw + 1e-9, {ROUND_DP}) AS z_score,
-       round(pct_raw + 1e-9, {ROUND_DP}) AS pct_deviation,
+       round(mean_prior + 1e-6, {ROUND_DP}) AS baseline,
+       round(z_raw + 1e-6, {ROUND_DP}) AS z_score,
+       round(pct_raw + 1e-6, {ROUND_DP}) AS pct_deviation,
        (abs(z_raw) >= {Z_THRESHOLD} OR abs(pct_raw) >= {PCT_THRESHOLD}) AS is_alert,
        CASE WHEN NOT (abs(z_raw) >= {Z_THRESHOLD} OR abs(pct_raw) >= {PCT_THRESHOLD}) THEN 'none'
             WHEN abs(z_raw) >= {2 * Z_THRESHOLD} THEN 'high'
@@ -295,15 +295,15 @@ SELECT user_id, window_start,
        'cpu_deviation' AS alert_type,
        CASE WHEN abs(z_raw) >= {2 * Z_THRESHOLD} THEN 'high' ELSE 'medium' END AS severity,
        avg_value AS observed,
-       round(mean_prior + 1e-9, {ROUND_DP}) AS baseline,
-       round(avg_value - round(mean_prior + 1e-9, {ROUND_DP}) + 1e-9, {ROUND_DP}) AS deviation,
-       round(pct_raw + 1e-9, {ROUND_DP}) AS pct_deviation,
-       round(z_raw + 1e-9, {ROUND_DP}) AS z_score,
-       CASE WHEN abs(round(z_raw + 1e-9, {ROUND_DP})) >= {Z_THRESHOLD}
+       round(mean_prior + 1e-6, {ROUND_DP}) AS baseline,
+       round(avg_value - round(mean_prior + 1e-6, {ROUND_DP}) + 1e-6, {ROUND_DP}) AS deviation,
+       round(pct_raw + 1e-6, {ROUND_DP}) AS pct_deviation,
+       round(z_raw + 1e-6, {ROUND_DP}) AS z_score,
+       CASE WHEN abs(round(z_raw + 1e-6, {ROUND_DP})) >= {Z_THRESHOLD}
             THEN printf('z_score %.2f exceeds threshold',
-                        round(round(z_raw + 1e-9, {ROUND_DP}) + 1e-9, 2))
+                        round(round(z_raw + 1e-6, {ROUND_DP}) + 1e-6, 2))
             ELSE printf('pct_deviation %.2f exceeds threshold',
-                        round(round(pct_raw + 1e-9, {ROUND_DP}) + 1e-9, 2)) END
+                        round(round(pct_raw + 1e-6, {ROUND_DP}) + 1e-6, 2)) END
          AS alert_reason
 FROM calc
 WHERE abs(z_raw) >= {Z_THRESHOLD} OR abs(pct_raw) >= {PCT_THRESHOLD}
@@ -342,10 +342,10 @@ register(
     + f"""
 SELECT user_id, window_start, avg_value,
        round(avg(avg_value) OVER (PARTITION BY user_id ORDER BY window_start
-                                  ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) + 1e-9, {ROUND_DP})
+                                  ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) + 1e-6, {ROUND_DP})
          AS trailing_1h_avg,
        round(avg(avg_value) OVER (PARTITION BY user_id ORDER BY window_start
-                                  ROWS BETWEEN 47 PRECEDING AND CURRENT ROW) + 1e-9, {ROUND_DP})
+                                  ROWS BETWEEN 47 PRECEDING AND CURRENT ROW) + 1e-6, {ROUND_DP})
          AS trailing_4h_avg
 FROM windowed
 """,

@@ -51,7 +51,7 @@ register(
     "join_inner",
     oracle="""
 SELECT o_orderkey, c_custkey, c_name, c_mktsegment,
-       round(o_totalprice + 1e-9, 2) AS total_price
+       round(o_totalprice + 1e-6, 2) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 """,
     tags=("join",),
@@ -78,7 +78,7 @@ register(
     oracle="""
 SELECT c_custkey, c_name,
        count(o_orderkey) AS n_orders,
-       round(coalesce(sum(o_totalprice), 0.0) + 1e-9, 2) AS revenue
+       round(coalesce(sum(o_totalprice), 0.0) + 1e-6, 2) AS revenue
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name
 """,
@@ -195,7 +195,7 @@ register(
     oracle="""
 SELECT o_orderkey,
        count(*) AS n_quick_ship,
-       round(sum(l_extendedprice) + 1e-9, 2) AS quick_revenue
+       round(sum(l_extendedprice) + 1e-6, 2) AS quick_revenue
 FROM orders JOIN lineitem
   ON o_orderkey = l_orderkey
  AND l_shipdate >= o_orderdate
@@ -264,7 +264,7 @@ register(
     oracle="""
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
-       round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+       round(sum(l_quantity) + 1e-6, 2) AS sum_qty,
        GROUPING(l_returnflag, l_linestatus) AS gid
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
@@ -287,7 +287,7 @@ register(
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       round(avg(o_totalprice) + 1e-9, 4) AS avg_price,
+       round(avg(o_totalprice) + 1e-6, 4) AS avg_price,
        GROUPING(o_orderstatus, o_orderpriority) AS gid
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -313,12 +313,12 @@ register(
     "agg_stats",
     oracle="""
 SELECT l_linestatus,
-       round(min(l_extendedprice) + 1e-9, 2) AS min_price,
-       round(max(l_extendedprice) + 1e-9, 2) AS max_price,
-       round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
-       round(stddev_samp(l_extendedprice) + 1e-9, 4) AS std_price,
-       round(var_samp(l_extendedprice) + 1e-9, 2) AS var_price,
-       round(sum(l_extendedprice * l_discount) + 1e-9, 2) AS weighted
+       round(min(l_extendedprice) + 1e-6, 2) AS min_price,
+       round(max(l_extendedprice) + 1e-6, 2) AS max_price,
+       round(avg(l_extendedprice) + 1e-6, 4) AS avg_price,
+       round(stddev_samp(l_extendedprice) + 1e-6, 4) AS std_price,
+       round(var_samp(l_extendedprice) + 1e-6, 2) AS var_price,
+       round(sum(l_extendedprice * l_discount) + 1e-6, 2) AS weighted
 FROM lineitem GROUP BY l_linestatus
 """,
     tags=("agg",),
@@ -417,7 +417,7 @@ def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "top_orders_global",
     oracle="""
-SELECT o_orderkey, o_custkey, round(o_totalprice + 1e-9, 2) AS total_price
+SELECT o_orderkey, o_custkey, round(o_totalprice + 1e-6, 2) AS total_price
 FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
 """,
     tags=("topk",),
@@ -454,7 +454,7 @@ WITH ranked AS (
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
   FROM orders JOIN customer ON o_custkey = c_custkey
 )
-SELECT c_mktsegment, CAST(rk AS INTEGER) AS rk, o_orderkey, round(o_totalprice + 1e-9, 2) AS total_price
+SELECT c_mktsegment, CAST(rk AS INTEGER) AS rk, o_orderkey, round(o_totalprice + 1e-6, 2) AS total_price
 FROM ranked WHERE rk <= 3
 """,
     tags=("topk", "window"),

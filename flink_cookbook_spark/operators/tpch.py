@@ -45,13 +45,13 @@ register(
     "q1_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
-       round(sum(l_extendedprice) + 1e-9, 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 2) AS sum_charge,
-       round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
-       round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
-       round(avg(l_discount) + 1e-9, 6) AS avg_disc,
+       round(sum(l_quantity) + 1e-6, 2) AS sum_qty,
+       round(sum(l_extendedprice) + 1e-6, 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-6, 2) AS sum_charge,
+       round(avg(l_quantity) + 1e-6, 4) AS avg_qty,
+       round(avg(l_extendedprice) + 1e-6, 4) AS avg_price,
+       round(avg(l_discount) + 1e-6, 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -94,7 +94,7 @@ register(
 SELECT o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
        o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -134,7 +134,7 @@ register(
     "q5_local_supplier_volume",
     oracle="""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue,
        count(*) AS n_lineitems
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -170,7 +170,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "q6_forecast_revenue",
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount) + 1e-9, 2) AS revenue,
+SELECT round(sum(l_extendedprice * l_discount) + 1e-6, 2) AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -205,7 +205,7 @@ register(
     "q10_returned_items",
     oracle="""
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -248,8 +248,8 @@ register(
     oracle="""
 SELECT c_custkey, c_name, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-       round(o_totalprice + 1e-9, 2) AS total_price,
-       round(total_qty + 1e-9, 2) AS total_qty
+       round(o_totalprice + 1e-6, 2) AS total_price,
+       round(total_qty + 1e-6, 2) AS total_qty
 FROM orders
 JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
       FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
@@ -292,7 +292,7 @@ register(
 SELECT n1.n_name AS supp_nation,
        n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS volume
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS volume
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -366,7 +366,7 @@ register(
     oracle="""
 SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             * 100.0 / sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6)
+             * 100.0 / sum(l_extendedprice * (1 - l_discount)) + 1e-6, 6)
          AS promo_revenue_pct,
        count(*) AS n_rows
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -397,7 +397,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "q19_disjunctive_predicates",
     oracle="""
-SELECT round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+SELECT round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue,
        count(*) AS n_rows
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size <= 10)

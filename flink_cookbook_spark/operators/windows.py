@@ -31,8 +31,16 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (quantity, linenumber)."""
     li = load(spark, sf_dir, "lineitem")
     ties = Window.partitionBy("l_orderkey").orderBy(F.col("l_quantity").desc())
+    # fixture (l_orderkey, l_linenumber) is NOT unique — the proven-total
+    # order needs the full physical tie-break chain
     total = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_quantity").desc(), F.col("l_linenumber").asc()
+        F.col("l_quantity").desc(),
+        F.col("l_linenumber").asc(),
+        F.col("l_partkey").asc(),
+        F.col("l_suppkey").asc(),
+        F.col("l_extendedprice").asc(),
+        F.col("l_discount").asc(),
+        F.col("l_tax").asc(),
     )
     return li.select(
         "l_orderkey",
@@ -51,16 +59,19 @@ register(
     "window_ranking",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       round(l_quantity + 1e-9, 2) AS quantity,
+       round(l_quantity + 1e-6, 2) AS quantity,
        CAST(row_number() OVER total AS INTEGER) AS rn,
        CAST(rank() OVER ties AS INTEGER) AS rk,
        CAST(dense_rank() OVER ties AS INTEGER) AS drk,
        CAST(ntile(4) OVER total AS INTEGER) AS quartile,
-       round(percent_rank() OVER ties + 1e-9, 6) AS pct_rank,
-       round(cume_dist() OVER ties + 1e-9, 6) AS cume
+       round(percent_rank() OVER ties + 1e-6, 6) AS pct_rank,
+       round(cume_dist() OVER ties + 1e-6, 6) AS cume
 FROM lineitem
 WINDOW ties AS (PARTITION BY l_orderkey ORDER BY l_quantity DESC),
-       total AS (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber ASC)
+       total AS (PARTITION BY l_orderkey
+                 ORDER BY l_quantity DESC, l_linenumber ASC, l_partkey ASC,
+                          l_suppkey ASC, l_extendedprice ASC, l_discount ASC,
+                          l_tax ASC)
 """,
     tags=("window", "ranking"),
 )(window_ranking)
@@ -91,10 +102,10 @@ register(
     "window_lag_lead",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       round(o_totalprice + 1e-9, 2) AS price,
-       round(lag(o_totalprice, 1) OVER w + 1e-9, 2) AS prev_price,
-       round(lead(o_totalprice, 1) OVER w + 1e-9, 2) AS next_price,
-       round(o_totalprice - lag(o_totalprice, 1) OVER w + 1e-9, 2) AS delta_prev
+       round(o_totalprice + 1e-6, 2) AS price,
+       round(lag(o_totalprice, 1) OVER w + 1e-6, 2) AS prev_price,
+       round(lead(o_totalprice, 1) OVER w + 1e-6, 2) AS next_price,
+       round(o_totalprice - lag(o_totalprice, 1) OVER w + 1e-6, 2) AS delta_prev
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """,
@@ -107,8 +118,18 @@ def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing-5 moving average, and running max — the batch generalization
     of the reference's bounded history buffer (A3) + trend metrics (A7)."""
     li = load(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in the fixture; extend the
+    # order with the remaining physical columns (proven total) so running
+    # frames are deterministic across engines
     w = Window.partitionBy("l_suppkey").orderBy(
-        F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+        F.col("l_shipdate").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+        F.col("l_partkey").asc(),
+        F.col("l_extendedprice").asc(),
+        F.col("l_quantity").asc(),
+        F.col("l_discount").asc(),
+        F.col("l_tax").asc(),
     )
     running = w.rowsBetween(Window.unboundedPreceding, 0)
     trailing5 = w.rowsBetween(-4, 0)
@@ -127,12 +148,15 @@ register(
     "window_running_frames",
     oracle="""
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       round(sum(l_extendedprice) OVER running + 1e-9, 2) AS running_revenue,
-       round(avg(l_extendedprice) OVER trailing5 + 1e-9, 2) AS trailing5_avg,
-       round(max(l_extendedprice) OVER running + 1e-9, 2) AS running_max,
+       round(sum(l_extendedprice) OVER running + 1e-6, 2) AS running_revenue,
+       round(avg(l_extendedprice) OVER trailing5 + 1e-6, 2) AS trailing5_avg,
+       round(max(l_extendedprice) OVER running + 1e-6, 2) AS running_max,
        count(*) OVER running AS n_so_far
 FROM lineitem
-WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC),
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+                      l_partkey ASC, l_extendedprice ASC, l_quantity ASC,
+                      l_discount ASC, l_tax ASC),
        running AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
        trailing5 AS (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
@@ -161,9 +185,9 @@ register(
     "window_first_last",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       round(o_totalprice + 1e-9, 2) AS price,
-       round(first_value(o_totalprice) OVER running + 1e-9, 2) AS first_price,
-       round(last_value(o_totalprice) OVER running + 1e-9, 2) AS latest_price
+       round(o_totalprice + 1e-6, 2) AS price,
+       round(first_value(o_totalprice) OVER running + 1e-6, 2) AS first_price,
+       round(last_value(o_totalprice) OVER running + 1e-6, 2) AS latest_price
 FROM orders
 WINDOW running AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -212,7 +236,7 @@ assigned AS (
 SELECT window_start,
        window_start + 600 AS window_end,
        user_id,
-       round(avg(value) + 1e-9, 4) AS avg_value,
+       round(avg(value) + 1e-6, 4) AS avg_value,
        count(*) AS n_events
 FROM assigned
 GROUP BY window_start, user_id
@@ -278,7 +302,7 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
        count(*) AS n_events,
        min(ts_sec) AS session_start,
        max(ts_sec) AS session_end,
-       round(sum(value) + 1e-9, 2) AS session_value
+       round(sum(value) + 1e-6, 2) AS session_value
 FROM sessions GROUP BY user_id, session_no
 """,
     tags=("window", "session"),

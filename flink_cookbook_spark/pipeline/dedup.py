@@ -140,7 +140,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT doc1, doc2,
-       round(n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) + 1e-9, 6) AS jaccard
+       round(n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) + 1e-6, 6) AS jaccard
 FROM inter
 JOIN sizes sa ON doc1 = sa.doc_id
 JOIN sizes sb ON doc2 = sb.doc_id
@@ -298,7 +298,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT i.doc1, i.doc2,
-       round(n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) + 1e-9, 6) AS jaccard
+       round(n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) + 1e-6, 6) AS jaccard
 FROM inter i
 JOIN sizes sa ON i.doc1 = sa.doc_id
 JOIN sizes sb ON i.doc2 = sb.doc_id

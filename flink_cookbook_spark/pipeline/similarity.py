@@ -95,7 +95,7 @@ ranked AS (
                                ORDER BY cosine_raw DESC, cand_id ASC) AS rk
   FROM scored
 )
-SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id, round(cosine_raw + 1e-9, 6) AS cosine
+SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id, round(cosine_raw + 1e-6, 6) AS cosine
 FROM ranked WHERE rk <= {TOP_K}
 """,
     tags=("similarity", "llm-pipeline", "bench"),
@@ -125,8 +125,8 @@ register(
 WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
 SELECT vec_id, label,
        CAST(len(e) AS INTEGER) AS dim,
-       round(sqrt(list_dot_product(e, e)) + 1e-9, 6) AS l2_norm,
-       round(list_sum(e) / len(e) + 1e-9, 6) AS mean_component
+       round(sqrt(list_dot_product(e, e)) + 1e-6, 6) AS l2_norm,
+       round(list_sum(e) / len(e) + 1e-6, 6) AS mean_component
 FROM emb
 """,
     tags=("similarity", "llm-pipeline"),
@@ -329,7 +329,7 @@ buckets AS (
 SELECT a.vec_id AS vec1, b.vec_id AS vec2,
        round(list_dot_product(a.e, b.e)
              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-             + 1e-9, 6) AS cosine
+             + 1e-6, 6) AS cosine
 FROM buckets a JOIN buckets b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.e, b.e)

@@ -56,7 +56,7 @@ WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ts FROM docu
 SELECT doc_id, lang,
        CAST(len(ts) AS INTEGER) AS n_tokens,
        CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct_tokens,
-       round(CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE) / len(ts) + 1e-9, 4)
+       round(CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE) / len(ts) + 1e-6, 4)
          AS mean_token_len,
        n_chars
 FROM t
@@ -82,7 +82,7 @@ register(
     oracle="""
 SELECT lang, source,
        count(*) AS n_docs,
-       round(avg(n_chars) + 1e-9, 4) AS avg_chars,
+       round(avg(n_chars) + 1e-6, 4) AS avg_chars,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars
 FROM documents GROUP BY lang, source
@@ -131,11 +131,11 @@ m AS (
 )
 SELECT doc_id, n_chars,
        CAST(n AS INTEGER) AS n_tokens,
-       round(stop_ratio + 1e-9, 4) AS stopword_ratio,
-       round(rep_ratio + 1e-9, 4) AS repetition_ratio,
+       round(stop_ratio + 1e-6, 4) AS stopword_ratio,
+       round(rep_ratio + 1e-6, 4) AS repetition_ratio,
        round((CASE WHEN n < 10 THEN 0.0 ELSE 1.0 END)
              * (1.0 - rep_ratio)
-             * (CASE WHEN stop_ratio > 0.5 THEN 0.5 ELSE 1.0 END) + 1e-9, 4) AS quality
+             * (CASE WHEN stop_ratio > 0.5 THEN 0.5 ELSE 1.0 END) + 1e-6, 4) AS quality
 FROM m
 """,
     tags=("text", "llm-pipeline"),
@@ -175,7 +175,7 @@ m AS (
   FROM t
 )
 SELECT doc_id, lang AS declared_lang,
-       round(ratio + 1e-9, 4) AS marker_ratio,
+       round(ratio + 1e-6, 4) AS marker_ratio,
        CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END AS predicted_lang,
        (CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END) = lang AS agrees
 FROM m
@@ -250,9 +250,9 @@ tf AS (
 df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
 n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
 SELECT tf.doc_id, tf.token,
-       round(CAST(n_tok AS DOUBLE) / doc_len + 1e-9, 6) AS tf,
-       round(ln(CAST(n.n AS DOUBLE) / df.df) + 1e-9, 6) AS idf,
-       round((CAST(n_tok AS DOUBLE) / doc_len) * ln(CAST(n.n AS DOUBLE) / df.df) + 1e-9, 6)
+       round(CAST(n_tok AS DOUBLE) / doc_len + 1e-6, 6) AS tf,
+       round(ln(CAST(n.n AS DOUBLE) / df.df) + 1e-6, 6) AS idf,
+       round((CAST(n_tok AS DOUBLE) / doc_len) * ln(CAST(n.n AS DOUBLE) / df.df) + 1e-6, 6)
          AS tf_idf
 FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
 WHERE tf.doc_id < 50

@@ -29,10 +29,14 @@ ROUND_DP = 4
 #: nudge added before rounding on BOTH sides. Spark rounds via BigDecimal
 #: HALF_UP on the shortest decimal representation; DuckDB rounds on the
 #: binary double — they disagree when a value (e.g. an average of 4-dp
-#: inputs with an even divisor) lands exactly on a .00005 tie. Adding
-#: 1e-9 (far above ulp noise at these magnitudes, far below the rounding
-#: quantum) moves ties off the boundary identically in both engines.
-NUDGE = 1e-9
+#: inputs with an even divisor, or a money SUM ending in .xx5) lands
+#: exactly on a rounding tie. The nudge must exceed the engines'
+#: summation-order divergence (observed up to ~1e-8 on 1e7-magnitude
+#: sums at sf0.1 — why 1e-9 was not enough) while staying at or below
+#: the smallest rounding quantum used (1e-6 at dp=6); at dp=6 it is a
+#: uniform one-quantum shift applied identically on both sides, so
+#: comparisons still match.
+NUDGE = 1e-6
 
 
 def rnd(col, dp: int = ROUND_DP):

@@ -68,7 +68,7 @@ def test_tie_stable_rounding_cross_engine(spark):
     con.executemany("INSERT INTO vals VALUES (?, ?)", list(enumerate(values)))
     duck_out = [
         r[0] for r in con.execute(
-            "SELECT round(x + 1e-9, 4) FROM vals ORDER BY i"
+            "SELECT round(x + 1e-6, 4) FROM vals ORDER BY i"
         ).fetchall()
     ]
     assert spark_out == pytest.approx(duck_out, abs=0)  # bit-identical
