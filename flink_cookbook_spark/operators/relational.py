@@ -483,3 +483,33 @@ FROM orders GROUP BY o_orderpriority
 """,
     tags=("pivot",),
 )(pivot_status_by_priority)
+
+
+def agg_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended aggregate pack: correlation/covariance between price and
+    discount, boolean aggregates, and an order-pinned string aggregation
+    (sorted before concatenation so both engines produce identical
+    strings)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.corr("l_extendedprice", "l_discount"), 6).alias("price_disc_corr"),
+        rnd(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("price_disc_covar"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_discount"),
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
+    )
+
+
+register(
+    "agg_extended",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_extendedprice, l_discount) + 1e-6, 6) AS price_disc_corr,
+       round(covar_samp(l_extendedprice, l_discount) + 1e-6, 4) AS price_disc_covar,
+       bool_and(l_quantity > 0) AS all_positive_qty,
+       bool_or(l_discount > 0.09) AS any_big_discount,
+       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "statistics"),
+)(agg_extended)
