@@ -39,6 +39,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # queries may run under a caller-provided session (the driver's):
+    # pin the runtime confs correctness depends on. UTC matches DuckDB's
+    # naive timestamps; adaptive shuffle keeps partition counts sane.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
