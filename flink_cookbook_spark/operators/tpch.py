@@ -406,3 +406,172 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size <= 10)
 """,
     tags=("tpch", "bench"),
 )(q19_disjunctive_predicates)
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: order-priority counts where a lineitem shipped
+    late (semi-join against a filtered fact)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey").where(F.col("l_returnflag") == "R").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+    tags=("tpch", "bench"),
+)(q4_order_priority)
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: profit by nation and year with a part-name filter
+    (regex-ish LIKE pushdown through a 5-way join)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col("l_tax") * F.col("l_quantity")
+    return (
+        li.join(part.where(F.col("p_name").contains("1")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(rnd(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+register(
+    "q9_product_profit",
+    oracle="""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount) - l_tax * l_quantity) + 1e-6, 2)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%1%'
+GROUP BY 1, 2
+""",
+    tags=("tpch", "bench"),
+)(q9_product_profit)
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: distribution of customers by order count —
+    left outer join + two-level aggregation."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders.where(~F.col("o_orderpriority").startswith("5")),
+            customer.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+register(
+    "q13_customer_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '5%'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+    tags=("tpch", "bench"),
+)(q13_customer_distribution)
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: revenue of lineitems below 50% of their part's
+    average quantity — aggregate-correlated predicate via a joined
+    per-part aggregate (broadcast: one row per part)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg((F.avg("l_quantity") * 0.5).alias("half_avg_qty"))
+    )
+    return (
+        li.join(part.where(F.col("p_brand") == "Brand#1"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("pk"))
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            rnd(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+register(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice) / 7.0 + 1e-6, 2) AS avg_yearly,
+       count(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+""",
+    tags=("tpch", "bench"),
+)(q17_small_quantity_revenue)
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: customers with above-average balances and no
+    orders, grouped by a name-derived code — scalar subquery + anti-join
+    + substring grouping."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 1, 10).alias("name_code"))
+        .agg(
+            F.count("*").alias("numcust"),
+            rnd(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+register(
+    "q22_global_sales_opportunity",
+    oracle="""
+SELECT substring(c_name, 1, 10) AS name_code,
+       count(*) AS numcust,
+       round(sum(c_acctbal) + 1e-6, 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+""",
+    tags=("tpch", "bench"),
+)(q22_global_sales_opportunity)
