@@ -444,7 +444,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col("l_tax") * F.col("l_quantity")
     return (
-        li.join(part.where(F.col("p_name").contains("1")), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part.where(F.col("p_name").contains("gear")), F.col("l_partkey") == F.col("p_partkey"))
         .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -465,7 +465,7 @@ JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders ON l_orderkey = o_orderkey
 JOIN nation ON s_nationkey = n_nationkey
-WHERE p_name LIKE '%1%'
+WHERE p_name LIKE '%gear%'
 GROUP BY 1, 2
 """,
     tags=("tpch", "bench"),
@@ -543,7 +543,7 @@ WHERE p_brand = 'Brand#1'
 
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-style: customers with above-average balances and no
-    orders, grouped by a name-derived code — scalar subquery + anti-join
+    recent (2000+) orders, grouped by a name-derived code — scalar subquery + anti-join
     + substring grouping."""
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
@@ -553,7 +553,8 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.crossJoin(F.broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("ab"))
-        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .join(orders.where(F.col("o_orderdate") >= F.lit("2000-01-01")),
+              customer.c_custkey == orders.o_custkey, "left_anti")
         .groupBy(F.substring("c_name", 1, 10).alias("name_code"))
         .agg(
             F.count("*").alias("numcust"),
@@ -570,8 +571,383 @@ SELECT substring(c_name, 1, 10) AS name_code,
        round(sum(c_acctbal) + 1e-6, 2) AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY 1
 """,
     tags=("tpch", "bench"),
 )(q22_global_sales_opportunity)
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style: for each small part, the EUROPE supplier(s) offering
+    the minimum unit cost. The fixture schema has no partsupp table, so the
+    part-supplier offer relation is derived as min(l_extendedprice /
+    l_quantity) per distinct (l_partkey, l_suppkey) — the correlated-min
+    subquery becomes a window min over the part (reference has only J1;
+    cf. SURVEY.md §2.2 joins/subqueries)."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eu = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    small = part.where((F.col("p_size") <= 10) & (F.col("p_type") == "SMALL"))
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(small, F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "p_partkey", "s_name", "n_name", "s_acctbal",
+            rnd(F.col("min_cost"), 2).alias("supply_cost"),
+        )
+    )
+
+
+register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT p_partkey, s_name, n_name, s_acctbal,
+       round(min_cost + 1e-6, 2) AS supply_cost
+FROM (
+  SELECT p_partkey, s_name, n_name, s_acctbal, unit_cost,
+         min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM offers
+  JOIN eu ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= 10 AND p_type = 'SMALL'
+)
+WHERE unit_cost = min_cost
+""",
+    tags=("tpch", "bench"),
+)(q2_min_cost_supplier)
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: NATION_7's share of PROMO-part revenue sold to
+    AMERICA customers, per order year — a 7-way join (two roles for
+    nation) with a conditional-aggregate ratio."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    s_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    c_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part.where(F.col("p_type") == "PROMO"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(s_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region.where(F.col("r_name") == "AMERICA")),
+              F.col("cn_region") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            rnd(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", volume).otherwise(0.0))
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+register(
+    "q8_market_share",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_7'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)) + 1e-6, 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+GROUP BY 1
+""",
+    tags=("tpch", "bench"),
+)(q8_market_share)
+
+
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: parts whose discounted revenue from ASIA-region
+    suppliers exceeds a fraction of the total — HAVING against a scalar
+    subquery, expressed as a broadcast cross join of a 1-row aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    asia_supp = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    asia_li = li.join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    value = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = asia_li.groupBy("l_partkey").agg(value.alias("part_value"))
+    total = asia_li.agg((value * 0.001).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", rnd(F.col("part_value"), 2).alias("part_value"))
+    )
+
+
+register(
+    "q11_important_part_values",
+    oracle="""
+WITH asia_li AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+SELECT l_partkey, round(sum(v) + 1e-6, 2) AS part_value
+FROM asia_li
+GROUP BY l_partkey
+HAVING sum(v) > (SELECT sum(v) * 0.001 FROM asia_li)
+""",
+    tags=("tpch", "bench"),
+)(q11_important_part_values)
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) with the maximum revenue in a
+    quarter — the view + scalar-max subquery becomes a 1-row max
+    aggregate broadcast-joined back onto the per-supplier revenues."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"), F.col("s_name"),
+            rnd(F.col("total_revenue"), 2).alias("total_revenue"),
+        )
+    )
+
+
+register(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(total_revenue + 1e-6, 2) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    tags=("tpch", "bench"),
+)(q15_top_supplier)
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: distinct supplier counts per part attribute
+    triple. The partsupp relation is the distinct (l_partkey, l_suppkey)
+    pairs from lineitem; the NOT IN complaint-supplier exclusion (no
+    comment column in fixtures) is low-balance suppliers via anti-join."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    excluded = supplier.where(F.col("s_acctbal") < 1000).select("s_suppkey")
+    wanted = part.where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    return (
+        ps.join(F.broadcast(excluded), ps.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(wanted, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+register(
+    "q16_supplier_count",
+    oracle="""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY 1, 2, 3
+""",
+    tags=("tpch", "bench"),
+)(q16_supplier_count)
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style: suppliers who shipped more than 30% of a part's
+    1997 volume (the availqty predicate, re-based on shipped quantity
+    since fixtures have no partsupp) — window share + semi-join.
+    Quantities are integral so the window sums are exact doubles."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(part.where(F.col("p_name").contains("gear")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = (
+        shipped.withColumn("part_total", F.sum("qty").over(w))
+        .where(F.col("qty") > 0.3 * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(excess, supplier.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(load(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+register(
+    "q20_excess_shippers",
+    oracle="""
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND p_name LIKE '%gear%'
+  GROUP BY 1, 2
+),
+excess AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, qty, sum(qty) OVER (PARTITION BY l_partkey) AS part_total
+    FROM shipped
+  ) WHERE qty > 0.3 * part_total
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+""",
+    tags=("tpch", "bench"),
+)(q20_excess_shippers)
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style: for finalized multi-supplier orders, suppliers who
+    were the sole returned-flag supplier — EXISTS becomes a non-equi
+    semi-join, NOT EXISTS a non-equi anti-join (fixtures lack
+    commitdate/receiptdate, so 'waiting' is l_returnflag = 'R')."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supplier = load(spark, sf_dir, "supplier")
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders.where(F.col("o_orderstatus") == "F"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    ).distinct()
+    others_r = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    ).distinct()
+    return (
+        l1.join(
+            others,
+            (l1.l_orderkey == others.o2_orderkey) & (l1.l_suppkey != others.o2_suppkey),
+            "left_semi",
+        )
+        .join(
+            others_r,
+            (l1.l_orderkey == others_r.o3_orderkey) & (l1.l_suppkey != others_r.o3_suppkey),
+            "left_anti",
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+register(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""",
+    tags=("tpch", "bench"),
+)(q21_waiting_suppliers)
