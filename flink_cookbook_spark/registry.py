@@ -40,7 +40,9 @@ NUDGE = 1e-6
 
 
 def rnd(col, dp: int = ROUND_DP):
-    """Spark-side tie-stable rounding; SQL twin: ``round((x) + 1e-9, dp)``."""
+    """Spark-side tie-stable rounding; SQL twin: ``round((x) + {NUDGE}, dp)``
+    — every oracle must use the same ``NUDGE`` literal (1e-6, see above) or
+    rounding ties can flip the value hash."""
     from pyspark.sql import functions as F
 
     if isinstance(col, str):
@@ -58,6 +60,35 @@ class QuerySpec:
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
+
+#: Queries the DRIVER has already verified green (CORRECTNESS_r01.json).
+#: The driver checks only the first ~50 entries of ``queries()`` per round,
+#: so ``all_specs`` orders never-driver-verified queries FIRST — each round
+#: extends driver-side correctness evidence to a new slice of the registry
+#: instead of re-proving the same 50. Union the per-round green sets here
+#: as rounds complete; newly registered queries are unverified by
+#: definition and automatically sort to the front.
+DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        # round 1 (49 hash-green + agg_approx_distinct rows-only by design)
+        "five_min_window_agg", "welford_moments", "zscore_flags",
+        "deviation_alerts", "trailing_trend_metrics", "emit_cadence",
+        "latest_baseline_join", "join_inner", "join_left_outer", "join_semi",
+        "join_anti", "join_full_outer", "join_interval", "agg_distinct",
+        "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_stats",
+        "set_union_all", "set_intersect", "set_except", "top_orders_global",
+        "topk_per_group", "pivot_status_by_priority", "agg_extended",
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q10_returned_items", "q18_large_volume_customer",
+        "q7_volume_shipping", "q12_shipmode_priority", "q14_promo_revenue",
+        "q19_disjunctive_predicates", "q4_order_priority", "q9_product_profit",
+        "q13_customer_distribution", "q17_small_quantity_revenue",
+        "q22_global_sales_opportunity", "q2_min_cost_supplier", "q8_market_share",
+        "q11_important_part_values", "q15_top_supplier", "q16_supplier_count",
+        "q20_excess_shippers", "q21_waiting_suppliers", "window_ranking",
+        "window_lag_lead", "window_running_frames",
+    }
+)
 
 
 def register(
@@ -99,8 +130,13 @@ def get_query(name: str) -> QuerySpec:
 
 
 def all_specs() -> dict[str, QuerySpec]:
+    """All registered specs, never-driver-verified first (registration
+    order preserved within each group) so the driver's bounded per-round
+    correctness window always covers new ground before re-proving old."""
     _ensure_loaded()
-    return dict(_REGISTRY)
+    pending = {n: s for n, s in _REGISTRY.items() if n not in DRIVER_VERIFIED}
+    proven = {n: s for n, s in _REGISTRY.items() if n in DRIVER_VERIFIED}
+    return {**pending, **proven}
 
 
 def all_queries() -> dict[str, QueryFn]:
