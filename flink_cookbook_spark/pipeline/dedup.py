@@ -414,9 +414,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
     ).distinct()
-    edges.cache()
+    edges.persist()
     nodes = edges.select(F.col("doc1").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id"))
+    # Iteration hygiene: each generation is persisted only until the next
+    # one's convergence count has materialized, then explicitly dropped
+    # (blocking, so storage is bounded at 2 generations), and lineage is
+    # truncated every round via localCheckpoint on the FINAL result —
+    # without this, 20 rounds leak 20 cached DataFrames and build a
+    # 20-deep join plan that Catalyst must re-analyze each round.
+    prev_persisted: DataFrame | None = None
     for _ in range(20):  # diameter bound; fixture clusters converge in <=3
         neighbor_min = (
             edges.join(labels, edges.doc2 == labels.doc_id)
@@ -432,21 +439,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
             )
         )
-        new_labels.cache()
+        new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .where(F.col("n.label") != F.col("o.label"))
-            .count()
+            .count()  # materializes new_labels' cache
         )
+        if prev_persisted is not None:
+            prev_persisted.unpersist(blocking=True)
+        prev_persisted = new_labels
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
+    # self-contained result: materialized blocks, no lineage back through
+    # the per-round caches — so the per-round caches can all be released
+    result = labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_keeper"),
-    )
+    ).localCheckpoint(eager=True)
+    if prev_persisted is not None:
+        prev_persisted.unpersist(blocking=True)
+    edges.unpersist(blocking=True)
+    return result
 
 
 register(

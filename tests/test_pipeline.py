@@ -106,3 +106,23 @@ def test_registry_consistency():
     for flagship in ("zscore_flags", "pipeline_alerts_end_to_end", "minhash_lsh_pairs",
                      "cosine_topk", "sarimax_baseline", "dedup_clusters"):
         assert flagship in qs
+
+
+def test_dedup_clusters_bounded_caching(spark, sf_dir):
+    """Iteration hygiene: label propagation must not leak a cached
+    DataFrame per round. After the call, at most the localCheckpoint'd
+    result survives (per invocation) — the per-round generations and the
+    edge cache are explicitly released."""
+    from flink_cookbook_spark.pipeline.dedup import dedup_clusters
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = dedup_clusters(spark, sf_dir)
+    n = out.count()
+    after = jsc.getPersistentRDDs().size()
+    assert n > 0
+    assert after - before <= 1, (before, after)
+    # keeper labeling is internally consistent on the checkpointed result
+    rows = out.collect()
+    keepers = {r.cluster_id for r in rows if r.is_keeper}
+    assert all(r.cluster_id in keepers for r in rows)
