@@ -28,7 +28,7 @@ production deployment, and each query checkpoints independently (R1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -191,99 +191,215 @@ def stream_stream_enrichment_join(
     )
 
 
+#: cogrouped state-fold output: one 'state' row per key + 'emit' rows
+_FOLD_SCHEMA = (
+    "user_id long, kind string, count long, mean double, m2 double, "
+    "counter int, scaled array<double>, raw array<double>, "
+    "window_start long, baseline double, running_std double"
+)
+_STATE_COLS = ["user_id", "count", "mean", "m2", "counter", "scaled", "raw"]
+_LATEST_COLS = ["user_id", "window_start", "baseline", "running_std"]
+
+
 def continuous_alerts_foreach_batch(
     windowed: DataFrame,
     baseline_table: str,
-    alert_sink: list,
+    alert_sink: list | None = None,
     cfg: BaselineConfig = FIXTURE_CONFIG,
+    state_root: str | None = None,
+    checkpoint: str | None = None,
 ) -> StreamingQuery:
     """J1 variant: continuous alerting via foreachBatch — every raw
     window sample is joined (broadcast, the small side is the per-key
     latest-baseline table) against a continuously updated baseline table,
     so alerts fire on EVERY window, not only cadence windows.
 
-    This is the literal analogue of the reference's broadcast map state
-    (flinkarima.py:288-376): ``baseline_table`` plays MapState[node_id ->
-    latest baseline], last-write-wins per key; ``foreachBatch`` gives the
-    exactly-once micro-batch boundary. In production the table is Delta/
-    a compacted Kafka topic; here an in-memory dict + broadcast join per
-    batch keeps the same dataflow testable.
+    This is the analogue of the reference's broadcast map state
+    (flinkarima.py:288-376): the latest-baseline table plays
+    MapState[node_id -> latest baseline], last-write-wins per key;
+    ``foreachBatch`` gives the exactly-once micro-batch boundary.
+
+    Executor-side and restart-safe: per-key model state and the
+    latest-baseline table are epoch-versioned parquet snapshots under
+    ``state_root`` (production swaps these writes for Delta MERGE or a
+    compacted Kafka topic — same dataflow). Micro-batch N scores against
+    the newest snapshot older than N (broadcast join, pure column exprs),
+    then folds the batch into per-key state with ONE cogrouped
+    applyInPandas pass and writes snapshot N; nothing model-related ever
+    reaches the driver, and a replayed epoch after restart re-reads its
+    predecessor snapshot, so recomputation is idempotent. ``alert_sink``
+    (a plain list) is the TEST sink — the only ``collect`` — and when
+    omitted, alerts append to ``{state_root}/alerts`` executor-side.
     """
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
     from pyspark.sql import functions as FF
 
     from flink_cookbook_spark.streaming.sarimax import _KeyState, _process_sample
 
-    # Cross-batch state, bounded by key cardinality — the same bound as
-    # the reference's broadcast MapState, which Flink replicates to EVERY
-    # alert subtask (flinkarima.py:288). `latest` re-enters each batch as
-    # a broadcast DataFrame; alert scoring stays on executors. The model
-    # state update runs over the batch's WINDOW AGGREGATES (<= 1 row per
-    # key per window — already reduced), not raw events; for unbounded
-    # key cardinality use the applyInPandasWithState recipe instead.
-    latest: dict = {}  # user_id -> (window_start, baseline, running_std)
-    states: dict = {}  # user_id -> _KeyState, persists across micro-batches
+    root = state_root or tempfile.mkdtemp(prefix=f"fcs_{baseline_table}_")
+
+    def _snapshot_before(kind: str, epoch_id: int) -> str | None:
+        base = os.path.join(root, kind)
+        if not os.path.isdir(base):
+            return None
+        epochs = [
+            int(m.group(1))
+            for d in os.listdir(base)
+            if (m := re.fullmatch(r"epoch=(\d+)", d))
+        ]
+        prior = [e for e in epochs if e < epoch_id]
+        return os.path.join(base, f"epoch={max(prior)}") if prior else None
+
+    def _fold(key, state_pdf: pd.DataFrame, samples_pdf: pd.DataFrame):
+        (uid,) = key
+        if len(state_pdf):
+            s = state_pdf.iloc[0]
+            ks = _KeyState(
+                int(s["count"]), float(s["mean"]), float(s["m2"]),
+                int(s["counter"]), list(s["scaled"]), list(s["raw"]),
+            )
+        else:
+            ks = _KeyState()
+        newest = None  # (window_start, baseline, running_std)
+        for r in samples_pdf.sort_values("window_start").itertuples(index=False):
+            rec = _process_sample(ks, float(r.avg_value), cfg)
+            if rec is not None:
+                newest = (int(r.window_start), rec["baseline"], rec["running_std"])
+        rows = [
+            {
+                "user_id": int(uid), "kind": "state", "count": ks.count,
+                "mean": ks.mean, "m2": ks.m2, "counter": ks.counter,
+                "scaled": ks.scaled, "raw": ks.raw,
+                "window_start": None, "baseline": None, "running_std": None,
+            }
+        ]
+        if newest is not None:
+            rows.append(
+                {
+                    "user_id": int(uid), "kind": "emit", "count": None,
+                    "mean": None, "m2": None, "counter": None,
+                    "scaled": None, "raw": None,
+                    "window_start": newest[0], "baseline": newest[1],
+                    "running_std": newest[2],
+                }
+            )
+        return pd.DataFrame(rows)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        # 1. score this batch against current latest baselines: broadcast
-        #    join + pure column exprs (J2), fully distributed.
-        if latest:
-            baselines_df = spark.createDataFrame(
-                [(k, v[0], v[1], v[2]) for k, v in latest.items()],
-                "user_id long, baseline_ws long, baseline double, running_std double",
+        batch = batch_df.select("user_id", "window_start", "avg_value")
+        prev_latest = _snapshot_before("latest", epoch_id)
+        prev_state = _snapshot_before("state", epoch_id)
+        latest_df = (
+            spark.read.parquet(prev_latest)
+            if prev_latest
+            else spark.createDataFrame([], ", ".join(f"{c} {t}" for c, t in zip(
+                _LATEST_COLS, ["long", "long", "double", "double"])))
+        )
+        state_df = (
+            spark.read.parquet(prev_state)
+            if prev_state
+            else spark.createDataFrame(
+                [],
+                "user_id long, count long, mean double, m2 double, counter int, "
+                "scaled array<double>, raw array<double>",
             )
-            dev = FF.col("avg_value") - FF.col("baseline")
-            pct = FF.when(
-                FF.col("baseline") >= MIN_BASELINE, dev / FF.col("baseline") * 100.0
-            ).otherwise(FF.lit(0.0))
-            z = FF.when(
-                FF.col("running_std") > 0, dev / FF.col("running_std")
-            ).otherwise(FF.lit(0.0))
-            alerts = (
-                batch_df.join(FF.broadcast(baselines_df), "user_id")
-                .where(FF.col("baseline_ws") <= FF.col("window_start"))
-                .withColumn("z_score", z)
-                .withColumn("pct_deviation", pct)
-                .where(
-                    (FF.abs(FF.col("z_score")) >= Z_THRESHOLD)
-                    | (FF.abs(FF.col("pct_deviation")) >= PCT_THRESHOLD)
-                )
-                .withColumn(
-                    "severity",
-                    FF.when(FF.abs(FF.col("z_score")) >= 2 * Z_THRESHOLD, "high").otherwise(
-                        "medium"
-                    ),
-                )
-                .select(
-                    "user_id", "window_start", FF.col("avg_value").alias("observed"),
-                    "baseline", "z_score", "pct_deviation", "severity",
-                )
+        )
+        # 1. score this batch against the previous epoch's latest
+        #    baselines: broadcast join + pure column exprs (J2), fully
+        #    distributed (the latest table is one row per key).
+        dev = FF.col("avg_value") - FF.col("baseline")
+        pct = FF.when(
+            FF.col("baseline") >= MIN_BASELINE, dev / FF.col("baseline") * 100.0
+        ).otherwise(FF.lit(0.0))
+        z = FF.when(
+            FF.col("running_std") > 0, dev / FF.col("running_std")
+        ).otherwise(FF.lit(0.0))
+        alerts = (
+            batch.join(
+                FF.broadcast(latest_df.withColumnRenamed("window_start", "baseline_ws")),
+                "user_id",
             )
+            .where(FF.col("baseline_ws") <= FF.col("window_start"))
+            .withColumn("z_score", z)
+            .withColumn("pct_deviation", pct)
+            .where(
+                (FF.abs(FF.col("z_score")) >= Z_THRESHOLD)
+                | (FF.abs(FF.col("pct_deviation")) >= PCT_THRESHOLD)
+            )
+            .withColumn(
+                "severity",
+                FF.when(FF.abs(FF.col("z_score")) >= 2 * Z_THRESHOLD, "high").otherwise(
+                    "medium"
+                ),
+            )
+            .select(
+                "user_id", "window_start", FF.col("avg_value").alias("observed"),
+                "baseline", "z_score", "pct_deviation", "severity",
+            )
+        )
+        if alert_sink is not None:  # test sink — the only collect()
             alert_sink.extend(r.asDict() for r in alerts.collect())
-        # 2. fold the batch into the persistent model state; cadence
-        #    emissions upsert the latest-value table. State carries over
-        #    micro-batches (a batch may hold as little as one window per
-        #    key — the steady-state live-stream shape).
-        for r in sorted(
-            batch_df.collect(), key=lambda r: (r.user_id, r.window_start)
-        ):
-            ks = states.setdefault(r.user_id, _KeyState())
-            rec = _process_sample(ks, float(r.avg_value), cfg)
-            if rec is not None:
-                cur = latest.get(r.user_id)
-                if cur is None or r.window_start >= cur[0]:
-                    latest[r.user_id] = (
-                        r.window_start,
-                        rec["baseline"],
-                        rec["running_std"],
+        else:  # production shape: executor-side append
+            alerts.write.mode("append").parquet(os.path.join(root, "alerts"))
+        # 2. fold the batch into per-key model state, executor-side:
+        #    cogroup is a full-outer keyed merge, so keys absent from
+        #    this batch carry their state forward unchanged.
+        folded = (
+            state_df.groupBy("user_id")
+            .cogroup(batch.groupBy("user_id"))
+            .applyInPandas(_fold, schema=_FOLD_SCHEMA)
+        )
+        folded.persist()
+        folded.where(FF.col("kind") == "state").select(*_STATE_COLS).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "state", f"epoch={epoch_id}"))
+        # upsert: newest emission per key wins over the previous table
+        emits = folded.where(FF.col("kind") == "emit").select(*_LATEST_COLS)
+        merged = (
+            emits.withColumn("gen", FF.lit(1))
+            .unionByName(latest_df.withColumn("gen", FF.lit(0)))
+            .withColumn(
+                "rn",
+                FF.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        FF.col("window_start").desc(), FF.col("gen").desc()
                     )
+                ),
+            )
+            .where(FF.col("rn") == 1)
+            .select(*_LATEST_COLS)
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(root, "latest", f"epoch={epoch_id}")
+        )
+        folded.unpersist()
+        # retention: keep the newest two snapshots (restart replay of
+        # epoch N re-reads the newest snapshot < N), drop older.
+        for kind in ("state", "latest"):
+            base = os.path.join(root, kind)
+            epochs = sorted(
+                int(m.group(1))
+                for d in os.listdir(base)
+                if (m := re.fullmatch(r"epoch=(\d+)", d))
+            )
+            for e in epochs[:-2]:
+                shutil.rmtree(os.path.join(base, f"epoch={e}"), ignore_errors=True)
 
-    return (
+    writer = (
         windowed.writeStream.outputMode("append")
         .queryName(baseline_table)
         .foreachBatch(process_batch)
-        .start()
     )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 def to_sink(
