@@ -122,6 +122,7 @@ def _ensure_loaded() -> None:
     import flink_cookbook_spark.pipeline.multimodal  # noqa: F401
     import flink_cookbook_spark.streaming.sarimax  # noqa: F401
     import flink_cookbook_spark.streaming.sources  # noqa: F401
+    import flink_cookbook_spark.streaming.twins  # noqa: F401
 
 
 def get_query(name: str) -> QuerySpec:
