@@ -398,6 +398,133 @@ WHERE n_docs > 1
 )(simhash_bucket_dups)
 
 
+#: near-pair SimHash: 60 bits (the portable-hash width), 4 bands x 15
+#: bits, Hamming radius 3. Pigeonhole guarantee: <=3 differing bits
+#: cannot touch all 4 bands, so every true near-pair collides on at
+#: least one intact band — recall 1.0 at this radius, with 2^15 buckets
+#: per band keeping candidate volume near-linear in true near-dups.
+NEARSIM_BITS = 60
+NEARSIM_BANDS = 4
+NEARSIM_BAND_BITS = NEARSIM_BITS // NEARSIM_BANDS  # 15
+HAMMING_R = 3
+
+
+def _simhash_wide_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + 60-bit SimHash (same construction as ``simhash``, full
+    portable-hash width — one codegen'd aggregate, no row explosion)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", _portable_hash(F.col("tok")))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(NEARSIM_BITS)
+        ]
+    )
+    sim = None
+    for i in range(NEARSIM_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+_WIDE_BIT_SQL = ",\n         ".join(
+    f"sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(NEARSIM_BITS)
+)
+_WIDE_COMBINE_SQL = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(NEARSIM_BITS)
+)
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: band the 60-bit SimHash into 4
+    15-bit keys, generate candidates by (band_id, band_val) equi-join,
+    then verify with exact Hamming distance bit_count(xor) <= 3. This
+    completes the SimHash path the way LSH completes MinHash: candidate
+    cost tracks true near-dups (2^15 buckets/band), verification is one
+    codegen'd expression per candidate — the 100 TB shape."""
+    sims = _simhash_wide_df(spark, sf_dir)
+    stacked = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), b * NEARSIM_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << NEARSIM_BAND_BITS) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(NEARSIM_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band_id", "bk.band_val")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .where(F.col("hamming") <= HAMMING_R)
+        .select("doc1", "doc2", "hamming")
+    )
+
+
+register(
+    "simhash_near_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_HASH.format(x='tok')} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+bits AS (
+  SELECT doc_id,
+         {_WIDE_BIT_SQL}
+  FROM toks GROUP BY doc_id
+),
+sims AS (
+  SELECT doc_id, CAST({_WIDE_COMBINE_SQL} AS BIGINT) AS simhash FROM bits
+),
+bands AS (
+  SELECT doc_id, simhash, band_id,
+         (simhash >> (band_id * {NEARSIM_BAND_BITS})) & {(1 << NEARSIM_BAND_BITS) - 1}
+           AS band_val
+  FROM sims, (SELECT unnest(range(0, {NEARSIM_BANDS})) AS band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+                  a.simhash AS s1, b.simhash AS s2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, bit_count(xor(s1, s2)) AS hamming
+FROM cand
+WHERE bit_count(xor(s1, s2)) <= {HAMMING_R}
+""",
+    tags=("dedup", "llm-pipeline", "simhash", "near-dup", "bench"),
+)(simhash_near_pairs)
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-duplicate clusters: connected components over the
     MinHash+LSH pair graph, each doc labeled with its component's minimum
