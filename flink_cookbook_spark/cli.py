@@ -114,8 +114,18 @@ def run(argv: list[str] | None = None) -> int:
         baselines = baseline_batch(windowed, cfg)
         baselines.show(20, truncate=False)
         return 0
-    # stream mode: two-query topology (window agg -> intermediate -> model)
-    from flink_cookbook_spark.streaming.recipes import to_sink, windowed_avg_stream
+    # stream mode: the full two-query topology (window agg -> durable
+    # parquet intermediate -> stateful baseline model -> alert filter ->
+    # console), as in ARCHITECTURE.md and tests/test_streaming.py. Each
+    # query checkpoints independently (R1); the intermediate directory
+    # is where the reference's Kafka hop sits in production.
+    import os
+
+    from flink_cookbook_spark.streaming.recipes import (
+        alerts_stream,
+        to_sink,
+        windowed_avg_stream,
+    )
     from flink_cookbook_spark.streaming.sources import (
         kafka_metrics_stream,
         synthetic_metrics_stream,
@@ -127,15 +137,47 @@ def run(argv: list[str] | None = None) -> int:
         if args.use_datagen
         else kafka_metrics_stream(spark, args.kafka_topic, args.bootstrap_servers)
     )
-    windowed = windowed_avg_stream(metrics)
-    q = to_sink(
+    # stage 1: window agg -> durable intermediate (keyed long for the
+    # model operator's schema, as in batch mode)
+    windowed = windowed_avg_stream(metrics).select(
+        F.pmod(F.xxhash64("user_id"), F.lit(1_000_000)).alias("user_id"),
+        "window_start",
+        "avg_value",
+    )
+    inter_dir = os.path.join(args.checkpoint_dir, "intermediate")
+    os.makedirs(inter_dir, exist_ok=True)
+    q_window = to_sink(
         windowed,
+        fmt="parquet",
+        query_name="window_agg",  # named operators (R3)
+        checkpoint=os.path.join(args.checkpoint_dir, "windowed"),
+        path=inter_dir,
+    )
+    # stage 2: stateful model + alert filter over the intermediate,
+    # honoring the model/threshold knobs
+    stage2_src = spark.readStream.schema(
+        "user_id long, window_start long, avg_value double"
+    ).parquet(inter_dir)
+    alerts = alerts_stream(
+        stage2_src,
+        cfg,
+        z_threshold=args.z_threshold,
+        pct_threshold=args.pct_threshold,
+        min_baseline=args.min_baseline,
+    )
+    q_alerts = to_sink(
+        alerts,
         fmt="console",
         query_name="sarimax_baseline",  # reference operator name (R3)
-        checkpoint=f"{args.checkpoint_dir}/windowed",
+        checkpoint=os.path.join(args.checkpoint_dir, "alerts"),
     )
-    q.awaitTermination(args.duration_seconds)
-    q.stop()
+    q_window.awaitTermination(args.duration_seconds)
+    if args.duration_seconds is not None:
+        q_window.stop()
+        q_alerts.processAllAvailable()  # drain what stage 1 committed
+        q_alerts.stop()
+    else:  # run until externally terminated
+        q_alerts.awaitTermination()
     return 0
 
 

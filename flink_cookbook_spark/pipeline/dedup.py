@@ -146,7 +146,7 @@ JOIN sizes sa ON doc1 = sa.doc_id
 JOIN sizes sb ON doc2 = sb.doc_id
 WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
 """,
-    tags=("dedup", "llm-pipeline", "near-dup"),
+    tags=("dedup", "llm-pipeline", "near-dup", "bench"),
 )(ngram_jaccard_pairs)
 
 
@@ -646,5 +646,5 @@ SELECT src AS doc_id,
 FROM reach
 GROUP BY src
 """,
-    tags=("dedup", "llm-pipeline", "clustering", "iterative"),
+    tags=("dedup", "llm-pipeline", "clustering", "iterative", "bench"),
 )(dedup_clusters)

@@ -288,7 +288,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("ivf_topk", oracle=None, tags=("similarity", "llm-pipeline", "ivf", "ann"))(ivf_topk)
+register("ivf_topk", oracle=None, tags=("similarity", "llm-pipeline", "ivf", "ann", "bench"))(ivf_topk)
 
 
 def embedding_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

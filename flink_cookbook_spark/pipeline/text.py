@@ -257,7 +257,7 @@ SELECT tf.doc_id, tf.token,
 FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
 WHERE tf.doc_id < 50
 """,
-    tags=("text", "llm-pipeline"),
+    tags=("text", "llm-pipeline", "bench"),
 )(tf_idf)
 
 

@@ -124,18 +124,25 @@ def dedup_stream_within_watermark(
 
 
 def alerts_stream(
-    windowed: DataFrame, cfg: BaselineConfig = FIXTURE_CONFIG
+    windowed: DataFrame,
+    cfg: BaselineConfig = FIXTURE_CONFIG,
+    z_threshold: float = Z_THRESHOLD,
+    pct_threshold: float = PCT_THRESHOLD,
+    min_baseline: float = MIN_BASELINE,
 ) -> DataFrame:
     """J1+J2 streaming: the stateful operator already holds the latest
     baseline per key, so enrichment is state lookup, not a broadcast
     join; the deviation/alert filter is pure column expressions on its
     output. Here the baseline operator emits records only on cadence, so
     alerts fire on cadence windows (the continuous-alert variant joins
-    via foreachBatch against the latest-baseline table)."""
+    via foreachBatch against the latest-baseline table). Thresholds
+    default to the reference's (flinkarima.py:516-533) and are
+    overridable from the CLI's --z-threshold/--pct-threshold/
+    --min-baseline knobs."""
     baselines = baseline_streaming(windowed, cfg)
     deviation = F.col("observed") - F.col("baseline")
     pct = F.when(
-        F.col("baseline") >= MIN_BASELINE, deviation / F.col("baseline") * 100.0
+        F.col("baseline") >= min_baseline, deviation / F.col("baseline") * 100.0
     ).otherwise(F.lit(0.0))
     z = F.when(F.col("running_std") > 0, deviation / F.col("running_std")).otherwise(
         F.lit(0.0)
@@ -145,13 +152,13 @@ def alerts_stream(
         .withColumn("pct_deviation", pct)
         .withColumn("z_score", z)
         .where(
-            (F.abs(F.col("z_score")) >= Z_THRESHOLD)
-            | (F.abs(F.col("pct_deviation")) >= PCT_THRESHOLD)
+            (F.abs(F.col("z_score")) >= z_threshold)
+            | (F.abs(F.col("pct_deviation")) >= pct_threshold)
         )
         .withColumn("alert_type", F.lit("cpu_deviation"))
         .withColumn(
             "severity",
-            F.when(F.abs(F.col("z_score")) >= 2 * Z_THRESHOLD, "high").otherwise("medium"),
+            F.when(F.abs(F.col("z_score")) >= 2 * z_threshold, "high").otherwise("medium"),
         )
     )
 

@@ -72,8 +72,13 @@ FIXTURE_CONFIG = BaselineConfig(max_history=96, min_history=12, emit_every_n=5, 
 BASELINE_SCHEMA = (
     "user_id long, window_start long, observed double, baseline double, "
     "history_size int, running_mean double, running_std double, "
-    "trend_latest double, trend_5season double"
+    "trend_latest double, trend_5season double, model string"
 )
+
+#: which forecaster produced a baseline record — surfaced per record so
+#: consumers can tell the exact reference SARIMAX from the numpy
+#: fallback this container is limited to (statsmodels absent).
+MODEL_NAME = "sarimax" if HAVE_STATSMODELS else "ewma_fallback"
 
 
 def forecast_next(history: np.ndarray, cfg: BaselineConfig) -> float:
@@ -106,16 +111,24 @@ def forecast_next(history: np.ndarray, cfg: BaselineConfig) -> float:
     return float(z[len(z) - s] + level)
 
 
-def _trend_metrics(raw: list[float], season: int) -> tuple[float | None, float | None]:
-    """Twin of _daily_trend_metrics (flinkarima.py:130-142): averages of
-    the last season and last 5 seasons of raw samples."""
+def _trend_metrics(
+    raw: list[float], cfg: BaselineConfig
+) -> tuple[float | None, float | None]:
+    """Exact twin of _daily_trend_metrics (flinkarima.py:130-142,
+    call site :240-244): the reference passes days = max(5, max_history
+    // season), trims to the last days*season samples, then averages the
+    last season (trend_latest) and the WHOLE trimmed slice
+    (trend_5season — the reference keeps the 'five_day_avg' name even
+    when days > 5, as at this repo's fixture ratio 96//12 = 8)."""
     if not raw:
         return None, None
-    latest = raw[-season:]
-    five = raw[-season * 5 :]
+    season = max(1, cfg.season)
+    days = max(5, cfg.max_history // season)
+    trimmed = raw[-season * days :]
+    latest = trimmed[-season:] if len(trimmed) >= season else trimmed
     return (
         float(sum(latest) / len(latest)),
-        float(sum(five) / len(five)),
+        float(sum(trimmed) / len(trimmed)),
     )
 
 
@@ -171,7 +184,7 @@ def _process_sample(
     post_std = state.std()
     baseline = scaled_fc * post_std + state.mean if post_std > 0 else state.mean
     baseline = max(0.0, baseline)
-    trend_latest, trend_5 = _trend_metrics(state.raw, cfg.season)
+    trend_latest, trend_5 = _trend_metrics(state.raw, cfg)
     return {
         "observed": x,
         "baseline": baseline,
@@ -180,6 +193,7 @@ def _process_sample(
         "running_std": post_std,
         "trend_latest": trend_latest,
         "trend_5season": trend_5,
+        "model": MODEL_NAME,
     }
 
 
@@ -199,7 +213,7 @@ def baseline_batch(
 
     cols = [
         "user_id", "window_start", "observed", "baseline", "history_size",
-        "running_mean", "running_std", "trend_latest", "trend_5season",
+        "running_mean", "running_std", "trend_latest", "trend_5season", "model",
     ]
 
     def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -258,7 +272,7 @@ def baseline_streaming(
         state.update((ks.count, ks.mean, ks.m2, ks.counter, ks.scaled, ks.raw))
         cols = [
             "user_id", "window_start", "observed", "baseline", "history_size",
-            "running_mean", "running_std", "trend_latest", "trend_5season",
+            "running_mean", "running_std", "trend_latest", "trend_5season", "model",
         ]
         yield pd.DataFrame(out, columns=cols)
 
@@ -295,7 +309,7 @@ def baseline_streaming_tws(
     )
     cols = [
         "user_id", "window_start", "observed", "baseline", "history_size",
-        "running_mean", "running_std", "trend_latest", "trend_5season",
+        "running_mean", "running_std", "trend_latest", "trend_5season", "model",
     ]
 
     class BaselineProcessor(StatefulProcessor):

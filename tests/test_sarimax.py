@@ -114,3 +114,39 @@ def test_batch_twin_equals_plain_python(spark, sf_dir):
                 want[(uid, r.window_start)] = rec["baseline"]
     assert set(got) == set(want)
     assert got and all(got[k] == pytest.approx(want[k], abs=1e-9) for k in want)
+
+
+def test_model_column_names_active_forecaster():
+    """Every baseline record carries which forecaster produced it, so
+    consumers can tell exact SARIMAX output from the numpy fallback
+    (statsmodels is absent in this container -> ewma_fallback here)."""
+    from flink_cookbook_spark.streaming.sarimax import (
+        HAVE_STATSMODELS,
+        MODEL_NAME,
+        BASELINE_SCHEMA,
+    )
+
+    assert "model string" in BASELINE_SCHEMA
+    assert MODEL_NAME == ("sarimax" if HAVE_STATSMODELS else "ewma_fallback")
+    cfg = BaselineConfig(max_history=50, min_history=10, emit_every_n=5, season=5)
+    st = _KeyState()
+    recs = [r for x in range(60) if (r := _process_sample(st, float(x), cfg))]
+    assert recs and all(r["model"] == MODEL_NAME for r in recs)
+
+
+def test_trend_window_matches_reference_days_rule():
+    """_daily_trend_metrics twin: days = max(5, max_history // season)
+    (flinkarima.py:240-244), trend_5season averages the whole trimmed
+    slice — 8 seasons at the fixture ratio 96//12, not a fixed 5."""
+    from flink_cookbook_spark.streaming.sarimax import _trend_metrics
+
+    cfg = BaselineConfig(max_history=96, min_history=12, emit_every_n=5, season=12)
+    raw = [float(i) for i in range(96)]
+    latest, five = _trend_metrics(raw, cfg)
+    assert latest == pytest.approx(sum(raw[-12:]) / 12)
+    assert five == pytest.approx(sum(raw) / 96)  # 8 seasons = all 96
+    # small-history config keeps the 5-day floor
+    cfg2 = BaselineConfig(max_history=20, min_history=5, emit_every_n=5, season=12)
+    raw2 = [float(i) for i in range(20)]
+    _, five2 = _trend_metrics(raw2, cfg2)
+    assert five2 == pytest.approx(sum(raw2) / 20)  # floor(20/12)=1 -> days=5 -> all

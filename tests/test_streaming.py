@@ -493,3 +493,20 @@ def test_continuous_alerts_restart_safe(spark, windowed_stage_dir, tmp_path):
     # executor-side alert sink was written (no driver collect path used)
     alerts = spark.read.parquet(os.path.join(state_root, "alerts"))
     assert alerts.count() > 0
+
+
+def test_cli_stream_mode_runs(spark, tmp_path):
+    """C1 stream mode: the chained two-query topology (window agg ->
+    parquet intermediate -> stateful model -> alert filter) starts,
+    runs for the requested duration, and shuts down cleanly with the
+    model/threshold knobs wired through."""
+    from flink_cookbook_spark.cli import run
+
+    rc = run([
+        "--mode", "stream", "--use-datagen",
+        "--nodes", "3", "--rate", "20", "--duration-seconds", "8",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--max-history", "8", "--min-history", "2", "--emit-every-n", "2",
+        "--seasonal-order", "0,1,1,2", "--z-threshold", "2.5",
+    ])
+    assert rc == 0
