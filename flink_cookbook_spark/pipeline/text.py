@@ -288,3 +288,50 @@ FROM documents
 """,
     tags=("text", "llm-pipeline"),
 )(doc_fingerprint)
+
+
+#: BPE-ish pre-tokenizer (both engines' regex dialects agree on this
+#: subset: no lookaround, leftmost-first alternation): contractions,
+#: letter runs, 1-3 digit groups (cl100k-style number chunking), then
+#: punctuation/symbol runs. Estimates subword token counts ~chars/4
+#: without shipping a vocabulary — the standard cheap budget heuristic
+#: for LLM-training-data sizing.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s']+"
+
+
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways the brief's pipeline needs: whitespace
+    tokens (word budget) and a BPE-ish regex pre-tokenization (subword
+    budget proxy) — plus chars-per-BPE-token, the compression-ratio
+    quality signal (garbage text compresses badly). Pure JVM-side
+    regexp_extract_all; no Python, no explode."""
+    docs = load(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        rnd(
+            F.col("n_chars").cast("double")
+            / F.greatest(F.size(bpe), F.lit(1)).cast("double"),
+            4,
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+register(
+    "bpe_token_count",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s'']+'))
+         AS INTEGER) AS n_bpe_tokens,
+       round(CAST(n_chars AS DOUBLE)
+             / greatest(len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s'']+')), 1)
+             + 1e-6, 4) AS chars_per_bpe_token
+FROM documents
+""",
+    tags=("text", "llm-pipeline", "tokenization"),
+)(bpe_token_count)
