@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.pipeline._cache import memo_persist
 from flink_cookbook_spark.registry import register, rnd
 
 SHINGLE_K = 3
@@ -69,13 +70,20 @@ FROM documents GROUP BY md5(text)
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs: word 3-grams."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("ts")).where(
-        F.size("ts") >= SHINGLE_K
-    )
-    return (
-        toks.select(
+    """Distinct (doc_id, shingle) pairs: word 3-grams.
+
+    Materialized once per session via memo_persist — the shingle index
+    is reused by every near-dup stage (Jaccard inverted index, MinHash
+    signatures, LSH verify joins), and self-joins consume it twice per
+    query; recomputing the explode+distinct at every use dominated the
+    un-cached plan (12 scans in minhash_lsh_pairs alone)."""
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        toks = docs.select("doc_id", F.split("text", " ").alias("ts")).where(
+            F.size("ts") >= SHINGLE_K
+        )
+        return toks.select(
             "doc_id",
             F.explode(
                 F.expr(
@@ -83,9 +91,9 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
                 )
             ).alias("shingle"),
-        )
-        .distinct()
-    )
+        ).distinct()
+
+    return memo_persist(spark, "shingles", sf_dir, build)
 
 
 _SHINGLES_CTE = """
@@ -161,15 +169,21 @@ _MINHASH_PARAMS = [(2 * i + 3, 7 * i + 1) for i in range(MINHASH_K)]
 
 
 def _minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + MINHASH_K minhash columns mh0..mh15 (portable hashes)."""
-    sh = _shingles(spark, sf_dir)
-    base = (F.pmod(_portable_hash(F.col("shingle")), F.lit(MERSENNE_P))).alias("h")
-    hashed = sh.select("doc_id", base)
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_MINHASH_PARAMS)
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    """doc_id + MINHASH_K minhash columns mh0..mh15 (portable hashes).
+    Memoized (one row per doc): the LSH band self-join consumes it
+    twice per query."""
+
+    def build() -> DataFrame:
+        sh = _shingles(spark, sf_dir)
+        base = (F.pmod(_portable_hash(F.col("shingle")), F.lit(MERSENNE_P))).alias("h")
+        hashed = sh.select("doc_id", base)
+        aggs = [
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_MINHASH_PARAMS)
+        ]
+        return hashed.groupBy("doc_id").agg(*aggs)
+
+    return memo_persist(spark, "minhash_sigs", sf_dir, build)
 
 
 def _minhash_sql_cols() -> str:
@@ -411,24 +425,31 @@ HAMMING_R = 3
 
 def _simhash_wide_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + 60-bit SimHash (same construction as ``simhash``, full
-    portable-hash width — one codegen'd aggregate, no row explosion)."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).withColumn("h", _portable_hash(F.col("tok")))
-    bit_sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(NEARSIM_BITS)
-        ]
-    )
-    sim = None
-    for i in range(NEARSIM_BITS):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+    portable-hash width — one codegen'd aggregate, no row explosion).
+    Memoized (one row per doc): the band self-join consumes it twice."""
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        ).withColumn("h", _portable_hash(F.col("tok")))
+        bit_sums = toks.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"b{i}")
+                for i in range(NEARSIM_BITS)
+            ]
+        )
+        sim = None
+        for i in range(NEARSIM_BITS):
+            term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            sim = term if sim is None else sim + term
+        return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+    return memo_persist(spark, "simhash_wide", sf_dir, build)
 
 
 _WIDE_BIT_SQL = ",\n         ".join(
@@ -537,10 +558,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     an iterative distributed algorithm checked against recursive SQL.
     """
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc1", "doc2")
-    # undirected edge list
-    edges = pairs.union(
-        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
-    ).distinct()
+    # undirected edge list — doubled via explode, NOT union-with-swap:
+    # a union would embed the full LSH-pair pipeline twice in the plan
+    # (exchange reuse does not fire across the swapped projections) and
+    # exactly double the most expensive stage of the whole query
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc1"), F.col("doc2")),
+                    F.struct(
+                        F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.doc1", "e.doc2")
+        .distinct()
+    )
     edges.persist()
     nodes = edges.select(F.col("doc1").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id"))
@@ -557,26 +592,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc1").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+        # carry a per-row changed flag so ONE action both materializes
+        # the new generation's cache and returns the convergence count
+        # (a separate old-vs-new join would add a job per round)
+        flagged = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+            (
+                F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")
+            ).alias("changed"),
         )
-        new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()  # materializes new_labels' cache
-        )
+        flagged.persist()
+        changed = flagged.agg(F.sum(F.col("changed").cast("int"))).collect()[0][0] or 0
         if prev_persisted is not None:
             prev_persisted.unpersist(blocking=True)
-        prev_persisted = new_labels
-        labels = new_labels
+        prev_persisted = flagged
+        labels = flagged.select("doc_id", "label")
         if changed == 0:
             break
     # self-contained result: materialized blocks, no lineage back through

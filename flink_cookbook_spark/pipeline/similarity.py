@@ -211,49 +211,70 @@ N_CENTROIDS = 8
 KMEANS_ITERS = 4
 
 
-def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+def _assign_cells(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Nearest-centroid assignment as a broadcast join + min-struct
+    argmin: the k x DIM centroid matrix enters the plan as broadcast DATA
+    (cid, cemb), not as literal expressions — so the plan is structurally
+    identical every k-means iteration and Catalyst's analysis/codegen
+    cost is paid once, not per iteration (embedding 8 x 64 literal arrays
+    per round made plan compilation, not the 2000-row data pass, the
+    dominant cost). Ties resolve to the lowest centroid id via the
+    (dist, cid) struct ordering."""
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cid int, cemb array<double>",
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("cemb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.crossJoin(F.broadcast(cdf))  # k broadcast rows, never a shuffle
+        .select("vec_id", "emb", "cid", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("m"),
+            F.first("emb").alias("emb"),
+        )
+        .select("vec_id", "emb", F.col("m.cid").alias("cid"))
+    )
+
+
+def _kmeans_centroids(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> list[list[float]]:
     """Deterministic Lloyd's k-means over the embedding corpus, expressed
-    as iterative DataFrame jobs (assign = broadcast of k centroids +
-    argmin over literal arrays; update = groupBy mean per dimension).
+    as iterative DataFrame jobs (assign = broadcast centroid join +
+    min-struct argmin; update = posexplode + per-(cid, dim) mean).
 
     Each iteration is one distributed pass; only the k x DIM centroid
     matrix ever reaches the driver (the same driver-sized object any
     broadcast join ships). Seeds are the first k vectors by vec_id —
-    deterministic, no RNG.
+    deterministic, no RNG. The caller may pass a persisted ``emb`` to
+    avoid re-scanning parquet each iteration.
     """
-    emb = _emb_double(load(spark, sf_dir, "embeddings")).select("vec_id", "emb")
+    own_cache = emb is None
+    if emb is None:
+        emb = _emb_double(load(spark, sf_dir, "embeddings")).select("vec_id", "emb")
+        emb.persist()
     seed_rows = emb.orderBy("vec_id").limit(N_CENTROIDS).collect()
     centroids = [list(r.emb) for r in seed_rows]
     for _ in range(KMEANS_ITERS):
-        assigned = emb.withColumn("cid", _nearest_centroid_expr(centroids))
-        sums = assigned.select(
-            "cid", *[F.col("emb")[i].alias(f"d{i}") for i in range(DIM)]
-        ).groupBy("cid").agg(*[F.avg(f"d{i}").alias(f"d{i}") for i in range(DIM)])
-        new = {r.cid: [r[f"d{i}"] for i in range(DIM)] for r in sums.collect()}
-        centroids = [new.get(c, centroids[c]) for c in range(N_CENTROIDS)]
-    return centroids
-
-
-def _nearest_centroid_expr(centroids: list[list[float]]) -> F.Column:
-    """argmin over squared distance to each centroid (literal arrays).
-
-    Built as array_position(dists, array_min(dists)) so each distance
-    aggregate appears ONCE in the expression tree — a chained
-    when/otherwise argmin would embed prior distances twice per step
-    (~2^k expression blowup). Ties resolve to the lowest centroid id
-    (array_position returns the first match)."""
-    dists = []
-    for c in centroids:
-        c_lit = F.array(*[F.lit(float(v)) for v in c])
-        dists.append(
-            F.aggregate(
-                F.zip_with(F.col("emb"), c_lit, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+        assigned = _assign_cells(emb, centroids)
+        sums = (
+            assigned.select("cid", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("mean_val"))
         )
-    darr = F.array(*dists)
-    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        new: dict[int, list[float]] = {}
+        for r in sums.collect():  # k x DIM rows — driver-sized by design
+            new.setdefault(r.cid, [0.0] * DIM)[r.pos] = r.mean_val
+        centroids = [new.get(c, centroids[c]) for c in range(N_CENTROIDS)]
+    if own_cache:
+        emb.unpersist()
+    return centroids
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,9 +285,11 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell id — corpus never cross-joins. Rows-only check (k-means is
     iterative, not SQL-expressible); recall vs brute force is pinned in
     tests/test_pipeline.py."""
-    centroids = _kmeans_centroids(spark, sf_dir)
     emb = _emb_double(load(spark, sf_dir, "embeddings")).select("vec_id", "emb")
-    cells = emb.withColumn("cid", _nearest_centroid_expr(centroids))
+    emb.persist()
+    centroids = _kmeans_centroids(spark, sf_dir, emb=emb)
+    cells = _assign_cells(emb, centroids)
+    emb.unpersist()  # final pass below re-scans parquet once — no leak
     queries = cells.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), F.col("cid")
     )

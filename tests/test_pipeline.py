@@ -116,6 +116,7 @@ def test_dedup_clusters_bounded_caching(spark, sf_dir):
     from flink_cookbook_spark.pipeline.dedup import dedup_clusters
 
     jsc = spark.sparkContext._jsc.sc()
+    dedup_clusters(spark, sf_dir).count()  # warm the memoized indexes
     before = jsc.getPersistentRDDs().size()
     out = dedup_clusters(spark, sf_dir)
     n = out.count()
