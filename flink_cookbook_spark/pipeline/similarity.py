@@ -212,34 +212,32 @@ KMEANS_ITERS = 4
 
 
 def _assign_cells(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """Nearest-centroid assignment as a broadcast join + min-struct
-    argmin: the k x DIM centroid matrix enters the plan as broadcast DATA
-    (cid, cemb), not as literal expressions — so the plan is structurally
-    identical every k-means iteration and Catalyst's analysis/codegen
-    cost is paid once, not per iteration (embedding 8 x 64 literal arrays
-    per round made plan compilation, not the 2000-row data pass, the
-    dominant cost). Ties resolve to the lowest centroid id via the
-    (dist, cid) struct ordering."""
+    """Nearest-centroid assignment as a MAP-ONLY pass: the k x DIM
+    centroid matrix enters the plan as broadcast DATA — a single row
+    holding array<struct<cid, cemb>> — and the argmin is
+    ``array_min(transform(...))`` over (dist, cid) structs, so assignment
+    costs zero shuffles (the earlier crossJoin + groupBy(vec_id) argmin
+    paid a full shuffle per k-means iteration). Shipping centroids as
+    data, not literal expressions, keeps the plan structurally identical
+    every iteration so Catalyst analysis/codegen cost is paid once. Ties
+    resolve to the lowest centroid id via (dist, cid) struct ordering."""
     spark = emb.sparkSession
     cdf = spark.createDataFrame(
-        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
-        "cid int, cemb array<double>",
+        [([(i, [float(v) for v in c]) for i, c in enumerate(centroids)],)],
+        "cents array<struct<cid: int, cemb: array<double>>>",
     )
-    dist = F.aggregate(
-        F.zip_with(F.col("emb"), F.col("cemb"), lambda x, y: (x - y) * (x - y)),
+    sqdist = lambda cemb: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("emb"), cemb, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return (
-        emb.crossJoin(F.broadcast(cdf))  # k broadcast rows, never a shuffle
-        .select("vec_id", "emb", "cid", dist.alias("dist"))
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct("dist", "cid")).alias("m"),
-            F.first("emb").alias("emb"),
-        )
-        .select("vec_id", "emb", F.col("m.cid").alias("cid"))
+    best = F.array_min(
+        F.transform(F.col("cents"), lambda c: F.struct(sqdist(c.cemb).alias("dist"), c.cid.alias("cid")))
     )
+    return (
+        emb.crossJoin(F.broadcast(cdf))  # one broadcast row, never a shuffle
+        .select("vec_id", "emb", best.getField("cid").alias("cid"))
+    )  # keeps emb: callers reuse the assignment as (vector, cell) pairs
 
 
 def _kmeans_centroids(
@@ -263,14 +261,15 @@ def _kmeans_centroids(
     centroids = [list(r.emb) for r in seed_rows]
     for _ in range(KMEANS_ITERS):
         assigned = _assign_cells(emb, centroids)
-        sums = (
-            assigned.select("cid", F.posexplode("emb").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("mean_val"))
+        # centroid update: one avg aggregate per dimension — map-side
+        # partials mean the shuffle carries k x DIM running sums per
+        # partition, not an exploded (row x dim) stream.
+        means = assigned.groupBy("cid").agg(
+            *[F.avg(F.col("emb")[i]).alias(f"d{i}") for i in range(DIM)]
         )
         new: dict[int, list[float]] = {}
-        for r in sums.collect():  # k x DIM rows — driver-sized by design
-            new.setdefault(r.cid, [0.0] * DIM)[r.pos] = r.mean_val
+        for r in means.collect():  # k rows x DIM cols — driver-sized by design
+            new[r.cid] = [r[f"d{i}"] for i in range(DIM)]
         centroids = [new.get(c, centroids[c]) for c in range(N_CENTROIDS)]
     if own_cache:
         emb.unpersist()
