@@ -125,11 +125,11 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas
-    (Arrow-batched). Rows-only correctness check (the decode is a stub);
-    the deterministic byte statistics are verified against plain Python
-    in tests/test_pipeline.py."""
+    (Arrow-batched) — the internal form, keeping ``feature`` as
+    ``array<double>`` for downstream vector consumers (similarity search,
+    training pipelines)."""
     docs = load(spark, sf_dir, "documents")
     payload = with_payload(docs).select("doc_id", "payload")
     # spread decode work evenly regardless of upstream file layout
@@ -138,9 +138,61 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("multimodal_features", oracle=None, tags=("multimodal", "llm-pipeline"))(
-    multimodal_features
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered driver-checkable form: the decode stub is pure byte
+    arithmetic, so every output — including the 4-dim fake feature — is
+    projected as rounded scalar doubles and verified against a DuckDB
+    oracle that recomputes the same byte statistics in SQL. (Arrays are
+    kept out of the registered projection: the driver's canonicalizer
+    sorts via pandas, which cannot factorize Python lists.)"""
+    feats = multimodal_features_df(spark, sf_dir)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        rnd("mean_byte", 6).alias("mean_byte"),
+        "max_byte",
+        "n_frames",
+        rnd(F.col("feature")[0], 6).alias("f0"),
+        rnd(F.col("feature")[1], 6).alias("f1"),
+        rnd(F.col("feature")[2], 6).alias("f2"),
+        rnd(F.col("feature")[3], 6).alias("f3"),
+    )
+
+
+register(
+    "multimodal_features",
+    oracle="""
+-- The decode stub is deterministic byte math (mean/max/first byte,
+-- 64-byte 'frames'), so DuckDB can recompute it exactly: the corpus is
+-- ASCII (verified), so unicode(char) == byte value and the integer sum
+-- followed by one double division matches Python's sum(payload)/n
+-- bit-for-bit.
+WITH b AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS nb,
+         CAST(list_sum([unicode(substring(text, i, 1))
+                        for i in range(1, length(text)+1)]) AS DOUBLE)
+           / length(text) AS mb,
+         list_max([unicode(substring(text, i, 1))
+                   for i in range(1, length(text)+1)]) AS xb,
+         unicode(substring(text, 1, 1)) AS fb,
+         (octet_length(encode(text)) - 1) // 64 + 1 AS nf
+  FROM documents
+  WHERE length(text) > 0
 )
+SELECT doc_id,
+       CAST(nb AS INTEGER) AS n_bytes,
+       round(mb + 0.000001, 6) AS mean_byte,
+       CAST(xb AS INTEGER) AS max_byte,
+       CAST(nf AS INTEGER) AS n_frames,
+       round(mb / 255.0 + 0.000001, 6) AS f0,
+       round(xb / 255.0 + 0.000001, 6) AS f1,
+       round(fb / 255.0 + 0.000001, 6) AS f2,
+       round(nf / 64.0 + 0.000001, 6) AS f3
+FROM b
+""",
+    tags=("multimodal", "llm-pipeline"),
+)(multimodal_features)
 
 
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

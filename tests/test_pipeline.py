@@ -41,10 +41,10 @@ def test_multimodal_decode_stub_matches_python(spark, sf_dir):
     """The Arrow-batched decode must equal plain-Python decode of the same
     payload bytes — verifies the mapInPandas plumbing end-to-end."""
     from flink_cookbook_spark.catalog import load
-    from flink_cookbook_spark.pipeline.multimodal import decode_stub, multimodal_features
+    from flink_cookbook_spark.pipeline.multimodal import decode_stub, multimodal_features_df
 
     docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").limit(50).collect()}
-    feats = {r.doc_id: r for r in multimodal_features(spark, sf_dir).collect()}
+    feats = {r.doc_id: r for r in multimodal_features_df(spark, sf_dir).collect()}
     checked = 0
     for doc_id, text in docs.items():
         want = decode_stub(text.encode("utf-8"))
