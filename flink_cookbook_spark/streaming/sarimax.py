@@ -38,10 +38,10 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_cookbook_spark.registry import register
+from flink_cookbook_spark.registry import register, rnd
 
 try:  # pragma: no cover - not installed in this container
     from statsmodels.tsa.statespace.sarimax import SARIMAX  # type: ignore
@@ -361,6 +361,186 @@ def sarimax_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("sarimax_baseline", oracle=None, tags=("model", "A5", "A8", "stateful"))(
     sarimax_baseline
 )
+
+
+#: EWMA smoothing constant of the numpy fallback (forecast_next above).
+FALLBACK_ALPHA = 0.3
+
+
+def baseline_fallback_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A5+A6+A8 as a HASH-CHECKED query: the numpy-fallback baseline
+    pipeline re-derived in pure relational algebra, so DuckDB can verify
+    every step the stateful loop performs (flinkarima.py:191-248 order).
+
+    The fallback forecast is closed-form: seasonal-naive level + EWMA of
+    the seasonally differenced scaled history. Every piece of the
+    per-sample state loop maps to a window expression over the per-key
+    ordered series:
+
+    - pre/post-update Welford mean/std  -> avg/stddev_samp over
+      ``ROWS UNBOUNDED PRECEDING AND {1 PRECEDING | CURRENT ROW}``
+    - bounded history buffer (A3)       -> ``collect_list`` over
+      ``ROWS max_history-1 PRECEDING`` (exactly the trim semantics)
+    - emit-every-N cadence (A4)         -> ``rn % N = 0`` filter
+    - EWMA recurrence (A5 fallback)     -> ``aggregate`` fold over the
+      seasonal diffs — the IDENTICAL left-fold the Python loop runs
+      (DuckDB twin: ``list_reduce``)
+    - inverse scale + clamp (A6)        -> post-moment affine + greatest
+    - trend metrics (A7)                -> bounded-frame window avgs
+
+    Physical shape: ONE shuffle (hash by user_id); every window function
+    reuses that partitioning, the history frame is bounded at
+    ``max_history`` elements, and the fold only runs on emit rows
+    (filter precedes it). At 100 TB this is the bounded-state window
+    replay shape — no Python, fully codegen'd except the array fold.
+
+    Equivalence to the mapInPandas loop (``baseline_batch``) is pinned in
+    tests/test_sarimax.py; this registered pair is the driver-facing
+    proof that the fallback math itself is engine-exact.
+    """
+    from flink_cookbook_spark.operators.metrics import _windowed
+
+    cfg = FIXTURE_CONFIG
+    w = Window.partitionBy("user_id").orderBy("window_start")
+    rows_pre = w.rowsBetween(Window.unboundedPreceding, -1)
+    rows_all = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows_hist = w.rowsBetween(-(cfg.max_history - 1), Window.currentRow)
+    rows_season = w.rowsBetween(-(cfg.season - 1), Window.currentRow)
+    s, a = cfg.season, FALLBACK_ALPHA
+
+    emitted = (
+        _windowed(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("pre_mean", F.avg("avg_value").over(rows_pre))
+        .withColumn("pre_std", F.stddev_samp("avg_value").over(rows_pre))
+        .withColumn("post_mean", F.avg("avg_value").over(rows_all))
+        .withColumn("post_std", F.stddev_samp("avg_value").over(rows_all))
+        .withColumn("trend_latest_u", F.avg("avg_value").over(rows_season))
+        .withColumn("trend_5season_u", F.avg("avg_value").over(rows_hist))
+        .withColumn(
+            "z",
+            F.when(
+                F.col("pre_std") > 0,
+                (F.col("avg_value") - F.col("pre_mean")) / F.col("pre_std"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("zhist", F.collect_list("z").over(rows_hist))
+        .where(
+            (F.col("rn") % cfg.emit_every_n == 0)
+            & (F.least(F.col("rn"), F.lit(cfg.max_history)) >= cfg.min_history)
+        )
+        .withColumn(
+            "diffs",
+            F.expr(
+                f"CASE WHEN size(zhist) > {s} THEN "
+                f"transform(sequence(1, size(zhist) - {s}), "
+                f"k -> element_at(zhist, k + {s}) - element_at(zhist, k)) "
+                f"ELSE cast(array() AS array<double>) END"
+            ),
+        )
+        .withColumn(
+            "fc",
+            F.expr(
+                f"CASE WHEN size(zhist) < {s + 1} THEN element_at(zhist, size(zhist)) "
+                f"ELSE element_at(zhist, size(zhist) - {s - 1}) + "
+                f"aggregate(slice(diffs, 2, size(diffs) - 1), element_at(diffs, 1), "
+                f"(acc, d) -> {a}D * d + {1.0 - a}D * acc) END"
+            ),
+        )
+    )
+    return emitted.select(
+        "user_id",
+        "window_start",
+        F.col("avg_value").alias("observed"),
+        rnd(
+            F.greatest(
+                F.lit(0.0),
+                F.when(
+                    F.col("post_std") > 0,
+                    F.col("fc") * F.col("post_std") + F.col("post_mean"),
+                ).otherwise(F.col("post_mean")),
+            )
+        ).alias("baseline"),
+        F.least(F.col("rn"), F.lit(cfg.max_history)).cast("long").alias("history_size"),
+        rnd("post_mean").alias("running_mean"),
+        rnd(F.coalesce(F.col("post_std"), F.lit(0.0))).alias("running_std"),
+        rnd("trend_latest_u").alias("trend_latest"),
+        rnd("trend_5season_u").alias("trend_5season"),
+        F.lit("ewma_fallback").alias("model"),
+    )
+
+
+def _fallback_oracle_sql() -> str:
+    from flink_cookbook_spark.operators.metrics import _WINDOWED_CTE
+    from flink_cookbook_spark.registry import NUDGE, ROUND_DP
+
+    cfg = FIXTURE_CONFIG
+    s, a, h = cfg.season, FALLBACK_ALPHA, cfg.max_history
+    return f"""
+WITH {_WINDOWED_CTE.strip()},
+seq AS (
+  SELECT user_id, window_start, avg_value,
+         row_number() OVER (PARTITION BY user_id ORDER BY window_start) AS rn,
+         avg(avg_value) OVER (PARTITION BY user_id ORDER BY window_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre_mean,
+         stddev_samp(avg_value) OVER (PARTITION BY user_id ORDER BY window_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre_std,
+         avg(avg_value) OVER (PARTITION BY user_id ORDER BY window_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS post_mean,
+         stddev_samp(avg_value) OVER (PARTITION BY user_id ORDER BY window_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS post_std,
+         avg(avg_value) OVER (PARTITION BY user_id ORDER BY window_start
+             ROWS BETWEEN {s - 1} PRECEDING AND CURRENT ROW) AS trend_latest_u,
+         avg(avg_value) OVER (PARTITION BY user_id ORDER BY window_start
+             ROWS BETWEEN {h - 1} PRECEDING AND CURRENT ROW) AS trend_5season_u
+  FROM windowed
+),
+scaledcte AS (
+  SELECT *, CASE WHEN pre_std > 0 THEN (avg_value - pre_mean) / pre_std
+                 ELSE 0.0::DOUBLE END AS z
+  FROM seq
+),
+hist AS (
+  SELECT *, list(z) OVER (PARTITION BY user_id ORDER BY window_start
+                ROWS BETWEEN {h - 1} PRECEDING AND CURRENT ROW) AS zhist
+  FROM scaledcte
+),
+emitted AS (
+  SELECT *,
+    CASE WHEN len(zhist) > {s}
+         THEN list_transform(range(1, len(zhist) - {s} + 1),
+                             k -> zhist[k + {s}] - zhist[k])
+         ELSE []::DOUBLE[] END AS diffs
+  FROM hist
+  WHERE rn % {cfg.emit_every_n} = 0 AND least(rn, {h}) >= {cfg.min_history}
+),
+fcst AS (
+  SELECT *,
+    CASE WHEN len(zhist) < {s + 1} THEN zhist[len(zhist)]
+         ELSE zhist[len(zhist) - {s - 1}] +
+              list_reduce(diffs, (acc, d) -> {a}::DOUBLE * d + {1.0 - a}::DOUBLE * acc)
+    END AS fc
+  FROM emitted
+)
+SELECT user_id, window_start, avg_value AS observed,
+  round(greatest(0.0::DOUBLE,
+        CASE WHEN post_std > 0 THEN fc * post_std + post_mean ELSE post_mean END)
+        + {NUDGE}, {ROUND_DP}) AS baseline,
+  least(rn, {h}) AS history_size,
+  round(post_mean + {NUDGE}, {ROUND_DP}) AS running_mean,
+  round(coalesce(post_std, 0.0::DOUBLE) + {NUDGE}, {ROUND_DP}) AS running_std,
+  round(trend_latest_u + {NUDGE}, {ROUND_DP}) AS trend_latest,
+  round(trend_5season_u + {NUDGE}, {ROUND_DP}) AS trend_5season,
+  'ewma_fallback' AS model
+FROM fcst
+"""
+
+
+register(
+    "baseline_fallback_oracle",
+    oracle=_fallback_oracle_sql(),
+    tags=("model", "A3", "A5", "A6", "A7", "A8", "stateful"),
+)(baseline_fallback_oracle)
 
 
 def pipeline_alerts_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -150,3 +150,40 @@ def test_trend_window_matches_reference_days_rule():
     raw2 = [float(i) for i in range(20)]
     _, five2 = _trend_metrics(raw2, cfg2)
     assert five2 == pytest.approx(sum(raw2) / 20)  # floor(20/12)=1 -> days=5 -> all
+
+
+def test_fallback_oracle_equals_stateful_loop(spark, sf_dir):
+    """baseline_fallback_oracle (pure window-SQL re-derivation, the
+    driver's hash-checked pair) must reproduce the mapInPandas stateful
+    loop record-for-record on real fixture data. Together with the
+    driver's Spark==DuckDB check this closes the loop: stateful loop ==
+    Spark SQL == DuckDB SQL for the numpy-fallback path."""
+    from flink_cookbook_spark.streaming.sarimax import (
+        HAVE_STATSMODELS,
+        baseline_fallback_oracle,
+        sarimax_baseline,
+    )
+
+    if HAVE_STATSMODELS:  # pragma: no cover - container has no statsmodels
+        pytest.skip("stateful loop would use exact SARIMAX, not the EWMA fallback")
+
+    sql_rows = {
+        (r.user_id, r.window_start): r
+        for r in baseline_fallback_oracle(spark, sf_dir).collect()
+    }
+    loop_rows = {
+        (r.user_id, r.window_start): r
+        for r in sarimax_baseline(spark, sf_dir).collect()
+    }
+    assert set(sql_rows) == set(loop_rows)
+    assert sql_rows
+    quantum = 2e-4  # both sides round to 4 dp; loop output is unrounded
+    for key, sq in sql_rows.items():
+        lp = loop_rows[key]
+        assert sq.history_size == lp.history_size
+        assert sq.model == lp.model == "ewma_fallback"
+        for col in ("observed", "baseline", "running_mean", "running_std",
+                    "trend_latest", "trend_5season"):
+            assert getattr(sq, col) == pytest.approx(
+                getattr(lp, col), abs=quantum
+            ), f"{key} {col}"
