@@ -58,6 +58,12 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
+    # teardown: release memoized pipeline indexes so a harness embedding
+    # this main() in a longer-lived session doesn't accumulate storage.
+    from flink_cookbook_spark.pipeline._cache import clear
+
+    clear()
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total",

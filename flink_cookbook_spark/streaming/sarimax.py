@@ -539,7 +539,7 @@ FROM fcst
 register(
     "baseline_fallback_oracle",
     oracle=_fallback_oracle_sql(),
-    tags=("model", "A3", "A5", "A6", "A7", "A8", "stateful"),
+    tags=("model", "A3", "A5", "A6", "A7", "A8", "stateful", "bench"),
 )(baseline_fallback_oracle)
 
 

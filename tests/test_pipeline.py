@@ -78,9 +78,10 @@ def test_lsh_buckets_group_similar_vectors(spark, sf_dir):
 
 
 def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
-    """IVF (nprobe=1) must recover a solid fraction of the exact top-5
-    per query — embeddings are clustered by label, so the coarse
-    quantizer should rarely split true neighbors from their query."""
+    """IVF (sample-trained centroids, nprobe=3 of 8 cells) must recover
+    a solid fraction of the exact top-5 per query — embeddings are
+    clustered by label, so the probed cells should rarely exclude true
+    neighbors."""
     from flink_cookbook_spark.pipeline.similarity import cosine_topk, ivf_topk
 
     exact = {}
@@ -92,7 +93,7 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert set(approx) == set(exact)
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
-    assert hits / total >= 0.6, f"IVF recall {hits}/{total}"
+    assert hits / total >= 0.64, f"IVF recall {hits}/{total}"
 
 
 def test_registry_consistency():
@@ -127,3 +128,24 @@ def test_dedup_clusters_bounded_caching(spark, sf_dir):
     rows = out.collect()
     keepers = {r.cluster_id for r in rows if r.is_keeper}
     assert all(r.cluster_id in keepers for r in rows)
+
+
+def test_memo_cache_clear_releases_storage(spark, sf_dir):
+    """clear() must actually unpersist cached intermediates (blocking)
+    and forget memoized values, so long-lived sessions that rewrite an
+    sf_dir can drop stale state."""
+    from flink_cookbook_spark.pipeline import _cache
+
+    df = _cache.memo_persist(spark, "test_clear_df", sf_dir, lambda: spark.range(10))
+    df.count()
+    assert df.storageLevel.useMemory
+    assert _cache.memo_value(spark, "test_clear_v", sf_dir, lambda: 42) == 42
+    # memoized: build not re-run
+    assert _cache.memo_value(spark, "test_clear_v", sf_dir, lambda: 43) == 42
+    _cache.clear()
+    assert not df.storageLevel.useMemory
+    assert ("test_clear_df", sf_dir) not in _cache._CACHE
+    assert ("test_clear_v", sf_dir) not in _cache._VALUES
+    # rebuilt (not served stale) after clear
+    assert _cache.memo_value(spark, "test_clear_v", sf_dir, lambda: 43) == 43
+    _cache.clear()
