@@ -26,12 +26,13 @@ Determinism notes:
   rule is the conservative (strictest) member of the same family — the
   live behavior is pinned separately in tests/test_scale_behaviors.py.
 
-Scale note (100 TB): the running max uses an unpartitioned ordered
-window over the synthesized arrival sequence, which is a single-task
-sort at scale — acceptable ONLY because this is a semantics fixture. In
-production the watermark is tracked per source partition (Kafka
-partition / file split), i.e. the window would be partitioned by the
-ingest partition id, which is exactly how both engines implement it.
+Scale note (100 TB): the watermark is tracked PER INGEST PARTITION —
+events carry a synthesized partition id (md5(user_id) % N_INGEST_PARTITIONS,
+the keyed-producer placement a Kafka topic gives), and the running-max
+window partitions on it. That is both the faithful model (Flink/Spark
+track watermarks per source split and Kafka guarantees order only within
+a partition) and the scale-safe plan: N parallel bounded sorts instead
+of one global single-task sort.
 """
 
 from __future__ import annotations
@@ -47,13 +48,19 @@ LATE_DELAY_SECONDS = 600
 WINDOW_SECONDS = 300
 #: arrival jitter bound: +/- JITTER_SECONDS/2 around the event time
 JITTER_SECONDS = 900
+#: synthesized source splits (think: Kafka partitions). The watermark is
+#: tracked per split, as Flink per-source-split watermarks and Spark's
+#: per-partition max-event-time tracking both do.
+N_INGEST_PARTITIONS = 8
 
 
 def late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark late-data semantics as a batch query: replay events in a
-    deterministic jittered arrival order (event time +/- 450 s of
-    md5-derived jitter), track the running max event time over that
-    order, and drop any record older than that max minus the 10-minute
+    """Watermark late-data semantics as a batch query: place each event
+    on a deterministic ingest partition (md5(user_id) — the keyed
+    producer's placement), replay each partition in a deterministic
+    jittered arrival order (event time +/- 450 s of md5-derived jitter),
+    track the running max event time PER PARTITION over that order, and
+    drop any record older than its partition's max minus the 10-minute
     delay — then aggregate the survivors into the pipeline's 5-minute
     windows. Output includes the number of dropped (late) events per
     window so the drop itself is value-checked, not just the surviving
@@ -67,8 +74,15 @@ def late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         % JITTER_SECONDS
         - JITTER_SECONDS // 2
     )
-    arrived = ev.withColumn("arrival_ts", F.col("tsl") + jitter)
-    arr = Window.orderBy("arrival_ts", "event_id")
+    ingest_pid = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % N_INGEST_PARTITIONS
+    )
+    arrived = ev.withColumn("arrival_ts", F.col("tsl") + jitter).withColumn(
+        "ingest_pid", ingest_pid
+    )
+    arr = Window.partitionBy("ingest_pid").orderBy("arrival_ts", "event_id")
     with_wm = arrived.withColumn(
         "max_seen", F.max("tsl").over(arr.rowsBetween(Window.unboundedPreceding, -1))
     ).withColumn(
@@ -100,12 +114,15 @@ WITH jittered AS (
          CAST(floor(epoch(ts)) AS BIGINT)
            + CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
              % {JITTER_SECONDS}
-           - {JITTER_SECONDS // 2} AS arrival_ts
+           - {JITTER_SECONDS // 2} AS arrival_ts,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % {N_INGEST_PARTITIONS} AS ingest_pid
   FROM events
 ),
 arr AS (
   SELECT *,
          max(tsl) OVER (
+           PARTITION BY ingest_pid
            ORDER BY arrival_ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
          ) AS max_seen

@@ -106,3 +106,13 @@ def test_events_scan_prunes_for_window_agg(spark, sf_dir):
 
     cols = read_schema_columns(zscore_flags(spark, sf_dir))
     assert cols == {"ts", "user_id", "value"}
+
+def test_late_data_drop_watermark_window_is_partitioned(spark, sf_dir):
+    """The running-max watermark must be tracked per ingest partition —
+    an unpartitioned ordered window moves ALL events through one task at
+    scale (the per-source-split tracking real watermarks use)."""
+    from flink_cookbook_spark.streaming.twins import late_data_drop
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(late_data_drop(spark, sf_dir))
+    assert "SinglePartition" not in plan, "watermark window lost its partitioning"
