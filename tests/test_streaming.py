@@ -427,15 +427,14 @@ def test_rate_micro_batch_source_deterministic(spark):
         return {k: sorted(v) for k, v in out.items()}
 
     a, b = run("rmb_a"), run("rmb_b")
-    # rate-micro-batch's determinism is STRUCTURAL: fixed start timestamp,
-    # fixed rows/batch, fixed advance — the same ts grid and node fan-out
-    # on every run (Spark re-seeds rand() per streaming run, so exact
-    # noise values are per-run; the oracle-checked batch twin pins those).
+    # rate-micro-batch gives a fixed ts grid, and the md5-PRF value model
+    # depends only on (node_id, ts) content — so replays agree VALUE-
+    # exactly on every shared timestamp, not just structurally.
     common = set(a) & set(b)
     assert common and min(a) == min(b), "runs must share the fixed ts grid"
     for k in common:
-        assert [n for n, _ in a[k]] == [n for n, _ in b[k]]  # same node layout
-        assert all(0.0 <= c <= 100.0 for _, c in a[k] + b[k])  # clamp holds
+        assert a[k] == b[k], f"replay diverged at ts {k}"
+        assert all(0.0 <= c <= 100.0 for _, c in a[k])  # clamp holds
 
 
 def test_continuous_alerts_restart_safe(spark, windowed_stage_dir, tmp_path):
