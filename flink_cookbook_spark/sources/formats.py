@@ -48,3 +48,142 @@ def write_table(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+
+
+# --- registered round-trip queries -----------------------------------------
+#
+# The driver can only hash-check queries whose oracle runs on the parquet
+# views, so each file-format query is a ROUND-TRIP: project a fixture
+# table, write it in the format under test, read it back through
+# read_table with an explicit schema, and aggregate. The oracle computes
+# the same aggregate straight from the table — equality proves the
+# write->read loop is lossless (a parser/serializer bug would shift the
+# hash). Materialized files live under .fmt_cache/<sf token>/ and are
+# written once per sf_dir (the _SUCCESS marker gates rewrites).
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.registry import register, rnd
+
+_FMT_CACHE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".fmt_cache",
+)
+
+
+def _materialized(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fmt: str,
+    build: "callable",
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Write ``build()`` once per (sf_dir, name) in ``fmt``; read it back
+    schema-pinned. Stale only if the fixture dir is rewritten in place —
+    same assumption as the memoized pipeline indexes (_cache.py)."""
+    token = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_FMT_CACHE_ROOT, token, name)
+    df = build()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_table(df, path, fmt=fmt, partition_by=partition_by, header="true")
+    return read_table(spark, path, fmt=fmt, schema=df.schema, header="true")
+
+
+def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write -> schema-pinned CSV scan -> aggregate. Quoted strings
+    and shortest-roundtrip doubles survive the text hop; the oracle
+    aggregates the parquet table directly, so a hash match certifies the
+    CSV reader/writer pair."""
+    back = _materialized(
+        spark,
+        sf_dir,
+        "orders_csv",
+        "csv",
+        lambda: load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        ),
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+register(
+    "csv_scan_roundtrip",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice) + 1e-6, 2) AS sum_price
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("file-format", "csv", "source"),
+)(csv_scan_roundtrip)
+
+
+def json_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write -> schema-pinned JSON scan -> aggregate; the P1
+    parse surface over files instead of a Kafka value column."""
+    back = _materialized(
+        spark,
+        sf_dir,
+        "customer_json",
+        "json",
+        lambda: load(spark, sf_dir, "customer"),
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        rnd(F.avg("c_acctbal")).alias("avg_acctbal"),
+    )
+
+
+register(
+    "json_scan_roundtrip",
+    oracle=f"""
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(avg(c_acctbal) + 1e-6, 4) AS avg_acctbal
+FROM customer GROUP BY c_mktsegment
+""",
+    tags=("file-format", "json", "source"),
+)(json_scan_roundtrip)
+
+
+def partitioned_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet write (partitionBy o_orderpriority) read
+    back with a partition-key filter — the scan must touch ONLY the
+    matching directory (PartitionFilters, pinned in tests/test_plans.py).
+    At 100 TB partition pruning is the single biggest selective-scan
+    lever; this query is the driver-checkable witness that the layout
+    and the pruned read agree with the unpartitioned truth."""
+    back = _materialized(
+        spark,
+        sf_dir,
+        "orders_part",
+        "parquet",
+        lambda: load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        ),
+        partition_by=["o_orderpriority"],
+    )
+    return (
+        back.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+register(
+    "partitioned_scan_pruning",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice) + 1e-6, 2) AS sum_price
+FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
+""",
+    tags=("file-format", "parquet", "partition-pruning", "source"),
+)(partitioned_scan_pruning)

@@ -116,3 +116,16 @@ def test_late_data_drop_watermark_window_is_partitioned(spark, sf_dir):
 
     plan = formatted_plan(late_data_drop(spark, sf_dir))
     assert "SinglePartition" not in plan, "watermark window lost its partitioning"
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    """The partition-key filter must become a PartitionFilters entry on
+    the scan (directory pruning), not a post-scan Filter over all data."""
+    from flink_cookbook_spark.sources.formats import partitioned_scan_pruning
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(partitioned_scan_pruning(spark, sf_dir))
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderpriority" in m.group(1), m.group(0) if m else plan
