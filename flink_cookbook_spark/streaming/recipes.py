@@ -234,13 +234,21 @@ def continuous_alerts_foreach_batch(
     then folds the batch into per-key state with ONE cogrouped
     applyInPandas pass and writes snapshot N; nothing model-related ever
     reaches the driver, and a replayed epoch after restart re-reads its
-    predecessor snapshot, so recomputation is idempotent. ``alert_sink``
-    (a plain list) is the TEST sink — the only ``collect`` — and when
-    omitted, alerts append to ``{state_root}/alerts`` executor-side.
+    predecessor snapshot AND overwrites its own outputs — state, latest,
+    and the alert partition ``{state_root}/alerts/epoch=N`` are all
+    epoch-keyed overwrites, so replay is idempotent end-to-end (an
+    appending alert sink would duplicate the replayed epoch's alerts).
+    ``alert_sink`` (a plain list) is the TEST sink — the only
+    ``collect``.
+
+    Snapshot listing/retention goes through the Hadoop FileSystem API of
+    ``state_root``'s scheme — the same view the executors write through —
+    so the recipe works unchanged on HDFS/S3/local (driver-local
+    os.listdir would silently see nothing on a distributed FS and reset
+    state every batch).
     """
     import os
     import re
-    import shutil
     import tempfile
 
     import pandas as pd
@@ -251,17 +259,25 @@ def continuous_alerts_foreach_batch(
 
     root = state_root or tempfile.mkdtemp(prefix=f"fcs_{baseline_table}_")
 
-    def _snapshot_before(kind: str, epoch_id: int) -> str | None:
-        base = os.path.join(root, kind)
-        if not os.path.isdir(base):
-            return None
-        epochs = [
+    def _fs_and_path(spark: SparkSession, base: str):
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(base)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
+    def _list_epochs(spark: SparkSession, kind: str) -> list[int]:
+        fs, jpath = _fs_and_path(spark, os.path.join(root, kind))
+        if not fs.exists(jpath):
+            return []
+        return sorted(
             int(m.group(1))
-            for d in os.listdir(base)
-            if (m := re.fullmatch(r"epoch=(\d+)", d))
-        ]
-        prior = [e for e in epochs if e < epoch_id]
-        return os.path.join(base, f"epoch={max(prior)}") if prior else None
+            for st in fs.listStatus(jpath)
+            if (m := re.fullmatch(r"epoch=(\d+)", st.getPath().getName()))
+        )
+
+    def _snapshot_before(spark: SparkSession, kind: str, epoch_id: int) -> str | None:
+        prior = [e for e in _list_epochs(spark, kind) if e < epoch_id]
+        return os.path.join(root, kind, f"epoch={max(prior)}") if prior else None
 
     def _fold(key, state_pdf: pd.DataFrame, samples_pdf: pd.DataFrame):
         (uid,) = key
@@ -301,8 +317,8 @@ def continuous_alerts_foreach_batch(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select("user_id", "window_start", "avg_value")
-        prev_latest = _snapshot_before("latest", epoch_id)
-        prev_state = _snapshot_before("state", epoch_id)
+        prev_latest = _snapshot_before(spark, "latest", epoch_id)
+        prev_state = _snapshot_before(spark, "state", epoch_id)
         latest_df = (
             spark.read.parquet(prev_latest)
             if prev_latest
@@ -353,8 +369,12 @@ def continuous_alerts_foreach_batch(
         )
         if alert_sink is not None:  # test sink — the only collect()
             alert_sink.extend(r.asDict() for r in alerts.collect())
-        else:  # production shape: executor-side append
-            alerts.write.mode("append").parquet(os.path.join(root, "alerts"))
+        else:  # production shape: executor-side, epoch-keyed so a
+            # replayed epoch overwrites its own alerts (idempotent),
+            # never re-appends them.
+            alerts.write.mode("overwrite").parquet(
+                os.path.join(root, "alerts", f"epoch={epoch_id}")
+            )
         # 2. fold the batch into per-key model state, executor-side:
         #    cogroup is a full-outer keyed merge, so keys absent from
         #    this batch carry their state forward unchanged.
@@ -388,16 +408,15 @@ def continuous_alerts_foreach_batch(
         )
         folded.unpersist()
         # retention: keep the newest two snapshots (restart replay of
-        # epoch N re-reads the newest snapshot < N), drop older.
+        # epoch N re-reads the newest snapshot < N), drop older. Alerts
+        # are the output product — every epoch partition is kept.
         for kind in ("state", "latest"):
-            base = os.path.join(root, kind)
-            epochs = sorted(
-                int(m.group(1))
-                for d in os.listdir(base)
-                if (m := re.fullmatch(r"epoch=(\d+)", d))
-            )
-            for e in epochs[:-2]:
-                shutil.rmtree(os.path.join(base, f"epoch={e}"), ignore_errors=True)
+            fs, _ = _fs_and_path(spark, os.path.join(root, kind))
+            for e in _list_epochs(spark, kind)[:-2]:
+                _, victim = _fs_and_path(
+                    spark, os.path.join(root, kind, f"epoch={e}")
+                )
+                fs.delete(victim, True)
 
     writer = (
         windowed.writeStream.outputMode("append")
