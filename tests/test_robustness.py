@@ -76,21 +76,55 @@ def test_tie_stable_rounding_cross_engine(spark):
 
 def test_registry_orders_unverified_first():
     """The driver checks only the first ~50 ``queries()`` entries per
-    round: every never-driver-verified query must sort before every
-    already-proven one so each round extends correctness coverage."""
-    from flink_cookbook_spark.registry import DRIVER_VERIFIED, all_specs
+    round: every not-currently-verified query (new, regressed, or
+    upgraded from rows-only to an oracle) must sort before every proven
+    one, and the proven tail must ROTATE with the recorded round count
+    so old greens get periodic re-proof instead of permanent exile."""
+    import hashlib
+    from unittest import mock
 
+    from flink_cookbook_spark import registry
+    from flink_cookbook_spark.registry import _verified_names, all_specs
+
+    verified = _verified_names()
     names = list(all_specs())
     seen_proven = False
     for n in names:
-        if n in DRIVER_VERIFIED:
+        if n in verified:
             seen_proven = True
         else:
             assert not seen_proven, f"unverified {n!r} sorted after a proven query"
-    # the high-value round-1 gaps must sit inside the driver window
+    # this round's gaps must sit inside the driver window
     first50 = set(names[:50])
-    for key in ("minhash_lsh_pairs", "dedup_clusters", "cosine_topk", "tf_idf",
-                "string_funcs", "scalar_subquery", "sessionize", "sliding_window_agg",
-                "window_first_last", "grouping_sets_agg", "exact_quantiles",
-                "unpivot_stack"):
+    for key in ("multimodal_features", "baseline_fallback_oracle",
+                "csv_scan_roundtrip", "json_scan_roundtrip",
+                "partitioned_scan_pruning", "synthetic_metrics",
+                "json_wire_roundtrip"):
         assert key in first50, key
+    # the rotation must actually change with the round count
+    evidence, n_rounds = registry._driver_evidence()
+    with mock.patch.object(
+        registry, "_driver_evidence", return_value=(evidence, n_rounds + 1)
+    ):
+        rotated = list(all_specs())
+    assert [n for n in names if n not in verified] == [
+        n for n in rotated if n not in verified
+    ]
+    assert names != rotated, "proven tail must rotate across rounds"
+
+
+def test_verified_set_derives_from_driver_artifacts():
+    """A hash-green record counts only while the query still has an
+    oracle; a rows-only record counts only while it still has none —
+    so upgrading or regressing a query automatically re-pends it."""
+    from flink_cookbook_spark.registry import _driver_evidence, _verified_names, get_query
+
+    evidence, n_rounds = _driver_evidence()
+    assert n_rounds >= 2
+    verified = _verified_names()
+    assert "five_min_window_agg" in verified  # r1 green, oracle intact
+    # errored in r2 -> must be pending
+    assert "multimodal_features" not in verified
+    # rows-only in r2 but NOW carries an oracle -> re-pended
+    assert get_query("synthetic_metrics").oracle is not None
+    assert "synthetic_metrics" not in verified
