@@ -470,9 +470,11 @@ def baseline_fallback_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fallback_oracle_sql() -> str:
+def _fallback_ctes() -> str:
+    """The WITH-chain shared by the fallback-baseline oracle and the
+    end-to-end alert oracle: windowed series -> per-key moments ->
+    scaled history -> emit rows -> EWMA forecast (``fcst``)."""
     from flink_cookbook_spark.operators.metrics import _WINDOWED_CTE
-    from flink_cookbook_spark.registry import NUDGE, ROUND_DP
 
     cfg = FIXTURE_CONFIG
     s, a, h = cfg.season, FALLBACK_ALPHA, cfg.max_history
@@ -521,7 +523,15 @@ fcst AS (
               list_reduce(diffs, (acc, d) -> {a}::DOUBLE * d + {1.0 - a}::DOUBLE * acc)
     END AS fc
   FROM emitted
-)
+)"""
+
+
+def _fallback_oracle_sql() -> str:
+    from flink_cookbook_spark.registry import NUDGE, ROUND_DP
+
+    cfg = FIXTURE_CONFIG
+    h = cfg.max_history
+    return f"""{_fallback_ctes()}
 SELECT user_id, window_start, avg_value AS observed,
   round(greatest(0.0::DOUBLE,
         CASE WHEN post_std > 0 THEN fc * post_std + post_mean ELSE post_mean END)
@@ -610,3 +620,120 @@ register(
     oracle=None,
     tags=("flagship", "model", "J1", "J2", "stateful"),
 )(pipeline_alerts_end_to_end)
+
+
+def pipeline_alerts_fallback_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP dataflow, hash-checked end-to-end: window agg ->
+    EWMA-fallback baseline (the pure-SQL re-derivation above) ->
+    latest-baseline as-of join -> deviation/alert filter, with DuckDB
+    recomputing the identical chain. Together with the pytest pin that
+    the SQL baseline equals the stateful loop, this closes the driver
+    gap on the whole reference topology (flinkarima.py:392-476), not
+    just its stages."""
+    from flink_cookbook_spark.operators.metrics import (
+        MIN_BASELINE,
+        PCT_THRESHOLD,
+        Z_THRESHOLD,
+        _windowed,
+        asof_join,
+    )
+
+    win = _windowed(spark, sf_dir)
+    baselines = baseline_fallback_oracle(spark, sf_dir).select(
+        "user_id",
+        "window_start",
+        F.col("baseline").alias("baseline_value"),
+        F.col("running_std").alias("baseline_std"),
+    )
+    enriched = asof_join(
+        win,
+        baselines,
+        key="user_id",
+        left_ts="window_start",
+        right_ts="window_start",
+        value_cols=["baseline_value", "baseline_std"],
+        how="inner",
+    )
+    deviation = F.col("avg_value") - F.col("baseline_value_asof")
+    pct = F.when(
+        F.col("baseline_value_asof") >= MIN_BASELINE,
+        deviation / F.col("baseline_value_asof") * 100.0,
+    ).otherwise(F.lit(0.0))
+    z = F.when(
+        F.col("baseline_std_asof") > 0, deviation / F.col("baseline_std_asof")
+    ).otherwise(F.lit(0.0))
+    return (
+        enriched.withColumn("deviation_u", deviation)
+        .withColumn("pct_u", pct)
+        .withColumn("z_u", z)
+        .where((F.abs(F.col("z_u")) >= Z_THRESHOLD) | (F.abs(F.col("pct_u")) >= PCT_THRESHOLD))
+        .select(
+            "user_id",
+            "window_start",
+            F.lit("cpu_deviation").alias("alert_type"),
+            F.when(F.abs(F.col("z_u")) >= 2 * Z_THRESHOLD, "high")
+            .otherwise("medium")
+            .alias("severity"),
+            F.col("avg_value").alias("observed"),
+            F.col("baseline_value_asof").alias("baseline"),
+            rnd("deviation_u").alias("deviation"),
+            rnd("pct_u").alias("pct_deviation"),
+            rnd("z_u").alias("z_score"),
+            F.col("window_start_asof").alias("baseline_window_start"),
+        )
+    )
+
+
+def _alerts_oracle_sql() -> str:
+    from flink_cookbook_spark.operators.metrics import (
+        MIN_BASELINE,
+        PCT_THRESHOLD,
+        Z_THRESHOLD,
+    )
+    from flink_cookbook_spark.registry import NUDGE, ROUND_DP
+
+    return f"""{_fallback_ctes()},
+baselines AS (
+  SELECT user_id, window_start,
+         round(greatest(0.0::DOUBLE,
+               CASE WHEN post_std > 0 THEN fc * post_std + post_mean
+                    ELSE post_mean END) + {NUDGE}, {ROUND_DP}) AS baseline_value,
+         round(coalesce(post_std, 0.0::DOUBLE) + {NUDGE}, {ROUND_DP}) AS baseline_std
+  FROM fcst
+),
+enriched AS (
+  SELECT r.user_id, r.window_start, r.avg_value,
+         b.baseline_value, b.baseline_std, b.window_start AS baseline_window_start
+  FROM windowed r ASOF JOIN baselines b
+    ON r.user_id = b.user_id AND r.window_start >= b.window_start
+),
+scored AS (
+  SELECT *,
+         avg_value - baseline_value AS deviation_u,
+         CASE WHEN baseline_value >= {MIN_BASELINE}
+              THEN (avg_value - baseline_value) / baseline_value * 100.0
+              ELSE 0.0::DOUBLE END AS pct_u,
+         CASE WHEN baseline_std > 0
+              THEN (avg_value - baseline_value) / baseline_std
+              ELSE 0.0::DOUBLE END AS z_u
+  FROM enriched
+)
+SELECT user_id, window_start,
+       'cpu_deviation' AS alert_type,
+       CASE WHEN abs(z_u) >= {2 * Z_THRESHOLD} THEN 'high' ELSE 'medium' END AS severity,
+       avg_value AS observed,
+       baseline_value AS baseline,
+       round(deviation_u + {NUDGE}, {ROUND_DP}) AS deviation,
+       round(pct_u + {NUDGE}, {ROUND_DP}) AS pct_deviation,
+       round(z_u + {NUDGE}, {ROUND_DP}) AS z_score,
+       baseline_window_start
+FROM scored
+WHERE abs(z_u) >= {Z_THRESHOLD} OR abs(pct_u) >= {PCT_THRESHOLD}
+"""
+
+
+register(
+    "pipeline_alerts_fallback_oracle",
+    oracle=_alerts_oracle_sql(),
+    tags=("flagship", "model", "J1", "J2", "stateful", "bench"),
+)(pipeline_alerts_fallback_oracle)

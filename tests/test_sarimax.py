@@ -187,3 +187,31 @@ def test_fallback_oracle_equals_stateful_loop(spark, sf_dir):
             assert getattr(sq, col) == pytest.approx(
                 getattr(lp, col), abs=quantum
             ), f"{key} {col}"
+
+
+def test_alert_oracle_coheres_with_stateful_pipeline(spark, sf_dir):
+    """The hash-checked alert pipeline (SQL baselines, rounded 4dp) must
+    fire (nearly) the same alerts as the stateful-loop pipeline —
+    divergence is only possible for alerts sitting exactly on a
+    threshold boundary within rounding quantum."""
+    from flink_cookbook_spark.streaming.sarimax import (
+        HAVE_STATSMODELS,
+        pipeline_alerts_end_to_end,
+        pipeline_alerts_fallback_oracle,
+    )
+
+    if HAVE_STATSMODELS:  # pragma: no cover
+        pytest.skip("loop pipeline would use exact SARIMAX")
+    loop_keys = {
+        (r.user_id, r.window_start)
+        for r in pipeline_alerts_end_to_end(spark, sf_dir).collect()
+    }
+    sql_keys = {
+        (r.user_id, r.window_start)
+        for r in pipeline_alerts_fallback_oracle(spark, sf_dir).collect()
+    }
+    assert loop_keys and sql_keys
+    diff = len(loop_keys ^ sql_keys)
+    assert diff <= max(1, len(loop_keys | sql_keys) // 100), (
+        f"{diff} boundary divergences out of {len(loop_keys | sql_keys)}"
+    )
