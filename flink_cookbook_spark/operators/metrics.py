@@ -500,3 +500,82 @@ FROM windowed r ASOF JOIN baselines b
 """,
     tags=("J1", "asof-join"),
 )(latest_baseline_join)
+
+
+# --- multi-resolution rollup (hypertable / continuous-aggregate shape) ------
+
+#: rollup ladder: 15 min -> 1 h -> 1 d (seconds)
+ROLLUP_LADDER = (("15m", 900), ("1h", 3600), ("1d", 86400))
+
+
+def multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup of ``events``: one scan
+    produces the finest (15-min) aggregate, and every coarser resolution
+    (1 h, 1 d) is derived from the NEXT-FINER partials — counts and sums
+    re-aggregate exactly; avg is computed from the partials at the end.
+
+    This is the continuous-aggregate shape TimescaleDB/Druid use and the
+    only sane plan at 100 TB: the raw table is scanned once, each coarser
+    rollup aggregates n_buckets rows (thousands), not raw events
+    (billions). A naive per-resolution scan would read the corpus three
+    times; Catalyst reuses the 15-min exchange for the coarser levels
+    because they group on a function of its key.
+    """
+    from flink_cookbook_spark.pipeline._cache import memo_persist
+
+    def bucket(col, width):
+        return (F.floor(col / width) * width).cast("long")
+
+    def build_base() -> DataFrame:
+        ev = load(spark, sf_dir, "events")
+        sec = F.col("ts").cast("long")
+        return (
+            ev.select(bucket(sec, 900).alias("bucket_start"), "event_type", "value")
+            .groupBy("bucket_start", "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        )
+
+    # materialized once (memo_persist, released by _cache.clear()):
+    # without it each union branch re-scans raw events — 3 scans for a
+    # 1-scan job (verified via executedPlan; ReuseExchange does not fire
+    # across the differing branch tops).
+    base = memo_persist(spark, "rollup_15m", sf_dir, build_base)
+    levels = [base.withColumn("resolution", F.lit("15m"))]
+    finer = base
+    for name, width in ROLLUP_LADDER[1:]:
+        finer = (
+            finer.groupBy(bucket(F.col("bucket_start"), width).alias("bucket_start"), "event_type")
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        )
+        levels.append(finer.withColumn("resolution", F.lit(name)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "resolution",
+        "bucket_start",
+        "event_type",
+        F.col("n").alias("n_events"),
+        rnd(F.col("s") / F.col("n")).alias("avg_value"),
+    )
+
+
+register(
+    "multi_resolution_rollup",
+    oracle=f"""
+SELECT '15m' AS resolution,
+       CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS bucket_start,
+       event_type, count(*) AS n_events,
+       round(sum(value) / count(*) + 1e-6, {ROUND_DP}) AS avg_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT '1h', CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT), event_type, count(*),
+       round(sum(value) / count(*) + 1e-6, {ROUND_DP})
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT '1d', CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT), event_type, count(*),
+       round(sum(value) / count(*) + 1e-6, {ROUND_DP})
+FROM events GROUP BY 2, 3
+""",
+    tags=("rollup", "hypertable", "W1", "bench"),
+)(multi_resolution_rollup)

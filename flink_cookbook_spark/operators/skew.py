@@ -44,3 +44,50 @@ def salted_join(
     )
     out = salted_big.join(salted_small, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+# --- registered query: salted join, hash-checked against a plain join -------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from flink_cookbook_spark.catalog import load  # noqa: E402
+from flink_cookbook_spark.registry import register, rnd  # noqa: E402
+
+
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join, driver-checkable: lineitem (big, potentially
+    hot-keyed) joins part (small) through ``salted_join`` with 8 salts,
+    then aggregates revenue per brand. The salt is internal — the result
+    is salt-invariant by construction — so the oracle is the PLAIN join
+    aggregate: a hash match proves the salted plan computes exactly what
+    the unsalted join would, which is the entire point of salting.
+
+    Scale shape: the hot l_partkey keys scatter over 8 subkeys so no
+    single task owns a whole hot key; the small side replicates x8
+    (200k rows/SF — still broadcast-range). First line of defense at
+    100 TB remains AQE skew splitting; this is the explicit fallback
+    when skew concentrates beyond AQE's granularity."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, part, "p_partkey", n_salts=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_lines"),
+        rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        rnd(F.avg("l_quantity")).alias("avg_qty"),
+    )
+
+
+register(
+    "salted_join_agg",
+    oracle="""
+SELECT p_brand,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue,
+       round(avg(l_quantity) + 1e-6, 4) AS avg_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+    tags=("join", "skew", "salting", "bench"),
+)(salted_join_agg)

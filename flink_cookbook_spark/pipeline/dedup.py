@@ -322,6 +322,130 @@ WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_TH
 )(minhash_lsh_pairs)
 
 
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATOR quality over LSH candidate pairs: the
+    fraction of agreeing signature components estimates Jaccard
+    (P[mh_i(A)=mh_i(B)] = J(A,B) — the property minhash exists for);
+    report the estimate next to the exact value and the absolute error.
+
+    This is the operator a production dedup pipeline actually tunes:
+    at 100 TB you cannot afford exact verification everywhere, so you
+    must know the estimator's error at your k. The pair set is the LSH
+    candidate list (equi-join on band key — never doc x doc), estimation
+    is a fixed k-term expression per pair, and exact Jaccard (the
+    expensive part) runs only on this candidate set, exactly like the
+    verify stage of minhash_lsh_pairs."""
+    sigs = _minhash_signatures_df(spark, sf_dir)
+    bands = sigs.select("doc_id", *_band_exprs())
+    stacked = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key")) for b in range(LSH_BANDS)])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.band_key")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    s1 = sigs.select(F.col("doc_id").alias("doc1"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_K)])
+    s2 = sigs.select(F.col("doc_id").alias("doc2"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_K)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(MINHASH_K)
+    )
+    est = cand.join(s1, "doc1").join(s2, "doc2").select(
+        "doc1", "doc2", (matches.cast("double") / MINHASH_K).alias("est")
+    )
+    # exact Jaccard on the candidate set only (the expensive stage)
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sh1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("s1"))
+    sh2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingle").alias("s2"))
+    inter = (
+        cand.join(sh1, "doc1")
+        .join(sh2, (F.col("doc2") == F.col("d2")) & (F.col("s1") == F.col("s2")))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2"))
+    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    exact = (
+        inter.join(sa, "doc1").join(sb, "doc2").select("doc1", "doc2", jac.alias("exact"))
+    )
+    out = est.join(exact, ["doc1", "doc2"], "left").select(
+        "doc1",
+        "doc2",
+        rnd("est", 6).alias("est_jaccard"),
+        rnd(F.coalesce(F.col("exact"), F.lit(0.0)), 6).alias("exact_jaccard"),
+        rnd(F.abs(F.col("est") - F.coalesce(F.col("exact"), F.lit(0.0))), 6).alias("abs_err"),
+    )
+    return out
+
+
+register(
+    "minhash_jaccard_estimate",
+    oracle="WITH "
+    + _SHINGLES_CTE
+    + f""",
+sigs AS (
+  SELECT doc_id,
+         {_minhash_sql_cols()}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band_id,
+         CASE band_id
+           {" ".join(f"WHEN {b} THEN {_band_sql(b)}" for b in range(LSH_BANDS))}
+         END AS band_key
+  FROM sigs, (SELECT unnest(range(0, {LSH_BANDS})) AS band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc1, c.doc2,
+         ({" + ".join(f"CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K))})
+           * 1.0 / {MINHASH_K} AS est
+  FROM cand c
+  JOIN sigs s1 ON s1.doc_id = c.doc1
+  JOIN sigs s2 ON s2.doc_id = c.doc2
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS n_common
+  FROM cand c
+  JOIN shingles x1 ON x1.doc_id = c.doc1
+  JOIN shingles x2 ON x2.doc_id = c.doc2 AND x1.shingle = x2.shingle
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT i.doc1, i.doc2,
+         n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) AS exact
+  FROM inter i
+  JOIN sizes sa ON i.doc1 = sa.doc_id
+  JOIN sizes sb ON i.doc2 = sb.doc_id
+)
+SELECT e.doc1, e.doc2,
+       round(e.est + 1e-6, 6) AS est_jaccard,
+       round(coalesce(x.exact, 0.0) + 1e-6, 6) AS exact_jaccard,
+       round(abs(e.est - coalesce(x.exact, 0.0)) + 1e-6, 6) AS abs_err
+FROM est e LEFT JOIN exact x ON e.doc1 = x.doc1 AND e.doc2 = x.doc2
+""",
+    tags=("dedup", "llm-pipeline", "minhash", "estimator"),
+)(minhash_jaccard_estimate)
+
+
 SIMHASH_BITS = 16  # demo width; production uses 64 — same construction
 
 

@@ -335,3 +335,150 @@ FROM documents
 """,
     tags=("text", "llm-pipeline", "tokenization"),
 )(bpe_token_count)
+
+
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training corpus filter: exact-dup removal +
+    length bounds + quality score + language ID, folded into one pass
+    with a per-document keep/drop verdict and the FIRST failing reason
+    (the order a production pipeline applies them: cheap dedup first,
+    then cheap heuristics, so expensive downstream stages see only
+    survivors).
+
+    Scale shape: one window function over the content fingerprint (hash
+    shuffle on md5(text) — the same shuffle exact dedup needs anyway)
+    plus per-row array expressions; no joins, no explodes, one shuffle
+    total. At 100 TB this is the shape you want: the entire filter is a
+    single map + one keyed exchange.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    n = F.size(ts)
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.size(F.expr(f"filter(split(text, ' '), t -> t IN ({stop_in}))"))
+    stop_ratio = n_stop.cast("double") / n
+    rep_ratio = 1.0 - F.size(F.array_distinct(ts)).cast("double") / n
+    quality = (
+        F.when(n < 10, 0.0).otherwise(1.0)
+        * (1.0 - rep_ratio)
+        * F.when(stop_ratio > 0.5, 0.5).otherwise(1.0)
+    )
+    dup_rank = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    )
+    staged = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        rnd(quality, 4).alias("quality"),
+        rnd(stop_ratio, 4).alias("marker_ratio"),
+        dup_rank.alias("dup_rank"),
+    )
+    reason = (
+        F.when(F.col("dup_rank") > 1, "duplicate")
+        .when(F.col("n_tokens") < 10, "too_short")
+        .when(F.col("quality") < 0.5, "low_quality")
+        .when(F.col("marker_ratio") < 0.05, "non_en")
+        .otherwise("keep")
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )
+
+
+register(
+    "corpus_filter_pipeline",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS ts,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS dup_rank
+  FROM documents
+),
+m AS (
+  SELECT doc_id, dup_rank,
+         len(ts) AS n,
+         CAST(len(list_filter(ts, x -> x IN ({", ".join(repr(s) for s in STOPWORDS)}))) AS DOUBLE)
+           / len(ts) AS stop_ratio,
+         1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS rep_ratio
+  FROM t
+),
+staged AS (
+  SELECT doc_id,
+         CAST(n AS INTEGER) AS n_tokens,
+         round((CASE WHEN n < 10 THEN 0.0 ELSE 1.0 END)
+               * (1.0 - rep_ratio)
+               * (CASE WHEN stop_ratio > 0.5 THEN 0.5 ELSE 1.0 END) + 1e-6, 4) AS quality,
+         round(stop_ratio + 1e-6, 4) AS marker_ratio,
+         dup_rank
+  FROM m
+)
+SELECT doc_id, n_tokens, quality,
+       CASE WHEN dup_rank > 1 THEN 'duplicate'
+            WHEN n_tokens < 10 THEN 'too_short'
+            WHEN quality < 0.5 THEN 'low_quality'
+            WHEN marker_ratio < 0.05 THEN 'non_en'
+            ELSE 'keep' END AS reason,
+       (CASE WHEN dup_rank > 1 THEN 'duplicate'
+             WHEN n_tokens < 10 THEN 'too_short'
+             WHEN quality < 0.5 THEN 'low_quality'
+             WHEN marker_ratio < 0.05 THEN 'non_en'
+             ELSE 'keep' END) = 'keep' AS keep
+FROM staged
+""",
+    tags=("text", "llm-pipeline", "filter", "bench"),
+)(corpus_filter_pipeline)
+
+
+#: histogram bounds chosen to bracket the fixture corpus (n_chars
+#: 44..577 at sf0.1) with headroom; out-of-range values land in the
+#: ANSI width_bucket overflow buckets (0 / n+1) identically on both
+#: engines.
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 800.0, 16
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width document-length histogram via ANSI width_bucket — the
+    one-shuffle profile every corpus intake job runs first. Group count
+    is bounded by the bucket count, so the aggregate is map-side
+    combinable and the final exchange moves at most n_buckets+2 rows."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"width_bucket(CAST(n_chars AS DOUBLE), {HIST_LO}, {HIST_HI}, {HIST_BUCKETS})"
+    ).cast("int")
+    width = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    return (
+        docs.select(bucket.alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn("bucket_lo", rnd(HIST_LO + (F.col("bucket") - 1) * F.lit(width), 2))
+        .withColumn("bucket_hi", rnd(HIST_LO + F.col("bucket") * F.lit(width), 2))
+    )
+
+
+register(
+    "doc_length_histogram",
+    # DuckDB has no width_bucket — the CASE is the ANSI definition
+    # (0 below range, n_buckets+1 at/above hi, else 1-based equal-width).
+    oracle=f"""
+SELECT CAST(CASE WHEN CAST(n_chars AS DOUBLE) < {HIST_LO} THEN 0
+            WHEN CAST(n_chars AS DOUBLE) >= {HIST_HI} THEN {HIST_BUCKETS} + 1
+            ELSE floor((CAST(n_chars AS DOUBLE) - {HIST_LO})
+                       / {(HIST_HI - HIST_LO) / HIST_BUCKETS}) + 1 END AS INTEGER) AS bucket,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       round({HIST_LO} + (bucket - 1) * {(HIST_HI - HIST_LO) / HIST_BUCKETS} + 1e-6, 2) AS bucket_lo,
+       round({HIST_LO} + bucket * {(HIST_HI - HIST_LO) / HIST_BUCKETS} + 1e-6, 2) AS bucket_hi
+FROM documents
+GROUP BY 1
+""",
+    tags=("text", "llm-pipeline", "histogram"),
+)(doc_length_histogram)

@@ -134,6 +134,7 @@ def _ensure_loaded() -> None:
     """Import every operator module so registrations run."""
     import flink_cookbook_spark.operators.metrics  # noqa: F401
     import flink_cookbook_spark.operators.relational  # noqa: F401
+    import flink_cookbook_spark.operators.skew  # noqa: F401
     import flink_cookbook_spark.operators.tpch  # noqa: F401
     import flink_cookbook_spark.operators.windows  # noqa: F401
     import flink_cookbook_spark.functions.collections  # noqa: F401

@@ -187,3 +187,38 @@ FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
 """,
     tags=("file-format", "parquet", "partition-pruning", "source"),
 )(partitioned_scan_pruning)
+
+
+def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write -> schema-pinned ORC scan -> aggregate, completing the
+    format matrix (parquet/CSV/JSON/ORC). ORC is the other columnar
+    production format (predicate pushdown + splittable stripes, the
+    Hive-ecosystem peer of parquet); dates, doubles, and strings make
+    the round trip, and the oracle aggregates the parquet truth — a hash
+    match certifies the ORC writer/reader pair is lossless."""
+    back = _materialized(
+        spark,
+        sf_dir,
+        "lineitem_orc",
+        "orc",
+        lambda: load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_linestatus", "l_shipdate", "l_quantity", "l_extendedprice"
+        ),
+    )
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_lines"),
+        rnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.max(F.date_format("l_shipdate", "yyyy-MM-dd")).alias("max_shipdate"),
+    )
+
+
+register(
+    "orc_scan_roundtrip",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+       round(sum(l_extendedprice) + 1e-6, 2) AS sum_price,
+       strftime(max(l_shipdate), '%Y-%m-%d') AS max_shipdate
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("file-format", "orc", "source"),
+)(orc_scan_roundtrip)

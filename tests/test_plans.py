@@ -129,3 +129,45 @@ def test_partitioned_scan_prunes_directories(spark, sf_dir):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "o_orderpriority" in m.group(1), m.group(0) if m else plan
+
+
+def test_corpus_filter_single_shuffle(spark, sf_dir):
+    """The composed corpus filter is one map + one keyed exchange (the
+    dedup window's hash partition on md5(text)) — no joins, no explode."""
+    from flink_cookbook_spark.pipeline.text import corpus_filter_pipeline
+
+    df = corpus_filter_pipeline(spark, sf_dir)
+    assert not has_cartesian(df)
+    assert count_exchanges(df) == 1
+
+
+def test_doc_length_histogram_single_shuffle(spark, sf_dir):
+    from flink_cookbook_spark.pipeline.text import doc_length_histogram
+
+    assert count_exchanges(doc_length_histogram(spark, sf_dir)) == 1
+
+
+def test_salted_join_no_cartesian_and_result_matches_plain(spark, sf_dir):
+    """salted_join stays an equi-join (on (key, salt)) and its aggregate
+    equals the plain join's — salt-invariance, checked end-to-end."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.operators.skew import salted_join, salted_join_agg
+
+    df = salted_join_agg(spark, sf_dir)
+    assert not has_cartesian(df)
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    salted = salted_join(li, part, "p_partkey", n_salts=4).groupBy("p_brand").count()
+    plain = li.join(part, "p_partkey").groupBy("p_brand").count()
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_rollup_reads_base_from_cache(spark, sf_dir):
+    """Coarser rollup levels must re-aggregate the persisted 15-min
+    partials, not re-scan raw events (3 InMemory reads, 1 real scan)."""
+    from flink_cookbook_spark.operators.metrics import multi_resolution_rollup
+
+    plan = multi_resolution_rollup(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == 3, plan
