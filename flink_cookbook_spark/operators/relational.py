@@ -513,3 +513,50 @@ FROM lineitem GROUP BY l_returnflag
 """,
     tags=("agg", "statistics"),
 )(agg_extended)
+
+
+def changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key compaction over ``events`` (the changelog /
+    CDC upsert-materialization pattern — what a streaming 'latest state'
+    table is in batch form): one row per user_id, the most recent event
+    by (ts, event_id) with full tie determinism.
+
+    Scale shape: a single hash exchange on the key feeds row_number;
+    Spark plans the filter as a rank-limited window (WindowGroupLimit
+    pushes k=1 into the sort), so no per-key materialization of history.
+    """
+    from flink_cookbook_spark.catalog import load
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").cast("long").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            rnd("value").alias("last_value"),
+        )
+    )
+
+
+register(
+    "changelog_compaction",
+    oracle=f"""
+SELECT user_id,
+       event_id AS last_event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+       event_type AS last_event_type,
+       round(value + 1e-6, 4) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+    tags=("window", "dedup", "changelog"),
+)(changelog_compaction)

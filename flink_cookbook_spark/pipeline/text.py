@@ -482,3 +482,81 @@ GROUP BY 1
 """,
     tags=("text", "llm-pipeline", "histogram"),
 )(doc_length_histogram)
+
+
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    bigram MLE model — the cheap statistical-LM fluency score (a
+    perplexity filter without a neural model): for each adjacent token
+    pair, ln P(w2 | w1) = ln c(w1,w2) - ln c(w1,*), averaged per doc.
+    Low scores flag boilerplate-free but incoherent text; high scores
+    flag repetitive/templated text — both ends get inspected before
+    training.
+
+    Scale shape: bigram extraction stays array-side (transform over
+    sequence — no explode until counting); the two count tables are
+    vocabulary-sized (<< corpus) and broadcast into the per-bigram
+    probability join; the only corpus-sized shuffles are the two
+    map-side-combinable count aggregates and the final per-doc average —
+    the same explode -> groupBy shape as tf_idf.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1), "
+            "i -> concat(element_at(split(text, ' '), i), ' ', "
+            "element_at(split(text, ' '), i + 1)))"
+        ).alias("bigrams"),
+    ).where(F.size("bigrams") >= 1)
+    exploded = bi.select("doc_id", F.explode("bigrams").alias("bigram"))
+    big_counts = exploded.groupBy("bigram").agg(F.count("*").alias("c_bigram"))
+    start_counts = (
+        exploded.select(F.split_part("bigram", F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c_start"))
+    )
+    scored = (
+        exploded.join(F.broadcast(big_counts), "bigram")
+        .withColumn("w1", F.split_part("bigram", F.lit(" "), F.lit(1)))
+        .join(F.broadcast(start_counts), "w1")
+        .withColumn("lp", F.log(F.col("c_bigram").cast("double") / F.col("c_start")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        rnd(F.avg("lp")).alias("mean_logprob"),
+        rnd(F.min("lp")).alias("min_logprob"),
+    )
+
+
+register(
+    "bigram_logprob_score",
+    # split_part(bigram, ' ', 1) is w1 on both engines; DuckDB ln == Spark log.
+    oracle="""
+WITH bi AS (
+  SELECT doc_id,
+         list_transform(range(1, len(string_split(text, ' '))),
+                        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])
+           AS bigrams
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+exploded AS (SELECT doc_id, unnest(bigrams) AS bigram FROM bi),
+big_counts AS (SELECT bigram, count(*) AS c_bigram FROM exploded GROUP BY bigram),
+start_counts AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c_start
+  FROM exploded GROUP BY 1
+),
+scored AS (
+  SELECT e.doc_id, ln(CAST(b.c_bigram AS DOUBLE) / s.c_start) AS lp
+  FROM exploded e
+  JOIN big_counts b USING (bigram)
+  JOIN start_counts s ON split_part(e.bigram, ' ', 1) = s.w1
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(lp) + 1e-6, 4) AS mean_logprob,
+       round(min(lp) + 1e-6, 4) AS min_logprob
+FROM scored GROUP BY doc_id
+""",
+    tags=("text", "llm-pipeline", "language-model"),
+)(bigram_logprob_score)

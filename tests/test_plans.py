@@ -171,3 +171,15 @@ def test_rollup_reads_base_from_cache(spark, sf_dir):
 
     plan = multi_resolution_rollup(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") == 3, plan
+
+
+def test_changelog_compaction_rank_limited(spark, sf_dir):
+    """Keep-latest must plan as a rank-limited window (WindowGroupLimit
+    pushes k=1 ahead of the sort) over ONE key exchange — not a full
+    per-key history sort."""
+    from flink_cookbook_spark.operators.relational import changelog_compaction
+
+    df = changelog_compaction(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert count_exchanges(df) == 1
