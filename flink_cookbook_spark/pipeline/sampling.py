@@ -1,0 +1,115 @@
+"""Deterministic sampling & domain-mixture operators for training-data
+pipelines.
+
+Subsampling is how a 100 TB corpus becomes a training mix: each source
+(domain) gets a keep-rate, and membership must be a PURE FUNCTION of the
+row — never `rand()` — so that re-runs, retries, and incremental
+backfills select the identical subset (and so an engine-independent
+oracle can verify the selection). The coin is the md5-derived 60-bit
+integer already used by the dedup family (portable across Spark and
+DuckDB), mapped to a uniform in [0, 1).
+
+Scale shape: both operators are a single map over the corpus followed by
+(at most) one map-side-combinable aggregate — no joins, no shuffle for
+the sampler itself (the filter is row-local), one hash exchange for the
+mixture summary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.registry import register, rnd
+
+#: coin resolution: md5-60bit % 1e6 / 1e6 — uniform enough for rate
+#: comparisons at 6 decimal places, and exactly reproducible in SQL.
+COIN_MOD = 1_000_000
+
+#: keep-rate ladder by source index: src{i} keeps (i % 4 + 1) * 25%.
+#: A production mix table would be a broadcast dim; a pure expression
+#: keeps the oracle literal.
+RATE_SQL = "((CAST(substr(source, 4) AS INTEGER) % 4) + 1) * 0.25"
+
+
+def _coin(col) -> F.Column:
+    """Uniform [0,1) from md5 — first 15 hex digits as int, mod 1e6."""
+    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return (h % COIN_MOD).cast("double") / COIN_MOD
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic Bernoulli sampling of ``documents``:
+    keep doc iff md5-coin('sample:' || doc_id) < rate(source). Returns
+    the kept rows with their coin and rate, so the oracle verifies the
+    exact membership — not just the sample size."""
+    docs = load(spark, sf_dir, "documents")
+    rate = F.expr(RATE_SQL)
+    coin = _coin(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            rnd(rate, 2).alias("keep_rate"),
+            rnd(coin, 6).alias("coin"),
+        )
+        .where(F.col("coin") < F.col("keep_rate"))
+    )
+
+
+register(
+    "stratified_sample",
+    oracle=f"""
+WITH coined AS (
+  SELECT doc_id, source,
+         round({RATE_SQL} + 1e-6, 2) AS keep_rate,
+         round((CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                % {COIN_MOD}) * 1.0 / {COIN_MOD} + 1e-6, 6) AS coin
+  FROM documents
+)
+SELECT doc_id, source, keep_rate, coin
+FROM coined WHERE coin < keep_rate
+""",
+    tags=("sampling", "llm-pipeline"),
+)(stratified_sample)
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture profile: per-source document and token counts and
+    each source's normalized token share — the weights a data-mixing
+    stage feeds the sampler. Token counting stays array-side (no
+    explode); the share denominator is a scalar subquery (broadcast)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.size(F.split("text", " ")).alias("n_tokens"))
+    per_source = toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    total = per_source.agg(F.sum("total_tokens").alias("grand")).select("grand")
+    return (
+        per_source.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            rnd(F.col("total_tokens").cast("double") / F.col("grand"), 6).alias("token_share"),
+        )
+    )
+
+
+register(
+    "source_mixture_weights",
+    oracle="""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS total_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, CAST(total_tokens AS BIGINT) AS total_tokens,
+       round(CAST(total_tokens AS DOUBLE)
+             / (SELECT sum(total_tokens) FROM per_source) + 1e-6, 6) AS token_share
+FROM per_source
+""",
+    tags=("sampling", "llm-pipeline", "mixture"),
+)(source_mixture_weights)
