@@ -256,3 +256,41 @@ FROM part
 """,
     tags=("scalar", "regex"),
 )(regex_funcs)
+
+
+def corrupt_json_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 corrupt-record semantics, driver-checked: every 7th event's
+    JSON payload is deterministically truncated (always-invalid prefix),
+    and the parse must yield NULL for those rows instead of failing the
+    job — the PERMISSIVE contract SURVEY.md §1.3 commits to (the
+    reference throws per-record on bad payloads; a 100 TB scan cannot).
+    Spark's get_json_object returns NULL on malformed input; the DuckDB
+    twin guards json_extract with json_valid to express the identical
+    semantics."""
+    ev = load(spark, sf_dir, "events")
+    corrupted = F.when(
+        F.col("event_id") % 7 == 0, F.substring("props", 1, 5)
+    ).otherwise(F.col("props"))
+    k = F.get_json_object(corrupted, "$.k")
+    return ev.select(
+        "event_id",
+        k.isNotNull().alias("parsed_ok"),
+        k.cast("int").alias("k_int"),
+    )
+
+
+register(
+    "corrupt_json_handling",
+    oracle="""
+WITH c AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 5) ELSE props END AS s
+  FROM events
+)
+SELECT event_id,
+       (CASE WHEN json_valid(s) THEN s->>'$.k' ELSE NULL END) IS NOT NULL AS parsed_ok,
+       CAST(CASE WHEN json_valid(s) THEN s->>'$.k' ELSE NULL END AS INTEGER) AS k_int
+FROM c
+""",
+    tags=("scalar", "json", "P1", "robustness"),
+)(corrupt_json_handling)

@@ -222,3 +222,61 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
     tags=("file-format", "orc", "source"),
 )(orc_scan_roundtrip)
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str, n: int = 8) -> str:
+    """saveAsTable a fixture table bucketed on ``key`` once per
+    (sf_dir, table); returns the catalog table name. Lives in the
+    session warehouse dir (spark-warehouse/, gitignored)."""
+    token = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    name = f"{table}_b_{token}"
+    if not spark.catalog.tableExists(name):
+        # the in-memory metastore dies with the session but the warehouse
+        # dir persists: clear a stale location before rewriting, or
+        # saveAsTable fails with LOCATION_ALREADY_EXISTS
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(warehouse, name.lower()), ignore_errors=True)
+        (
+            load(spark, sf_dir, table)
+            .write.bucketBy(n, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return name
+
+
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through BUCKETED tables: orders and lineitem both
+    bucketed (8, orderkey), so the join runs on co-located buckets with
+    zero exchanges before the final small aggregate (the property pinned
+    in tests/test_bucketing.py). The oracle computes the same aggregate
+    from the plain parquet — a hash match certifies the bucketed layout
+    is lossless and the co-located join correct. At 100 TB this layout
+    turns the dominant orders x lineitem shuffle into a local merge."""
+    ob = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    lb = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    return (
+        spark.table(ob)
+        .join(spark.table(lb), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+register(
+    "bucketed_join_agg",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+""",
+    tags=("file-format", "bucketing", "join"),
+)(bucketed_join_agg)

@@ -183,3 +183,13 @@ def test_changelog_compaction_rank_limited(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert count_exchanges(df) == 1
+
+
+def test_bucketed_join_agg_single_exchange(spark, sf_dir):
+    """The registered bucketed join must not shuffle for the join itself —
+    the only exchange is the final small aggregate on o_orderstatus."""
+    from flink_cookbook_spark.sources.formats import bucketed_join_agg
+
+    df = bucketed_join_agg(spark, sf_dir)
+    assert not has_cartesian(df)
+    assert count_exchanges(df) <= 1
