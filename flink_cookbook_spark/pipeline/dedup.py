@@ -18,6 +18,12 @@ Scale notes (100 TB):
   size. P(candidate | j) = 1-(1-j^4)^4: j=0.9 -> 0.986, j=0.1 -> 4e-4.
 - fixture texts are whitespace-tokenized; production would normalize
   (case-fold, strip punctuation) in the same select.
+- Jaccard outputs round at 4 decimals, not 6: jaccard is a ratio of
+  small integers, and for 2-adic denominators (n/64, n/256...) the
+  exact value terminates ON a 6-dp rounding tie even after the +1e-6
+  nudge (0.0078125 + 1e-6 = .0078135 — Spark HALF_UP and DuckDB binary
+  rounding then disagree). No small-denominator ratio can land within
+  1e-6 of a 4-dp tie point, so 4 dp is hash-stable by construction.
 """
 
 from __future__ import annotations
@@ -131,7 +137,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc2")
         .withColumn("jaccard_raw", jac)
         .where(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
-        .select("doc1", "doc2", rnd("jaccard_raw", 6).alias("jaccard"))
+        .select("doc1", "doc2", rnd("jaccard_raw", 4).alias("jaccard"))
     )
 
 
@@ -148,7 +154,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT doc1, doc2,
-       round(n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) + 1e-6, 6) AS jaccard
+       round(n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) + 1e-6, 4) AS jaccard
 FROM inter
 JOIN sizes sa ON doc1 = sa.doc_id
 JOIN sizes sb ON doc2 = sb.doc_id
@@ -311,7 +317,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to true near-dups — and exact verification runs only on candidates.
     """
     verified = _lsh_verified_pairs_df(spark, sf_dir)
-    return verified.select("doc1", "doc2", rnd("jaccard_raw", 6).alias("jaccard"))
+    return verified.select("doc1", "doc2", rnd("jaccard_raw", 4).alias("jaccard"))
 
 
 register(
@@ -346,7 +352,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT i.doc1, i.doc2,
-       round(n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) + 1e-6, 6) AS jaccard
+       round(n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) + 1e-6, 4) AS jaccard
 FROM inter i
 JOIN sizes sa ON i.doc1 = sa.doc_id
 JOIN sizes sb ON i.doc2 = sb.doc_id
@@ -386,9 +392,9 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = est.join(exact, ["doc1", "doc2"], "left").select(
         "doc1",
         "doc2",
-        rnd("est", 6).alias("est_jaccard"),
-        rnd(F.coalesce(F.col("exact"), F.lit(0.0)), 6).alias("exact_jaccard"),
-        rnd(F.abs(F.col("est") - F.coalesce(F.col("exact"), F.lit(0.0))), 6).alias("abs_err"),
+        rnd("est", 4).alias("est_jaccard"),
+        rnd(F.coalesce(F.col("exact"), F.lit(0.0)), 4).alias("exact_jaccard"),
+        rnd(F.abs(F.col("est") - F.coalesce(F.col("exact"), F.lit(0.0))), 4).alias("abs_err"),
     )
     return out
 
@@ -440,9 +446,9 @@ exact AS (
   JOIN sizes sb ON i.doc2 = sb.doc_id
 )
 SELECT e.doc1, e.doc2,
-       round(e.est + 1e-6, 6) AS est_jaccard,
-       round(coalesce(x.exact, 0.0) + 1e-6, 6) AS exact_jaccard,
-       round(abs(e.est - coalesce(x.exact, 0.0)) + 1e-6, 6) AS abs_err
+       round(e.est + 1e-6, 4) AS est_jaccard,
+       round(coalesce(x.exact, 0.0) + 1e-6, 4) AS exact_jaccard,
+       round(abs(e.est - coalesce(x.exact, 0.0)) + 1e-6, 4) AS abs_err
 FROM est e LEFT JOIN exact x ON e.doc1 = x.doc1 AND e.doc2 = x.doc2
 """,
     tags=("dedup", "llm-pipeline", "minhash", "estimator"),

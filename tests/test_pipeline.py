@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 
 def test_minhash_lsh_recall(spark, sf_dir):
     """LSH candidates must recover (almost) all true near-dup pairs found
@@ -149,3 +151,67 @@ def test_memo_cache_clear_releases_storage(spark, sf_dir):
     # rebuilt (not served stale) after clear
     assert _cache.memo_value(spark, "test_clear_v", sf_dir, lambda: 43) == 43
     _cache.clear()
+
+
+def test_stratified_sample_is_deterministic_and_rate_accurate(spark, sf_dir):
+    """Same session, same inputs -> identical membership; per-source
+    keep fraction within binomial noise of the configured rate."""
+    from flink_cookbook_spark.pipeline.sampling import stratified_sample
+
+    a = sorted(r.doc_id for r in stratified_sample(spark, sf_dir).collect())
+    b = sorted(r.doc_id for r in stratified_sample(spark, sf_dir).collect())
+    assert a == b and len(a) > 0
+    rows = stratified_sample(spark, sf_dir).groupBy("source", "keep_rate").count().collect()
+    from flink_cookbook_spark.catalog import load
+
+    totals = dict(
+        load(spark, sf_dir, "documents").groupBy("source").count().collect()
+    )
+    for r in rows:
+        n = totals[r.source]
+        # 4-sigma binomial bound: |k/n - p| <= 4*sqrt(p(1-p)/n) + slack
+        p = r.keep_rate
+        bound = 4.0 * (p * (1 - p) / n) ** 0.5 + 0.05
+        assert abs(r["count"] / n - p) <= bound, (r.source, r["count"], n, p)
+
+
+def test_bigram_logprob_nonpositive_and_complete(spark, sf_dir):
+    """Log-probabilities are <= 0 (MLE probabilities <= 1) and every doc
+    with >= 2 tokens is scored."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.text import bigram_logprob_score
+
+    scored = bigram_logprob_score(spark, sf_dir)
+    assert scored.where(F.col("mean_logprob") > 1e-9).count() == 0
+    n_docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.size(F.split("text", " ")) >= 2)
+        .count()
+    )
+    assert scored.count() == n_docs
+
+
+def test_minhash_estimator_error_is_bounded(spark, sf_dir):
+    """k=16 minhash: the estimator's mean absolute error over LSH
+    candidates stays under 2/sqrt(k) (loose Chernoff-ish sanity bound —
+    catches sign/indexing bugs, not a tight concentration claim)."""
+    from flink_cookbook_spark.pipeline.dedup import minhash_jaccard_estimate
+
+    rows = minhash_jaccard_estimate(spark, sf_dir).collect()
+    assert rows, "LSH candidates expected on the fixture corpus"
+    mae = sum(r.abs_err for r in rows) / len(rows)
+    assert mae <= 0.5, mae
+
+
+def test_changelog_compaction_one_row_per_key_latest(spark, sf_dir):
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.operators.relational import changelog_compaction
+
+    out = changelog_compaction(spark, sf_dir)
+    assert out.groupBy("user_id").count().where(F.col("count") > 1).count() == 0
+    ev = load(spark, sf_dir, "events")
+    max_ts = dict(
+        ev.groupBy("user_id").agg(F.max(F.col("ts").cast("long")).alias("m")).collect()
+    )
+    for r in out.collect():
+        assert r.last_ts == max_ts[r.user_id]
