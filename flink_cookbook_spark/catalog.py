@@ -30,11 +30,14 @@ TABLES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy; no action triggered).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects by default; we read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a proper
-    TimestampType at microsecond precision so every downstream operator
-    sees native event time (watermark-able, window-able).
+    ``events.ts`` has shipped in three parquet encodings across fixture
+    regenerations: TIMESTAMP(NANOS) (read as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``), plain ``timestamp[us]``
+    without timezone (Spark 4.x reads it as TIMESTAMP_NTZ), and
+    instant-semantics ``timestamp[us, tz=UTC]``. All three are normalized
+    here to session-TZ TimestampType (session TZ pinned UTC below, so
+    epoch semantics match DuckDB's naive timestamps exactly) so every
+    downstream operator sees native, castable event time.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -55,6 +58,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # 53-bit mantissa, so `/ 1000` through a double corrupts ~12%
             # of microsecond values by 1 us.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # TIMESTAMP_NTZ forbids epoch casts (cast ntz->bigint is an
+            # AnalysisException); with the session TZ pinned UTC the wall
+            # clock IS the instant, so this cast is value-preserving.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -82,10 +82,20 @@ def _materialized(
     build: "callable",
     partition_by: list[str] | None = None,
 ) -> DataFrame:
-    """Write ``build()`` once per (sf_dir, name) in ``fmt``; read it back
-    schema-pinned. Stale only if the fixture dir is rewritten in place —
-    same assumption as the memoized pipeline indexes (_cache.py)."""
-    token = sf_dir.strip("/").replace("/", "_")
+    """Write ``build()`` once per (sf_dir fingerprint, name) in ``fmt``;
+    read it back schema-pinned. The token folds in the fixture parquet
+    mtimes/sizes, so a driver fixture regeneration (which changed the
+    time encoding between rounds) invalidates the cache automatically
+    instead of serving bytes written under the old schema."""
+    import hashlib
+
+    stat = "|".join(
+        f"{f}:{int(os.path.getmtime(p))}:{os.path.getsize(p)}"
+        for f in sorted(os.listdir(sf_dir))
+        if (p := os.path.join(sf_dir, f)).endswith(".parquet")
+    )
+    fp = hashlib.md5(stat.encode()).hexdigest()[:10]
+    token = sf_dir.strip("/").replace("/", "_") + "-" + fp
     path = os.path.join(_FMT_CACHE_ROOT, token, name)
     df = build()
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
