@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 
 from pyspark.sql import functions as F
+from flink_cookbook_spark.functions.time import epoch_seconds
 
 
 def _comma_int_list(expected: int):
@@ -102,7 +103,7 @@ def run(argv: list[str] | None = None) -> int:
             .agg(F.avg("cpu").alias("avg_value"))
             .select(
                 F.col("node_id").alias("user_id"),
-                F.col("w.start").cast("long").alias("window_start"),
+                epoch_seconds("w.start").alias("window_start"),
                 "avg_value",
             )
         )

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from flink_cookbook_spark.catalog import load
 from flink_cookbook_spark.registry import ROUND_DP, register, rnd
+from flink_cookbook_spark.functions.time import epoch_seconds
 
 #: reference defaults (/root/reference/run_job.sh:29-31, flinkarima.py:516-533)
 Z_THRESHOLD = 3.0
@@ -52,10 +53,10 @@ def five_min_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             rnd(F.avg("value")).alias("avg_value"),
             F.count("*").alias("n_events"),
-            F.max(F.col("ts").cast("long")).alias("max_ts"),
+            F.max(epoch_seconds("ts")).alias("max_ts"),
         )
         .select(
-            F.col("w.start").cast("long").alias("window_start"),
+            epoch_seconds("w.start").alias("window_start"),
             "user_id",
             "avg_value",
             "n_events",
@@ -97,7 +98,7 @@ def _windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             ev.groupBy(F.window("ts", "5 minutes").alias("w"), "user_id")
             .agg(rnd(F.avg("value")).alias("avg_value"))
-            .select(F.col("w.start").cast("long").alias("window_start"), "user_id", "avg_value")
+            .select(epoch_seconds("w.start").alias("window_start"), "user_id", "avg_value")
         )
 
     return memo_persist(spark, "windowed_5m", sf_dir, build)
@@ -438,7 +439,7 @@ def asof_join(
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(right_ts).cast("long").alias("_r_ts"),
+        epoch_seconds(right_ts).alias("_r_ts"),
     )
     # right rows sort before left rows at equal ts => a baseline emitted at
     # ts is visible to a left row at the same ts (documented order:
@@ -542,7 +543,7 @@ def multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build_base() -> DataFrame:
         ev = load(spark, sf_dir, "events")
-        sec = F.col("ts").cast("long")
+        sec = epoch_seconds("ts")
         return (
             ev.select(bucket(sec, 900).alias("bucket_start"), "event_type", "value")
             .groupBy("bucket_start", "event_type")

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from flink_cookbook_spark.catalog import load
 from flink_cookbook_spark.registry import register, rnd
+from flink_cookbook_spark.functions.time import epoch_seconds
 
 
 # --------------------------------------------------------------------------
@@ -537,7 +538,7 @@ def changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("event_id").alias("last_event_id"),
-            F.col("ts").cast("long").alias("last_ts"),
+            epoch_seconds("ts").alias("last_ts"),
             F.col("event_type").alias("last_event_type"),
             rnd("value").alias("last_value"),
         )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from flink_cookbook_spark.catalog import load
 from flink_cookbook_spark.registry import register, rnd
+from flink_cookbook_spark.functions.time import epoch_seconds
 
 
 def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,8 +210,8 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
         .select(
-            F.col("w.start").cast("long").alias("window_start"),
-            F.col("w.end").cast("long").alias("window_end"),
+            epoch_seconds("w.start").alias("window_start"),
+            epoch_seconds("w.end").alias("window_end"),
             "user_id",
             "avg_value",
             "n_events",
@@ -251,7 +252,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of streaming ``session_window`` (SURVEY.md section 2.2). One
     shuffle on user_id; both window stages reuse the same partitioning."""
     ev = load(spark, sf_dir, "events")
-    ts_sec = F.col("ts").cast("long")
+    ts_sec = epoch_seconds("ts")
     # order by the SECOND-truncated time + event_id on both engines:
     # ordering by full-precision ts here but truncated ts in the oracle
     # would let same-second siblings number sessions differently.

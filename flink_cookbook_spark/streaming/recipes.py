@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from flink_cookbook_spark.functions.time import epoch_seconds
 from flink_cookbook_spark.streaming.sarimax import (
     FIXTURE_CONFIG,
     BaselineConfig,
@@ -63,7 +64,7 @@ def windowed_avg_stream(
         )
         .select(
             F.col("node_id").alias("user_id"),
-            F.col("w.start").cast("long").alias("window_start"),
+            epoch_seconds("w.start").alias("window_start"),
             "avg_value",
             "n_events",
             "max_event_time",
@@ -80,8 +81,8 @@ def sliding_window_stream(metrics: DataFrame, watermark: str = "10 minutes") -> 
         .agg(F.avg("cpu").alias("avg_value"))
         .select(
             "node_id",
-            F.col("w.start").cast("long").alias("window_start"),
-            F.col("w.end").cast("long").alias("window_end"),
+            epoch_seconds("w.start").alias("window_start"),
+            epoch_seconds("w.end").alias("window_end"),
             "avg_value",
         )
     )
@@ -96,8 +97,8 @@ def session_window_stream(metrics: DataFrame, gap: str = "30 minutes") -> DataFr
         .agg(F.count("*").alias("n_events"), F.avg("cpu").alias("avg_value"))
         .select(
             "node_id",
-            F.col("w.start").cast("long").alias("session_start"),
-            F.col("w.end").cast("long").alias("session_end"),
+            epoch_seconds("w.start").alias("session_start"),
+            epoch_seconds("w.end").alias("session_end"),
             "n_events",
             "avg_value",
         )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_cookbook_spark.registry import register, rnd
+from flink_cookbook_spark.functions.time import epoch_millis, epoch_seconds
 
 #: reference defaults: 5 nodes, 2 msg/s (datagen.py:166-171)
 N_NODES = 5
@@ -95,7 +96,7 @@ def _cpu_expr(ts_col: str, node_col: str, seed: int) -> F.Column:
     (flinkarima.py:79-99 + datagen.py:45-76). Hour/minute come from
     epoch arithmetic, not calendar functions, so the value is identical
     under any session timezone."""
-    tsl = F.col(ts_col).cast("long")
+    tsl = epoch_seconds(ts_col)
     node = F.col(node_col)
     hour = (tsl % 86400) / F.lit(3600)
     hour = hour.cast("long")
@@ -181,7 +182,7 @@ def synthetic_metrics_batch(
         "node_id",
         "ts",
         _cpu_expr("ts", "node_id", seed).alias("cpu"),
-        (F.col("ts").cast("long") * 1000).alias("event_time"),
+        epoch_millis("ts").alias("event_time"),
     )
 
 
@@ -219,7 +220,7 @@ def synthetic_metrics_stream(
         "node_id",
         "ts",
         _cpu_expr("ts", "node_id", seed).alias("cpu"),
-        (F.col("ts").cast("long") * 1000).alias("event_time"),
+        epoch_millis("ts").alias("event_time"),
     )
 
 

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from flink_cookbook_spark.catalog import load
 from flink_cookbook_spark.registry import ROUND_DP, register, rnd
+from flink_cookbook_spark.functions.time import epoch_seconds
 
 #: watermark delay for the late-data twin (matches the streaming recipes)
 LATE_DELAY_SECONDS = 600
@@ -66,7 +67,7 @@ def late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     window so the drop itself is value-checked, not just the surviving
     aggregate."""
     ev = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", "value", F.col("ts").cast("long").alias("tsl")
+        "event_id", "user_id", "value", epoch_seconds("ts").alias("tsl")
     )
     jitter = (
         F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
@@ -158,7 +159,7 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.unionAll(redelivered)
         .groupBy("user_id", "event_id")
         .agg(
-            F.min(F.col("ts").cast("long")).alias("first_arrival_ts"),
+            F.min(epoch_seconds("ts")).alias("first_arrival_ts"),
             F.count("*").alias("n_deliveries"),
         )
     )
