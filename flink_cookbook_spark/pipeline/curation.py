@@ -1,0 +1,351 @@
+"""Corpus-curation operators for LLM-training-data pipelines: benchmark
+decontamination, PII redaction, repetition-based quality filtering
+(Gopher/C4-style), training-sequence packing, and per-domain quota
+sampling.
+
+These extend the dedup/quality family (``pipeline/dedup.py``,
+``pipeline/text.py``) with the remaining steps a production pretraining
+pipeline runs between raw crawl and tokenized shards. Everything is pure
+DataFrame expression + one DuckDB oracle each; no Python in the hot path.
+
+Scale notes (100 TB):
+- decontamination joins the corpus against a BENCHMARK n-gram index that
+  is tiny relative to the corpus (eval suites are megabytes) — the gram
+  index is explicitly ``F.broadcast``; the corpus side stays map-only,
+  no corpus shuffle at all.
+- PII redaction is a row-local regexp pass (whole-stage codegen; zero
+  shuffles).
+- the repetition filter explodes tokens once (the dominant cost);
+  both aggregation levels are map-side combinable hash aggs keyed on
+  doc_id, so the explode never leaves its executor until the final
+  per-doc rollup.
+- sequence packing is one window cumsum per source shard — real
+  pipelines pack per shard exactly so the cumsum never becomes a global
+  sort; the shuffle is one exchange on ``source``.
+- quota sampling is a bounded top-k per key: rank + filter compiles to
+  WindowGroupLimit pushdown in Spark 4, so executors keep only K rows
+  per key instead of sorting whole partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.registry import register, rnd
+
+#: word n-gram order for decontamination overlap (13 in open-weights
+#: practice; 4 here so the synthetic fixture vocabulary produces hits).
+DECON_N = 4
+
+#: deterministic pseudo-benchmark membership: doc_id % DECON_MOD == 0.
+DECON_MOD = 97
+
+#: Gopher-style repetition thresholds (tuned to fixture quantiles so the
+#: flag is neither empty nor total).
+MAX_TOP_TOKEN_FRAC = 0.15
+MAX_DUP_BIGRAM_FRAC = 0.06
+
+#: tokens per packed training sequence.
+PACK_BUDGET = 256
+
+#: max documents kept per source domain.
+DOMAIN_QUOTA = 15
+
+
+def _grams(docs: DataFrame) -> DataFrame:
+    """Distinct word-``DECON_N``-grams per document (array-side, no
+    explode until after the distinct shrinks the row)."""
+    ts = F.split("text", " ")
+    gram = F.expr(
+        f"transform(sequence(0, size(split(text, ' ')) - {DECON_N}),"
+        " i -> concat_ws(' ', "
+        + ", ".join(f"split(text, ' ')[i + {j}]" for j in range(DECON_N))
+        + "))"
+    )
+    return (
+        docs.where(F.size(ts) >= DECON_N)
+        .select("doc_id", F.explode(F.array_distinct(gram)).alias("gram"))
+    )
+
+
+_GRAMS_CTE = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         WHERE len(string_split(text, ' ')) >= {DECON_N}),
+grams AS (
+  SELECT DISTINCT doc_id, g AS gram
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ts) - {DECON_N - 2}),
+                      i -> {" || ' ' || ".join(f"ts[i + {j}]" for j in range(DECON_N))})) AS g
+        FROM toks)
+)
+"""
+
+
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination scan: training documents sharing any word
+    4-gram with the (pseudo-)benchmark set, with overlap counts.
+
+    The open-weights decontamination recipe (n-gram collision against
+    eval suites) re-expressed as an inverted-index equi-join: benchmark
+    grams — tiny, broadcast — against corpus grams, then a per-doc
+    rollup. The corpus is never shuffled and never self-joined; cost is
+    one map-side gram expansion + a broadcast hash join.
+    """
+    docs = load(spark, sf_dir, "documents")
+    grams = _grams(docs)
+    bench = (
+        grams.where(F.col("doc_id") % DECON_MOD == 0)
+        .select(F.col("doc_id").alias("bench_doc"), "gram")
+    )
+    train = grams.where(F.col("doc_id") % DECON_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_ngrams"),
+            F.countDistinct("bench_doc").alias("n_benchmark_docs"),
+        )
+    )
+
+
+register(
+    "benchmark_decontamination",
+    oracle="WITH "
+    + _GRAMS_CTE
+    + f""",
+bench AS (SELECT doc_id AS bench_doc, gram FROM grams WHERE doc_id % {DECON_MOD} = 0),
+train AS (SELECT doc_id, gram FROM grams WHERE doc_id % {DECON_MOD} <> 0)
+SELECT t.doc_id,
+       count(DISTINCT t.gram) AS n_shared_ngrams,
+       count(DISTINCT b.bench_doc) AS n_benchmark_docs
+FROM train t JOIN bench b ON t.gram = b.gram
+GROUP BY t.doc_id
+""",
+    tags=("text", "llm-pipeline", "decontamination", "near-dup"),
+)(benchmark_decontamination)
+
+
+#: deterministic synthetic-PII injection (the fixture corpus has none):
+#: every 5th doc gets an email + phone appended, so the redactor has
+#: real work whose output both engines can hash.
+_PII_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.com"
+_PII_PHONE_RE = "555-[0-9]{4}"
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction: count and mask emails/phone numbers, emit
+    the redacted fingerprint. Row-local regexp work — whole-stage
+    codegen, zero shuffles; at 100 TB this runs at scan speed."""
+    docs = load(spark, sf_dir, "documents")
+    salted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com phone 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(salted, _PII_EMAIL_RE, "<EMAIL>"),
+        _PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(salted, F.lit(_PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(salted, F.lit(_PII_PHONE_RE)).cast("int").alias("n_phones"),
+        F.length(redacted).cast("int").alias("redacted_n_chars"),
+        F.md5(redacted).alias("redacted_fingerprint"),
+    )
+
+
+register(
+    "pii_redaction",
+    oracle=f"""
+WITH salted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com phone 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS s
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s, '{_PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(s, '{_PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(s, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_PII_PHONE_RE}', '<PHONE>', 'g')) AS INTEGER)
+         AS redacted_n_chars,
+       md5(regexp_replace(regexp_replace(s, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fingerprint
+FROM salted
+""",
+    tags=("text", "llm-pipeline", "pii", "redaction"),
+)(pii_redaction)
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality filter: flag documents whose
+    most-frequent-token share or duplicate-bigram share is abnormal.
+
+    Token counts go through explode -> two map-side-combinable hash aggs
+    (never a per-doc O(distinct x tokens) array scan); bigram stats stay
+    array-side. One exchange on doc_id total.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    bigram = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2),"
+        " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1]))"
+    )
+    big_stats = docs.where(F.size(ts) >= 2).select(
+        "doc_id",
+        F.size(ts).alias("n_tokens"),
+        (F.size(bigram) - F.size(F.array_distinct(bigram))).alias("n_dup_bigrams"),
+        F.size(bigram).alias("n_bigrams"),
+    )
+    tok_counts = (
+        docs.where(F.size(ts) >= 2)
+        .select("doc_id", F.explode(ts).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("sum_c"))
+    )
+    top_frac = F.col("top_c") / F.col("sum_c")
+    dup_frac = F.col("n_dup_bigrams") / F.col("n_bigrams")
+    return (
+        big_stats.join(tok_counts, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            rnd(top_frac, 4).alias("top_token_frac"),
+            rnd(dup_frac, 4).alias("dup_bigram_frac"),
+            ((top_frac <= MAX_TOP_TOKEN_FRAC) & (dup_frac <= MAX_DUP_BIGRAM_FRAC)).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+register(
+    "repetition_filter",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+              WHERE len(string_split(text, ' ')) >= 2),
+big AS (
+  SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
+         CAST(len(ts) - 1 AS INTEGER) AS n_bigrams,
+         CAST(len(ts) - 1
+              - len(list_distinct(list_transform(range(1, len(ts)),
+                                                 i -> ts[i] || ' ' || ts[i + 1])))
+           AS INTEGER) AS n_dup_bigrams
+  FROM toks),
+tok AS (SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS sum_c FROM tok GROUP BY 1)
+SELECT b.doc_id, b.n_tokens,
+       round(top_c * 1.0 / sum_c + 1e-6, 4) AS top_token_frac,
+       round(n_dup_bigrams * 1.0 / n_bigrams + 1e-6, 4) AS dup_bigram_frac,
+       (top_c * 1.0 / sum_c <= {MAX_TOP_TOKEN_FRAC}
+        AND n_dup_bigrams * 1.0 / n_bigrams <= {MAX_DUP_BIGRAM_FRAC}) AS keep
+FROM big b JOIN top USING (doc_id)
+""",
+    tags=("text", "llm-pipeline", "quality", "repetition"),
+)(repetition_filter)
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concatenate each source's token stream
+    in doc_id order and cut every ``PACK_BUDGET`` tokens, reporting each
+    document's stream offset, sequence id, and whether it straddles a cut.
+
+    This is the GPT-style packed-dataset layout. Packing per SOURCE shard
+    (one window cumsum per shard, single exchange on ``source``) mirrors
+    production pipelines exactly — packing globally would need a global
+    sort, which is why nobody does it.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .withColumn("stream_offset", offset)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "stream_offset",
+            F.floor(F.col("stream_offset") / PACK_BUDGET).alias("seq_id"),
+            (
+                F.floor((F.col("stream_offset") + F.col("n_tokens") - 1) / PACK_BUDGET)
+                > F.floor(F.col("stream_offset") / PACK_BUDGET)
+            ).alias("spans_boundary"),
+        )
+    )
+
+
+register(
+    "sequence_packing",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+  FROM documents),
+off AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS stream_offset
+  FROM sized)
+SELECT doc_id, source, n_tokens, stream_offset,
+       CAST(floor(stream_offset / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+       floor((stream_offset + n_tokens - 1) / {PACK_BUDGET})
+         > floor(stream_offset / {PACK_BUDGET}) AS spans_boundary
+FROM off
+""",
+    tags=("sampling", "llm-pipeline", "packing"),
+)(sequence_packing)
+
+
+def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: keep at most ``DOMAIN_QUOTA`` documents
+    per source, preferring longer documents (n_chars desc, doc_id as the
+    deterministic tiebreak).
+
+    rank-then-filter compiles to Spark 4's WindowGroupLimit pushdown, so
+    each executor retains only K rows per key during the sort — the
+    bounded-top-k-per-key shape that survives source skew at 100 TB.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars", F.row_number().over(w).alias("quality_rank")
+        )
+        .where(F.col("quality_rank") <= DOMAIN_QUOTA)
+    )
+
+
+register(
+    "domain_quota_cap",
+    oracle=f"""
+SELECT doc_id, source, n_chars, quality_rank
+FROM (SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS INTEGER)
+               AS quality_rank
+      FROM documents)
+WHERE quality_rank <= {DOMAIN_QUOTA}
+""",
+    tags=("sampling", "llm-pipeline", "quota"),
+)(domain_quota_cap)

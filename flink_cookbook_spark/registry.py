@@ -139,6 +139,7 @@ def _ensure_loaded() -> None:
     import flink_cookbook_spark.operators.windows  # noqa: F401
     import flink_cookbook_spark.functions.collections  # noqa: F401
     import flink_cookbook_spark.functions.scalars  # noqa: F401
+    import flink_cookbook_spark.pipeline.curation  # noqa: F401
     import flink_cookbook_spark.pipeline.dedup  # noqa: F401
     import flink_cookbook_spark.pipeline.similarity  # noqa: F401
     import flink_cookbook_spark.pipeline.text  # noqa: F401

@@ -193,3 +193,47 @@ def test_bucketed_join_agg_single_exchange(spark, sf_dir):
     df = bucketed_join_agg(spark, sf_dir)
     assert not has_cartesian(df)
     assert count_exchanges(df) <= 1
+
+
+def test_decontamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram index must broadcast: the corpus side of the
+    contamination join stays map-only (no corpus shuffle before the
+    per-doc rollup)."""
+    from flink_cookbook_spark.pipeline.curation import benchmark_decontamination
+
+    df = benchmark_decontamination(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    # the per-doc rollup is a two-dimension distinct count (Expand +
+    # partial/final agg): two exchanges on doc_id keys, none on the
+    # pre-join corpus
+    assert count_exchanges(df) <= 2
+
+
+def test_domain_quota_is_rank_limited(spark, sf_dir):
+    """Quota sampling must plan as WindowGroupLimit (bounded top-k per
+    key), never a full per-source sort."""
+    from flink_cookbook_spark.pipeline.curation import domain_quota_cap
+
+    df = domain_quota_cap(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert count_exchanges(df) == 1
+
+
+def test_pii_redaction_no_shuffle(spark, sf_dir):
+    """Redaction is row-local regexp work: zero exchanges, codegen'd."""
+    from flink_cookbook_spark.pipeline.curation import pii_redaction
+
+    df = pii_redaction(spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert uses_whole_stage_codegen(df)
+
+
+def test_sequence_packing_single_exchange(spark, sf_dir):
+    """Per-shard packing is one window cumsum: exactly one exchange on
+    source, no global sort."""
+    from flink_cookbook_spark.pipeline.curation import sequence_packing
+
+    df = sequence_packing(spark, sf_dir)
+    assert count_exchanges(df) == 1
