@@ -294,3 +294,61 @@ FROM c
 """,
     tags=("scalar", "json", "P1", "robustness"),
 )(corrupt_json_handling)
+
+
+def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing through Spark 4's VARIANT type: build a
+    nested JSON document per event (deterministic from row values), parse
+    it once into a variant, then shred typed fields back out with
+    ``variant_get`` path expressions — nested object, array index, and a
+    typed leaf.
+
+    VARIANT is Spark's scale answer to schema-on-read JSON: the parse
+    happens once into a binary encoding, and every path access is a
+    codegen'd traversal, not a repeated string parse. The oracle walks
+    the same paths with DuckDB's JSON extraction over the identical
+    document string.
+    """
+    ev = load(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta": {"user": '),
+        F.col("user_id").cast("string"),
+        F.lit(', "type": "'),
+        F.col("event_type"),
+        F.lit('"}, "vals": ['),
+        F.col("value").cast("string"),
+        F.lit(", "),
+        (F.col("value") * 2).cast("string"),
+        F.lit("], "),
+        F.substring("props", 2, 2147483647),
+    )
+    v = F.parse_json(doc)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.meta.user", "bigint").alias("meta_user"),
+        F.variant_get(v, "$.meta.type", "string").alias("meta_type"),
+        rnd(F.variant_get(v, "$.vals[1]", "double")).alias("val_doubled"),
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+    )
+
+
+register(
+    "variant_shred",
+    oracle="""
+WITH docs AS (
+  SELECT event_id,
+         '{"meta": {"user": ' || CAST(user_id AS VARCHAR)
+         || ', "type": "' || event_type
+         || '"}, "vals": [' || CAST(value AS VARCHAR)
+         || ', ' || CAST(value * 2 AS VARCHAR) || '], '
+         || substring(props, 2) AS doc
+  FROM events)
+SELECT event_id,
+       CAST(doc->>'$.meta.user' AS BIGINT) AS meta_user,
+       doc->>'$.meta.type' AS meta_type,
+       round(CAST(doc->>'$.vals[1]' AS DOUBLE) + 1e-6, 4) AS val_doubled,
+       CAST(doc->>'$.k' AS INTEGER) AS k_int
+FROM docs
+""",
+    tags=("scalar", "json", "variant", "semi-structured"),
+)(variant_shred)

@@ -349,3 +349,60 @@ WHERE quality_rank <= {DOMAIN_QUOTA}
 """,
     tags=("sampling", "llm-pipeline", "quota"),
 )(domain_quota_cap)
+
+
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-normalization dedup — the cheapest, highest-yield dedup pass a
+    crawl pipeline runs before any content hashing: canonicalize the URL
+    (lowercase host, strip tracking query params and fragments) and keep
+    the first document per canonical URL.
+
+    The fixture corpus has no URLs, so each doc gets a deterministic one
+    (same recipe on both engines) with mixed-case host and utm cruft; the
+    dedup itself is a keep-min-doc_id per canonical key — one map-side
+    combinable min-agg, no window sort needed. At 100 TB this is a single
+    exchange on the canonical-URL hash.
+    """
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://WWW."),
+        F.upper("source"),
+        F.lit(".Example.com/page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("?utm_source=feed&ref=rss#frag"),
+    )
+    canon = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract(raw, r"https://([^/]+)/", 1)),
+        F.regexp_extract(raw, r"https://[^/]+(/[^?#]*)", 1),
+    )
+    return (
+        docs.select("doc_id", "source", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_duplicates"),
+        )
+    )
+
+
+register(
+    "url_dedup",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id, source,
+         'https://WWW.' || upper(source) || '.Example.com/page/'
+         || CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&ref=rss#frag' AS raw
+  FROM documents),
+canon AS (
+  SELECT doc_id,
+         'https://' || lower(regexp_extract(raw, 'https://([^/]+)/', 1))
+         || regexp_extract(raw, 'https://[^/]+(/[^?#]*)', 1) AS canonical_url
+  FROM urls)
+SELECT canonical_url,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_duplicates
+FROM canon GROUP BY 1
+""",
+    tags=("dedup", "llm-pipeline", "url"),
+)(url_dedup)

@@ -74,6 +74,19 @@ _FMT_CACHE_ROOT = os.path.join(
 )
 
 
+def _sf_fingerprint(sf_dir: str) -> str:
+    """Hash of the fixture parquet mtimes/sizes under ``sf_dir`` — the
+    cache-invalidation key for everything materialized from fixtures."""
+    import hashlib
+
+    stat = "|".join(
+        f"{f}:{int(os.path.getmtime(p))}:{os.path.getsize(p)}"
+        for f in sorted(os.listdir(sf_dir))
+        if (p := os.path.join(sf_dir, f)).endswith(".parquet")
+    )
+    return hashlib.md5(stat.encode()).hexdigest()[:10]
+
+
 def _materialized(
     spark: SparkSession,
     sf_dir: str,
@@ -87,15 +100,7 @@ def _materialized(
     mtimes/sizes, so a driver fixture regeneration (which changed the
     time encoding between rounds) invalidates the cache automatically
     instead of serving bytes written under the old schema."""
-    import hashlib
-
-    stat = "|".join(
-        f"{f}:{int(os.path.getmtime(p))}:{os.path.getsize(p)}"
-        for f in sorted(os.listdir(sf_dir))
-        if (p := os.path.join(sf_dir, f)).endswith(".parquet")
-    )
-    fp = hashlib.md5(stat.encode()).hexdigest()[:10]
-    token = sf_dir.strip("/").replace("/", "_") + "-" + fp
+    token = sf_dir.strip("/").replace("/", "_") + "-" + _sf_fingerprint(sf_dir)
     path = os.path.join(_FMT_CACHE_ROOT, token, name)
     df = build()
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -290,3 +295,53 @@ GROUP BY o_orderstatus
 """,
     tags=("file-format", "bucketing", "join"),
 )(bucketed_join_agg)
+
+
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet generations of the same table —
+    v1 (orderkey/status/price) and v2 adding ``o_orderpriority`` — read
+    together with ``mergeSchema``; v1 rows surface NULL for the added
+    column. This is the append-only schema drift every long-lived lake
+    table accrues; Spark resolves it at the footer level, per file, so at
+    100 TB no rewrite of old data is ever needed. The oracle rebuilds the
+    same union from the parquet truth with the identical generation split
+    (o_orderkey % 2), certifying both the merge and the null semantics.
+    """
+    base = load(spark, sf_dir, "orders")
+    token = sf_dir.strip("/").replace("/", "_") + "-" + _sf_fingerprint(sf_dir)
+    path = os.path.join(_FMT_CACHE_ROOT, token, "orders_evo")
+    if not os.path.exists(os.path.join(path, "v2", "_SUCCESS")):
+        base.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).write.mode("overwrite").parquet(os.path.join(path, "v1"))
+        base.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(os.path.join(path, "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "v1"), os.path.join(path, "v2")
+    )
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("priority")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+register(
+    "schema_evolution_scan",
+    oracle="""
+WITH merged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1)
+SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice) + 1e-6, 2) AS sum_price
+FROM merged GROUP BY 1
+""",
+    tags=("file-format", "parquet", "schema-evolution", "source"),
+)(schema_evolution_scan)
