@@ -146,6 +146,7 @@ def _ensure_loaded() -> None:
     import flink_cookbook_spark.pipeline.multimodal  # noqa: F401
     import flink_cookbook_spark.pipeline.sampling  # noqa: F401
     import flink_cookbook_spark.sources.formats  # noqa: F401
+    import flink_cookbook_spark.sources.pydatasource  # noqa: F401
     import flink_cookbook_spark.streaming.sarimax  # noqa: F401
     import flink_cookbook_spark.streaming.sources  # noqa: F401
     import flink_cookbook_spark.streaming.twins  # noqa: F401

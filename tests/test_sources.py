@@ -89,3 +89,27 @@ def test_kafka_source_requires_connector(spark):
     with pytest.raises(Exception):
         df = kafka_metrics_stream(spark)
         df.writeStream.format("memory").queryName("_kafka_probe").start()
+
+
+def test_python_datasource_grid_parity(spark):
+    """The Python DataSource grid must equal the spark.range twin's grid
+    row-for-row (same (node_id, tsl) multiset), and must honor the
+    requested partition planning."""
+    from flink_cookbook_spark.sources.pydatasource import _ensure_registered
+    from flink_cookbook_spark.streaming.sources import synthetic_metrics_batch
+
+    _ensure_registered(spark)
+    src = (
+        spark.read.format("node_metrics_grid")
+        .option("n_rows", 1000)
+        .option("partitions", 4)
+        .load()
+    )
+    assert src.rdd.getNumPartitions() == 4
+    from flink_cookbook_spark.functions.time import epoch_seconds
+
+    twin = synthetic_metrics_batch(spark, n_rows=1000).select(
+        "node_id", epoch_seconds("ts").alias("tsl")
+    )
+    assert src.exceptAll(twin).count() == 0
+    assert twin.exceptAll(src).count() == 0
