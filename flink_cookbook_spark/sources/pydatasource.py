@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from flink_cookbook_spark.registry import register, rnd
 from flink_cookbook_spark.streaming.sources import (
@@ -58,6 +63,9 @@ class NodeMetricsGridSource(DataSource):
     def reader(self, schema) -> "NodeMetricsGridReader":
         return NodeMetricsGridReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "NodeMetricsGridStreamReader":
+        return NodeMetricsGridStreamReader(self.options)
+
 
 class NodeMetricsGridReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -78,6 +86,47 @@ class NodeMetricsGridReader(DataSourceReader):
             node_no = i % self.n_nodes
             tick = i // self.n_nodes
             yield (f"node-{node_no:02d}", _ORIGIN + int(tick / self.rate))
+
+
+class NodeMetricsGridStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor: the same grid as an unbounded source with
+    integer row-index offsets — ``readStream.format("node_metrics_grid")``.
+
+    Offsets are plain row counters, so checkpoint/restart resumes mid-
+    grid exactly (the deterministic replay the reference's generator
+    cannot do: its values are wall-clock + RNG). ``rows_per_batch``
+    bounds each micro-batch. The simple-reader API re-reads from the
+    driver on replay, which is the right tradeoff for a rate-limited
+    generator; a partitioned prefetching reader would use
+    ``streamReader`` instead.
+    """
+
+    def __init__(self, options) -> None:
+        self.n_nodes = int(options.get("n_nodes", N_NODES))
+        self.rate = float(options.get("rate_per_node", 2.0))
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def _rows(self, start: int, end: int) -> list[tuple]:
+        # a LIST, not a generator: the simple-reader harness pickles the
+        # returned rows into its prefetch cache for exactly-once replay
+        return [
+            (
+                f"node-{i % self.n_nodes:02d}",
+                _ORIGIN + int((i // self.n_nodes) / self.rate),
+            )
+            for i in range(start, end)
+        ]
+
+    def read(self, start: dict):
+        lo = start["row"]
+        hi = lo + self.rows_per_batch
+        return self._rows(lo, hi), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["row"], end["row"])
 
 
 def _ensure_registered(spark: SparkSession) -> None:

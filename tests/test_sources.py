@@ -113,3 +113,44 @@ def test_python_datasource_grid_parity(spark):
     )
     assert src.exceptAll(twin).count() == 0
     assert twin.exceptAll(src).count() == 0
+
+
+def test_python_datasource_streams_deterministic_batches(spark, tmp_path):
+    """The streaming flavor must deliver the same grid rows as the batch
+    reader, in offset order, across micro-batches — the deterministic
+    replay the reference's wall-clock generator cannot provide."""
+    from flink_cookbook_spark.sources.pydatasource import _ensure_registered
+
+    _ensure_registered(spark)
+    stream = (
+        spark.readStream.format("node_metrics_grid")
+        .option("rows_per_batch", 40)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) FROM pyds_stream").collect()[0][0] >= 120:
+            break
+        time.sleep(0.5)
+    q.stop()
+    rows = spark.sql(
+        "SELECT node_id, tsl FROM pyds_stream ORDER BY tsl, node_id LIMIT 120"
+    ).collect()
+    assert len(rows) >= 120
+    batch = (
+        spark.read.format("node_metrics_grid").option("n_rows", 120).load()
+        .orderBy("tsl", "node_id")
+        .collect()
+    )
+    assert [(r.node_id, r.tsl) for r in rows[:120]] == [
+        (r.node_id, r.tsl) for r in batch
+    ]
