@@ -308,3 +308,108 @@ FROM sessions GROUP BY user_id, session_no
 """,
     tags=("window", "session"),
 )(sessionize)
+
+
+def rising_streak_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style pattern detection: per-user runs of 3+ strictly rising
+    values (Flink-CEP's ``begin.next.next`` / SQL MATCH_RECOGNIZE shape,
+    which Spark lacks as syntax) re-expressed with lag comparisons + a
+    boundary cumsum — the same islands technique as sessionize, so the
+    cost is one exchange on user_id shared by both window stages.
+    Emits one row per qualifying streak (start/end event ids, length,
+    total rise)."""
+    ev = load(spark, sf_dir, "events")
+    ts_sec = epoch_seconds("ts")
+    w = Window.partitionBy("user_id").orderBy(ts_sec.asc(), F.col("event_id").asc())
+    rising = F.when(
+        F.lag("value", 1).over(w).isNotNull()
+        & (F.col("value") > F.lag("value", 1).over(w)),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        ts_sec.alias("ts_sec"),
+        F.sum(rising)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("streak_id"),
+    )
+    return (
+        marked.groupBy("user_id", "streak_id")
+        .agg(
+            F.count("*").alias("streak_len"),
+            F.min("event_id").alias("start_event_id"),
+            F.max("event_id").alias("end_event_id"),
+            rnd(F.max("value") - F.min("value"), 2).alias("total_rise"),
+        )
+        .where(F.col("streak_len") >= 3)
+        .drop("streak_id")
+    )
+
+
+register(
+    "rising_streak_patterns",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         lag(value) OVER (PARTITION BY user_id
+                          ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+           AS prev_value
+  FROM events),
+marked AS (
+  SELECT user_id, event_id, value, ts_sec,
+         sum(CASE WHEN prev_value IS NOT NULL AND value > prev_value
+                  THEN 0 ELSE 1 END)
+           OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS streak_id
+  FROM ordered)
+SELECT user_id,
+       count(*) AS streak_len,
+       min(event_id) AS start_event_id,
+       max(event_id) AS end_event_id,
+       round(max(value) - min(value) + 1e-6, 2) AS total_rise
+FROM marked
+GROUP BY user_id, streak_id
+HAVING count(*) >= 3
+""",
+    tags=("window", "pattern", "cep"),
+)(rising_streak_patterns)
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted as retained in each later day they act. Two aggregates —
+    first-touch per user (min), then the (cohort_day, activity_day)
+    rollup — and a broadcast-size first-touch side at any corpus scale
+    once users << events."""
+    ev = load(spark, sf_dir, "events")
+    day = (epoch_seconds("ts") / 86400).cast("long").alias("activity_day")
+    acts = load(spark, sf_dir, "events").select("user_id", day).distinct()
+    first = acts.groupBy("user_id").agg(F.min("activity_day").alias("cohort_day"))
+    return (
+        acts.join(first, "user_id")
+        .groupBy("cohort_day", "activity_day")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .withColumn("day_offset", F.col("activity_day") - F.col("cohort_day"))
+    )
+
+
+register(
+    "cohort_retention",
+    oracle="""
+WITH acts AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS activity_day
+  FROM events),
+first AS (
+  SELECT user_id, min(activity_day) AS cohort_day FROM acts GROUP BY 1)
+SELECT cohort_day, activity_day,
+       count(DISTINCT a.user_id) AS n_active_users,
+       activity_day - cohort_day AS day_offset
+FROM acts a JOIN first f USING (user_id)
+GROUP BY cohort_day, activity_day
+""",
+    tags=("window", "cohort", "retention"),
+)(cohort_retention)
