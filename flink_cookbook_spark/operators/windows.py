@@ -380,16 +380,19 @@ HAVING count(*) >= 3
 
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity day,
-    counted as retained in each later day they act. Two aggregates —
-    first-touch per user (min), then the (cohort_day, activity_day)
-    rollup — and a broadcast-size first-touch side at any corpus scale
-    once users << events."""
+    counted as retained in each later day they act.
+
+    One events scan: distinct (user, day) pairs, first-touch attached as
+    a per-user window MIN (no self-join, no broadcast of a users-sized
+    side), then the (cohort_day, activity_day) rollup. Three keyed
+    exchanges over progressively tiny data — the raw scan happens once.
+    """
     ev = load(spark, sf_dir, "events")
     day = (epoch_seconds("ts") / 86400).cast("long").alias("activity_day")
-    acts = load(spark, sf_dir, "events").select("user_id", day).distinct()
-    first = acts.groupBy("user_id").agg(F.min("activity_day").alias("cohort_day"))
+    acts = ev.select("user_id", day).distinct()
+    cohort = F.min("activity_day").over(Window.partitionBy("user_id"))
     return (
-        acts.join(first, "user_id")
+        acts.withColumn("cohort_day", cohort)
         .groupBy("cohort_day", "activity_day")
         .agg(F.countDistinct("user_id").alias("n_active_users"))
         .withColumn("day_offset", F.col("activity_day") - F.col("cohort_day"))

@@ -237,3 +237,22 @@ def test_sequence_packing_single_exchange(spark, sf_dir):
 
     df = sequence_packing(spark, sf_dir)
     assert count_exchanges(df) == 1
+
+
+def test_rising_streaks_single_exchange(spark, sf_dir):
+    """Both window stages (lag marks + islands cumsum) and the final
+    streak rollup must share ONE exchange on user_id."""
+    from flink_cookbook_spark.operators.windows import rising_streak_patterns
+
+    df = rising_streak_patterns(spark, sf_dir)
+    assert count_exchanges(df) == 1
+
+
+def test_cohort_retention_single_scan(spark, sf_dir):
+    """First-touch must come from a window MIN over the one distinct
+    (user, day) scan — never a second events scan joined back."""
+    from flink_cookbook_spark.operators.windows import cohort_retention
+
+    df = cohort_retention(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
