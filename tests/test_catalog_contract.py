@@ -76,3 +76,26 @@ def test_epoch_cast_analyzes_and_matches_duckdb(spark, sf_dir):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_epoch_seconds_uniform_across_encodings(spark, tmp_path):
+    """functions.time.epoch_seconds must return identical values whether
+    the column arrives as TimestampType, TIMESTAMP_NTZ, or epoch-seconds
+    long — the invariant that makes the round-3 fixture-encoding outage
+    structurally unrepeatable."""
+    from flink_cookbook_spark.functions.time import epoch_millis, epoch_seconds
+
+    want = [1704067200, 1704070800, 1704074399]
+    base = spark.createDataFrame([(v,) for v in want], "tsl long")
+    as_ts = base.select(F.timestamp_seconds("tsl").alias("c"))
+    as_ntz = base.select(
+        F.timestamp_seconds("tsl").cast("timestamp_ntz").alias("c")
+    )
+    as_long = base.select(F.col("tsl").alias("c"))
+    for df in (as_ts, as_ntz, as_long):
+        got = [r.e for r in df.select(epoch_seconds("c").alias("e")).orderBy("e").collect()]
+        assert got == want, df.schema
+    got_ms = [
+        r.e for r in as_ntz.select(epoch_millis("c").alias("e")).orderBy("e").collect()
+    ]
+    assert got_ms == [v * 1000 for v in want]
