@@ -374,7 +374,7 @@ FROM marked
 GROUP BY user_id, streak_id
 HAVING count(*) >= 3
 """,
-    tags=("window", "pattern", "cep"),
+    tags=("window", "pattern", "cep", "bench"),
 )(rising_streak_patterns)
 
 
@@ -414,5 +414,5 @@ SELECT cohort_day, activity_day,
 FROM acts a JOIN first f USING (user_id)
 GROUP BY cohort_day, activity_day
 """,
-    tags=("window", "cohort", "retention"),
+    tags=("window", "cohort", "retention", "bench"),
 )(cohort_retention)

@@ -56,16 +56,19 @@ DOMAIN_QUOTA = 15
 
 def _grams(docs: DataFrame) -> DataFrame:
     """Distinct word-``DECON_N``-grams per document (array-side, no
-    explode until after the distinct shrinks the row)."""
-    ts = F.split("text", " ")
+    explode until after the distinct shrinks the row). ``split`` runs
+    ONCE per row into a column first — inlining it into the transform
+    lambda re-tokenizes the document once per gram element (measured
+    ~10x slower at sf0.1)."""
     gram = F.expr(
-        f"transform(sequence(0, size(split(text, ' ')) - {DECON_N}),"
+        f"transform(sequence(0, size(ts) - {DECON_N}),"
         " i -> concat_ws(' ', "
-        + ", ".join(f"split(text, ' ')[i + {j}]" for j in range(DECON_N))
+        + ", ".join(f"ts[i + {j}]" for j in range(DECON_N))
         + "))"
     )
     return (
-        docs.where(F.size(ts) >= DECON_N)
+        docs.select("doc_id", F.split("text", " ").alias("ts"))
+        .where(F.size("ts") >= DECON_N)
         .select("doc_id", F.explode(F.array_distinct(gram)).alias("gram"))
     )
 
@@ -123,7 +126,7 @@ SELECT t.doc_id,
 FROM train t JOIN bench b ON t.gram = b.gram
 GROUP BY t.doc_id
 """,
-    tags=("text", "llm-pipeline", "decontamination", "near-dup"),
+    tags=("text", "llm-pipeline", "decontamination", "near-dup", "bench"),
 )(benchmark_decontamination)
 
 
@@ -197,20 +200,21 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     array-side. One exchange on doc_id total.
     """
     docs = load(spark, sf_dir, "documents")
-    ts = F.split("text", " ")
-    bigram = F.expr(
-        "transform(sequence(0, size(split(text, ' ')) - 2),"
-        " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1]))"
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts")).where(
+        F.size("ts") >= 2
     )
-    big_stats = docs.where(F.size(ts) >= 2).select(
+    bigram = F.expr(
+        "transform(sequence(0, size(ts) - 2),"
+        " i -> concat_ws(' ', ts[i], ts[i + 1]))"
+    )
+    big_stats = toks.select(
         "doc_id",
-        F.size(ts).alias("n_tokens"),
+        F.size("ts").alias("n_tokens"),
         (F.size(bigram) - F.size(F.array_distinct(bigram))).alias("n_dup_bigrams"),
         F.size(bigram).alias("n_bigrams"),
     )
     tok_counts = (
-        docs.where(F.size(ts) >= 2)
-        .select("doc_id", F.explode(ts).alias("t"))
+        toks.select("doc_id", F.explode("ts").alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
@@ -255,7 +259,7 @@ SELECT b.doc_id, b.n_tokens,
         AND n_dup_bigrams * 1.0 / n_bigrams <= {MAX_DUP_BIGRAM_FRAC}) AS keep
 FROM big b JOIN top USING (doc_id)
 """,
-    tags=("text", "llm-pipeline", "quality", "repetition"),
+    tags=("text", "llm-pipeline", "quality", "repetition", "bench"),
 )(repetition_filter)
 
 
@@ -313,7 +317,7 @@ SELECT doc_id, source, n_tokens, stream_offset,
          > floor(stream_offset / {PACK_BUDGET}) AS spans_boundary
 FROM off
 """,
-    tags=("sampling", "llm-pipeline", "packing"),
+    tags=("sampling", "llm-pipeline", "packing", "bench"),
 )(sequence_packing)
 
 
@@ -404,5 +408,5 @@ SELECT canonical_url,
        count(*) AS n_duplicates
 FROM canon GROUP BY 1
 """,
-    tags=("dedup", "llm-pipeline", "url"),
+    tags=("dedup", "llm-pipeline", "url", "bench"),
 )(url_dedup)
