@@ -500,16 +500,29 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable count aggregates and the final per-doc average —
     the same explode -> groupBy shape as tf_idf.
     """
-    docs = load(spark, sf_dir, "documents")
-    bi = docs.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 1), "
-            "i -> concat(element_at(split(text, ' '), i), ' ', "
-            "element_at(split(text, ' '), i + 1)))"
-        ).alias("bigrams"),
-    ).where(F.size("bigrams") >= 1)
-    exploded = bi.select("doc_id", F.explode("bigrams").alias("bigram"))
+    from flink_cookbook_spark.pipeline._cache import memo_persist
+
+    def build_exploded() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        # tokenize ONCE into a column — split() inlined in the transform
+        # lambda re-tokenizes the document per bigram element (the same
+        # ~10x trap fixed in pipeline/curation._grams)
+        bi = (
+            docs.select("doc_id", F.split("text", " ").alias("ts"))
+            .select(
+                "doc_id",
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+                ).alias("bigrams"),
+            )
+            .where(F.size("bigrams") >= 1)
+        )
+        return bi.select("doc_id", F.explode("bigrams").alias("bigram"))
+
+    # three consumers (bigram counts, start counts, the scoring join) —
+    # materialized once per session like the shingle/minhash indexes
+    exploded = memo_persist(spark, "bigram_tokens", sf_dir, build_exploded)
     big_counts = exploded.groupBy("bigram").agg(F.count("*").alias("c_bigram"))
     start_counts = (
         exploded.select(F.split_part("bigram", F.lit(" "), F.lit(1)).alias("w1"))
