@@ -154,3 +154,75 @@ def test_python_datasource_streams_deterministic_batches(spark, tmp_path):
     assert [(r.node_id, r.tsl) for r in rows[:120]] == [
         (r.node_id, r.tsl) for r in batch
     ]
+
+
+def test_python_datasource_feeds_windowed_pipeline(spark, tmp_path):
+    """Reference topology S2 -> W1/W2 with the custom streaming source:
+    generator stream -> JVM value model -> 5-min event-time window avg ->
+    memory sink, and the streamed aggregate must equal the batch twin
+    computed over the same grid prefix — the engine's streaming==batch
+    contract extended to a user-defined source."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from flink_cookbook_spark.functions.time import epoch_seconds
+    from flink_cookbook_spark.sources.pydatasource import _ensure_registered
+    from flink_cookbook_spark.streaming.sources import SEED, _cpu_expr
+
+    _ensure_registered(spark)
+    n_rows = 600
+    stream = (
+        spark.readStream.format("node_metrics_grid")
+        .option("rows_per_batch", 200)
+        .load()
+        .select("node_id", "tsl", F.timestamp_seconds("tsl").alias("ts"))
+        .select("node_id", "ts", _cpu_expr("ts", "node_id", SEED).alias("cpu"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "node_id")
+        .agg(F.avg("cpu").alias("avg_cpu"), F.count("*").alias("n"))
+        .select(
+            epoch_seconds("w.start").alias("window_start"),
+            "node_id",
+            "avg_cpu",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("pyds_windowed")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        got_n = spark.sql("SELECT coalesce(sum(n), 0) FROM pyds_windowed").collect()[0][0]
+        if got_n >= n_rows:
+            break
+        time.sleep(0.5)
+    q.stop()
+    streamed = {
+        (r.window_start, r.node_id): (round(r.avg_cpu, 6), r.n)
+        for r in spark.sql("SELECT * FROM pyds_windowed").collect()
+    }
+    total = sum(n for _, n in streamed.values())
+    assert total >= n_rows
+    batch = (
+        spark.read.format("node_metrics_grid")
+        .option("n_rows", total)
+        .load()
+        .select("node_id", F.timestamp_seconds("tsl").alias("ts"))
+        .select("node_id", "ts", _cpu_expr("ts", "node_id", SEED).alias("cpu"))
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "node_id")
+        .agg(F.avg("cpu").alias("avg_cpu"), F.count("*").alias("n"))
+        .select(epoch_seconds("w.start").alias("window_start"), "node_id", "avg_cpu", "n")
+    )
+    want = {
+        (r.window_start, r.node_id): (round(r.avg_cpu, 6), r.n)
+        for r in batch.collect()
+    }
+    assert streamed == want
