@@ -24,9 +24,9 @@ def test_watermark_drops_late_data(spark, tmp_path):
     spark.createDataFrame(
         [("n1", "2024-01-01 11:00:00", 10.0), ("n1", "2024-01-01 12:00:00", 20.0)],
         "node_id string, ts_s string, cpu double",
-    ).select("node_id", F.to_timestamp("ts_s").alias("ts"), "cpu").write.mode(
-        "overwrite"
-    ).parquet(src)
+    ).select("node_id", F.to_timestamp("ts_s").alias("ts"), "cpu").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
 
     stream = (
         spark.readStream.schema("node_id string, ts timestamp, cpu double")
@@ -43,9 +43,9 @@ def test_watermark_drops_late_data(spark, tmp_path):
     spark.createDataFrame(
         [("n1", "2024-01-01 11:00:01", 999.0), ("n1", "2024-01-01 12:30:00", 30.0)],
         "node_id string, ts_s string, cpu double",
-    ).select("node_id", F.to_timestamp("ts_s").alias("ts"), "cpu").write.mode(
-        "append"
-    ).parquet(src)
+    ).select("node_id", F.to_timestamp("ts_s").alias("ts"), "cpu").coalesce(
+        1
+    ).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
 
