@@ -594,3 +594,62 @@ FROM events GROUP BY 2, 3
 """,
     tags=("rollup", "hypertable", "W1", "bench"),
 )(multi_resolution_rollup)
+
+
+def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: flag events whose value deviates from
+    the per-user MEDIAN by more than 3 scaled MADs — the
+    median/median-absolute-deviation alternative to the reference's
+    mean/std z-score (A2, flinkarima.py:331-340), immune to the outliers
+    it is hunting. Two grouped exact-percentile aggregates joined back;
+    the per-user stats side is users-sized (broadcastable at any corpus
+    scale), so events are scanned twice but never self-joined.
+
+    percentile == quantile_cont in DuckDB (both linear interpolation);
+    1.4826 is the normal-consistency constant for MAD->sigma.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    abs_dev = ev.join(med, "user_id").select(
+        "event_id", "user_id", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = abs_dev.groupBy("user_id").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    scaled = F.col("mad") * 1.4826
+    return (
+        abs_dev.join(mad, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            rnd("value", 2).alias("value"),
+            rnd("med", 4).alias("user_median"),
+            rnd(scaled, 4).alias("sigma_robust"),
+            (F.col("ad") > 3 * scaled).alias("is_outlier"),
+        )
+    )
+
+
+register(
+    "mad_outlier_flags",
+    oracle="""
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY user_id),
+ad AS (
+  SELECT event_id, e.user_id, value, med, abs(value - med) AS ad
+  FROM events e JOIN med USING (user_id)),
+mad AS (
+  SELECT user_id, quantile_cont(ad, 0.5) AS mad FROM ad GROUP BY user_id)
+SELECT event_id, a.user_id,
+       round(value + 1e-6, 2) AS value,
+       round(med + 1e-6, 4) AS user_median,
+       round(mad * 1.4826 + 1e-6, 4) AS sigma_robust,
+       ad > 3 * (mad * 1.4826) AS is_outlier
+FROM ad a JOIN mad USING (user_id)
+""",
+    tags=("agg", "robust-statistics", "A2-variant"),
+)(mad_outlier_flags)

@@ -814,3 +814,36 @@ GROUP BY src
 """,
     tags=("dedup", "llm-pipeline", "clustering", "iterative", "bench"),
 )(dedup_clusters)
+
+
+def normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style normalized exact dedup: case-fold, strip non-alphanumerics,
+    collapse whitespace, THEN fingerprint — catches trivially-reformatted
+    copies that raw exact_dedup misses. Same single map-side-combinable
+    hash aggregate as exact_dedup; normalization is codegen'd string work
+    at scan speed."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        docs.select("doc_id", F.md5(norm).alias("norm_fingerprint"))
+        .groupBy("norm_fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+register(
+    "normalized_dedup",
+    oracle="""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS norm_fingerprint,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    tags=("dedup", "llm-pipeline", "normalization"),
+)(normalized_dedup)
