@@ -1,0 +1,323 @@
+"""Event-time series analytics: gap-fill/LOCF, time-weighted averages,
+funnel conversion, and SCD Type-2 history builds.
+
+The reference's pipeline is a time-series system (5-min buckets,
+per-key state, flinkarima.py:96-142); this module adds the standard
+time-series-warehouse operators such a system's users reach for next —
+the TimescaleDB ``time_bucket_gapfill``/``locf``/``time_weight`` family
+and the CDC/warehouse SCD2 + funnel shapes — re-expressed as declarative
+Spark plans.
+
+Scale notes (100 TB):
+- Every query here exchanges once on ``user_id`` and runs one or more
+  WindowExec / partial-aggregate passes over the same partitioning —
+  no second shuffle, no driver materialization.
+- The gap-fill grid is generated per key with ``sequence()`` bounded by
+  that key's own [min, max] bucket range, so grid size grows with the
+  observed time span (fixed by retention policy), never with row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.registry import register, rnd
+from flink_cookbook_spark.functions.time import epoch_seconds
+
+_BUCKET = 900  # 15-min gap-fill buckets
+
+
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap fill with last-observation-carried-forward.
+
+    Hypertable shape (TimescaleDB ``time_bucket_gapfill`` + ``locf``),
+    which Spark lacks as syntax: per user, 15-min buckets from that
+    user's first to last observed bucket; empty buckets materialize with
+    ``n_events = 0`` and carry the previous bucket's average forward.
+
+    Plan: one aggregate to per-bucket partials, a per-user ``sequence()``
+    explode for the dense grid (bounded by time span, not row count), a
+    same-key left join back, and one WindowExec for the carry — every
+    exchange hashes on user_id.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    obs = (
+        ev.select(
+            "user_id",
+            ((sec / _BUCKET).cast("long") * _BUCKET).alias("bucket_start"),
+            "value",
+        )
+        .groupBy("user_id", "bucket_start")
+        .agg(F.count("*").alias("n_events"), F.avg("value").alias("avg_value"))
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.lit(_BUCKET))).alias("bucket_start"),
+        )
+    )
+    joined = grid.join(obs, ["user_id", "bucket_start"], "left")
+    w = Window.partitionBy("user_id").orderBy("bucket_start")
+    return joined.select(
+        "user_id",
+        "bucket_start",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        rnd(
+            F.last("avg_value", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            4,
+        ).alias("value_filled"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+register(
+    "gap_fill_locf",
+    oracle=f"""
+WITH obs AS (
+  SELECT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // {_BUCKET}) * {_BUCKET} AS bucket_start,
+         count(*) AS n_events,
+         avg(value) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+  FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, {_BUCKET})) AS bucket_start
+  FROM bounds
+),
+joined AS (
+  SELECT g.user_id, g.bucket_start, o.n_events, o.avg_value,
+         sum(CASE WHEN o.avg_value IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY g.user_id ORDER BY g.bucket_start) AS carry_grp
+  FROM grid g LEFT JOIN obs o
+    ON g.user_id = o.user_id AND g.bucket_start = o.bucket_start
+)
+SELECT user_id, bucket_start,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       round(max(avg_value) OVER (PARTITION BY user_id, carry_grp) + 1e-6, 4)
+         AS value_filled,
+       n_events IS NULL AS is_gap
+FROM joined
+""",
+    tags=("timeseries", "gapfill", "bench"),
+)(gap_fill_locf)
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (TimescaleDB ``time_weight`` shape).
+
+    Each observation is weighted by how long it was the latest value
+    (duration to the next event, last observation excluded) — the right
+    mean for irregularly-sampled series, where the arithmetic mean
+    over-weights bursts. One exchange on user_id: lead() for durations,
+    then a partial-aggregated weighted sum.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    w = Window.partitionBy("user_id").orderBy(sec.asc(), F.col("event_id").asc())
+    seg = ev.select(
+        "user_id",
+        "value",
+        sec.alias("ts_sec"),
+        (F.lead(sec, 1).over(w) - sec).alias("dur"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.col("dur")).alias("n_segments"),
+            (F.max("ts_sec") - F.min("ts_sec")).alias("span_sec"),
+            rnd(
+                F.sum(F.col("value") * F.col("dur")) / F.sum("dur"),
+                4,
+            ).alias("twa_value"),
+            rnd(F.avg("value"), 4).alias("plain_avg"),
+        )
+    )
+
+
+register(
+    "time_weighted_avg",
+    oracle="""
+WITH seg AS (
+  SELECT user_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         lead(CAST(floor(epoch(ts)) AS BIGINT), 1)
+           OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC)
+           - CAST(floor(epoch(ts)) AS BIGINT) AS dur
+  FROM events
+)
+SELECT user_id,
+       count(dur) AS n_segments,
+       max(ts_sec) - min(ts_sec) AS span_sec,
+       round(sum(value * dur) / sum(dur) + 1e-6, 4) AS twa_value,
+       round(avg(value) + 1e-6, 4) AS plain_avg
+FROM seg GROUP BY user_id
+""",
+    tags=("timeseries", "aggregate"),
+)(time_weighted_avg)
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: view -> click -> purchase per user, each
+    stage strictly after the previous one (first-touch semantics).
+
+    The windowed-funnel shape (ClickHouse ``windowFunnel``, Amplitude
+    funnels). Three WindowExec passes over ONE hash exchange on user_id:
+    stage N's first-completion time is a conditional MIN over the
+    partition that references stage N-1's column — no self-joins, no
+    re-scans of the events table.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    w = Window.partitionBy("user_id")
+    base = ev.select("user_id", "event_type", sec.alias("ts_sec"))
+    staged = (
+        base.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts_sec"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_sec") > F.col("t_view")),
+                    F.col("ts_sec"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_sec") > F.col("t_click")),
+                    F.col("ts_sec"),
+                )
+            ).over(w),
+        )
+    )
+    return staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+        F.max(
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_view").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("reached_stage"),
+    )
+
+
+register(
+    "funnel_conversion",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+  FROM events
+),
+u AS (SELECT DISTINCT user_id FROM base),
+fv AS (
+  SELECT user_id, min(ts_sec) AS t_view
+  FROM base WHERE event_type = 'view' GROUP BY 1
+),
+fc AS (
+  SELECT b.user_id, min(b.ts_sec) AS t_click
+  FROM base b JOIN fv ON b.user_id = fv.user_id
+  WHERE b.event_type = 'click' AND b.ts_sec > fv.t_view GROUP BY 1
+),
+fp AS (
+  SELECT b.user_id, min(b.ts_sec) AS t_purchase
+  FROM base b JOIN fc ON b.user_id = fc.user_id
+  WHERE b.event_type = 'purchase' AND b.ts_sec > fc.t_click GROUP BY 1
+)
+SELECT u.user_id, fv.t_view, fc.t_click, fp.t_purchase,
+       CASE WHEN fp.t_purchase IS NOT NULL THEN 3
+            WHEN fc.t_click IS NOT NULL THEN 2
+            WHEN fv.t_view IS NOT NULL THEN 1
+            ELSE 0 END AS reached_stage
+FROM u
+LEFT JOIN fv ON u.user_id = fv.user_id
+LEFT JOIN fc ON u.user_id = fc.user_id
+LEFT JOIN fp ON u.user_id = fp.user_id
+""",
+    tags=("timeseries", "funnel", "bench"),
+)(funnel_conversion)
+
+
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change stream: collapse each
+    user's event_type sequence to its change points and emit versioned
+    validity intervals (valid_from / valid_to, open-ended for current).
+
+    The warehouse-standard MERGE-free SCD2 derivation: lag() finds the
+    change points, a filter drops consecutive repeats, lead() closes
+    each interval, row_number() assigns versions. Three window passes,
+    one exchange on user_id — the CDC-materialization twin of
+    ``changelog_compaction`` (keep-latest) with full history retained.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    w = Window.partitionBy("user_id").orderBy(sec.asc(), F.col("event_id").asc())
+    marked = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        sec.alias("ts_sec"),
+        F.col("event_id"),
+        F.lag("event_type", 1).over(w).alias("prev_state"),
+    )
+    changes = marked.where(
+        F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("ts_sec").asc(), F.col("event_id").asc()
+    )
+    return changes.select(
+        "user_id",
+        F.row_number().over(w2).alias("version"),
+        "state",
+        F.col("ts_sec").alias("valid_from"),
+        F.lead("ts_sec", 1).over(w2).alias("valid_to"),
+        F.lead("ts_sec", 1).over(w2).isNull().alias("is_current"),
+    )
+
+
+register(
+    "scd2_dimension",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type AS state, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         lag(event_type, 1)
+           OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC)
+           AS prev_state
+  FROM events
+),
+changes AS (
+  SELECT user_id, state, ts_sec, event_id FROM ordered
+  WHERE prev_state IS NULL OR state <> prev_state
+)
+SELECT user_id,
+       CAST(row_number() OVER w AS INTEGER) AS version,
+       state,
+       ts_sec AS valid_from,
+       lead(ts_sec, 1) OVER w AS valid_to,
+       lead(ts_sec, 1) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+""",
+    tags=("timeseries", "scd2", "cdc"),
+)(scd2_dimension)

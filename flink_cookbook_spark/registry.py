@@ -135,6 +135,7 @@ def _ensure_loaded() -> None:
     import flink_cookbook_spark.operators.metrics  # noqa: F401
     import flink_cookbook_spark.operators.relational  # noqa: F401
     import flink_cookbook_spark.operators.skew  # noqa: F401
+    import flink_cookbook_spark.operators.timeseries  # noqa: F401
     import flink_cookbook_spark.operators.tpch  # noqa: F401
     import flink_cookbook_spark.operators.windows  # noqa: F401
     import flink_cookbook_spark.functions.collections  # noqa: F401
