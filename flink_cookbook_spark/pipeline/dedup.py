@@ -847,3 +847,105 @@ GROUP BY 1
 """,
     tags=("dedup", "llm-pipeline", "normalization"),
 )(normalized_dedup)
+
+
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over near-duplicate clusters:
+    per cluster, keep the LONGEST document (n_chars desc, doc_id asc
+    tie-break) instead of the arbitrary min-id keeper — the curation
+    step that follows clustering in a real corpus pipeline (drop all
+    but the best copy).
+
+    Spark plan: the cluster labels (already a localCheckpoint'd tiny
+    table, memoized via the verified-pair cache) join ``documents`` on
+    doc_id — AQE broadcasts the cluster side, so the documents scan
+    never shuffles — then one row_number window + partial aggregate
+    over the handful of clustered docs.
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        members.withColumn("rk", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "canonical_doc_id"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias(
+                "canonical_n_chars"
+            ),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
+register(
+    "dedup_canonical_docs",
+    oracle="WITH RECURSIVE "
+    + _SHINGLES_CTE.strip().lstrip()
+    + f""",
+sigs AS (
+  SELECT doc_id,
+         {_minhash_sql_cols()}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band_id,
+         CASE band_id
+           {" ".join(f"WHEN {b} THEN {_band_sql(b)}" for b in range(LSH_BANDS))}
+         END AS band_key
+  FROM sigs, (SELECT unnest(range(0, {LSH_BANDS})) AS band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS n_common
+  FROM cand c
+  JOIN shingles s1 ON s1.doc_id = c.doc1
+  JOIN shingles s2 ON s2.doc_id = c.doc2 AND s1.shingle = s2.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc1, i.doc2
+  FROM inter i
+  JOIN sizes sa ON i.doc1 = sa.doc_id
+  JOIN sizes sb ON i.doc2 = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM verified
+  UNION
+  SELECT doc2, doc1 FROM verified
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT cluster_id,
+       max(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc_id,
+       max(CASE WHEN rk = 1 THEN n_chars END) AS canonical_n_chars,
+       count(*) AS n_members
+FROM ranked GROUP BY cluster_id
+""",
+    tags=("dedup", "llm-pipeline", "curation"),
+)(dedup_canonical_docs)

@@ -428,3 +428,118 @@ WHERE list_dot_product(a.e, b.e)
 """,
     tags=("similarity", "llm-pipeline", "near-dup", "lsh"),
 )(embedding_cosine_dup_pairs)
+
+
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization with per-vector scale —
+    the storage-compression step of a production vector index (4x
+    smaller than float32) — plus its reconstruction-error report
+    (MSE and max absolute error per vector).
+
+    Map-only: every expression is a JVM-side array HOF over the scan;
+    zero shuffles, so it runs at 100 TB as a pass-through stage. The
+    quantizer uses ``floor(x/scale + 0.5)`` (not round()) so Spark and
+    DuckDB take the identical half-up path on exact ties.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # internal name q_scale, NOT the output name "scale": references to a
+    # column from inside a HOF lambda resolve against the select list's
+    # LATERAL aliases before input columns (unlike plain expressions), so
+    # an output alias `rnd(scale).alias("scale")` would silently feed the
+    # ROUNDED scale back into the quantizer.
+    scaled = emb.withColumn(
+        "q_scale",
+        F.greatest(
+            F.array_max(F.transform("e", F.abs)), F.lit(1e-12)
+        )
+        / F.lit(127.0),
+    )
+    sq_err = F.transform(
+        "e",
+        lambda x: F.pow(
+            x
+            - F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.floor(x / F.col("q_scale") + F.lit(0.5))),
+            )
+            * F.col("q_scale"),
+            F.lit(2.0),
+        ),
+    )
+    return scaled.select(
+        "vec_id",
+        rnd(F.col("q_scale"), 8).alias("scale"),
+        rnd(
+            F.aggregate(sq_err, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("e"),
+            8,
+        ).alias("mse"),
+        rnd(F.sqrt(F.array_max(sq_err)), 6).alias("max_abs_err"),
+    )
+
+
+register(
+    "embedding_quantization",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (
+  SELECT vec_id, e,
+         greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) / 127.0
+           AS scale
+  FROM v
+),
+err AS (
+  SELECT vec_id, scale,
+         list_transform(
+           e,
+           x -> pow(x - greatest(-127.0,
+                                 least(127.0, floor(x / scale + 0.5))) * scale,
+                    2.0)
+         ) AS sq
+  FROM s
+)
+SELECT vec_id,
+       round(scale + 1e-6, 8) AS scale,
+       round(list_sum(sq) / len(sq) + 1e-6, 8) AS mse,
+       round(sqrt(list_max(sq)) + 1e-6, 6) AS max_abs_err
+FROM err
+""",
+    tags=("similarity", "llm-pipeline", "quantization"),
+)(embedding_quantization)
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, one row per (label, dimension) —
+    the class-prototype computation under semantic dedup (SemDeDup
+    clusters), nearest-class-mean classification, and drift monitoring.
+
+    posexplode + a single hash aggregate on (label, dim): map-side
+    partial means make the shuffle volume labels x dims regardless of
+    corpus size — the 100 TB shape for elementwise vector means.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    return emb.groupBy("label", (F.col("pos") + 1).alias("dim_idx")).agg(
+        F.count("*").alias("n_vectors"),
+        rnd(F.avg("val"), 6).alias("centroid"),
+    )
+
+
+register(
+    "label_centroids",
+    oracle=f"""
+SELECT label,
+       CAST(g.i AS INTEGER) AS dim_idx,
+       count(*) AS n_vectors,
+       round(avg(CAST(embedding[g.i] AS DOUBLE)) + 1e-6, 6) AS centroid
+FROM embeddings CROSS JOIN generate_series(1, {DIM}) AS g(i)
+GROUP BY 1, 2
+""",
+    tags=("similarity", "llm-pipeline", "centroids"),
+)(label_centroids)
