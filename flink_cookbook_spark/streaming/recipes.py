@@ -164,6 +164,26 @@ def alerts_stream(
     )
 
 
+def stream_static_enrichment_join(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "node_id",
+) -> DataFrame:
+    """Stream-static left join: every micro-batch enriches against a
+    batch dimension table (the lookup-table pattern — user attributes,
+    routing config, model registry rows).
+
+    Stateless: Spark re-plans the static side per micro-batch, so no
+    watermark and no join state accumulate — streaming results equal
+    the batch join exactly. The explicit broadcast keeps each
+    micro-batch map-only (no per-batch shuffle of the stream side),
+    which is the only shape that holds up when micro-batches are small
+    and frequent; at 100 TB/day the dimension side stays broadcast-
+    sized while the stream side never repartitions.
+    """
+    return stream.join(F.broadcast(dim), key, "left")
+
+
 def stream_stream_enrichment_join(
     raw: DataFrame,
     baselines: DataFrame,

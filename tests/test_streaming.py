@@ -509,3 +509,29 @@ def test_cli_stream_mode_runs(spark, tmp_path):
         "--seasonal-order", "0,1,1,2", "--z-threshold", "2.5",
     ])
     assert rc == 0
+
+
+def test_stream_static_join(spark, events_stream_dir):
+    """Stream-static join is stateless, so once the stream drains the
+    result equals the batch join EXACTLY (not a subset)."""
+    from flink_cookbook_spark.streaming.recipes import stream_static_enrichment_join
+
+    static = spark.read.parquet(events_stream_dir)
+    dim = (
+        static.select(F.col("user_id").cast("string").alias("node_id"))
+        .distinct()
+        .withColumn("tier", (F.col("node_id").cast("long") % 3).cast("int"))
+    )
+    raw = _metrics_view(_read_stream(spark, events_stream_dir))
+    joined = stream_static_enrichment_join(raw, dim)
+    _run_to_memory(joined, "ss_static_join")
+    got = spark.sql(
+        "SELECT count(*) AS n, sum(tier) AS s FROM ss_static_join"
+    ).collect()[0]
+
+    want_rows = static.count()
+    want_tier = (
+        static.select(((F.col("user_id") % 3)).alias("t")).agg(F.sum("t")).collect()[0][0]
+    )
+    assert got.n == want_rows
+    assert got.s == want_tier
