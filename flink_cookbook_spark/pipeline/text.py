@@ -573,3 +573,98 @@ FROM scored GROUP BY doc_id
 """,
     tags=("text", "llm-pipeline", "language-model"),
 )(bigram_logprob_score)
+
+
+_DECILES = [round(0.1 * k, 1) for k in range(1, 10)]
+
+
+def doc_length_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucketed) length histogram: bucket = number
+    of decile cutpoints strictly below the value.
+
+    Deliberately NOT a global ntile() — that would sort the whole corpus
+    into one partition. Instead: one exact-percentile aggregate computes
+    9 cutpoints (tiny), which broadcast to a map-only bucket assignment,
+    then a bounded-cardinality hash aggregate. Shuffle volume is 9
+    doubles + 10 result rows regardless of corpus size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cuts = docs.agg(
+        F.expr(
+            "percentile(CAST(n_chars AS DOUBLE), array("
+            + ", ".join(str(d) for d in _DECILES)
+            + "))"
+        ).alias("cuts")
+    )
+    assigned = docs.crossJoin(F.broadcast(cuts)).select(
+        "n_chars",
+        F.aggregate(
+            "cuts",
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col("n_chars").cast("double") > c, 1).otherwise(0),
+        ).alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+register(
+    "doc_length_equidepth",
+    oracle=f"""
+WITH cuts AS (
+  SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+                       [{", ".join(str(d) for d in _DECILES)}]) AS c
+  FROM documents
+),
+assigned AS (
+  SELECT d.n_chars,
+         CAST(len(list_filter(cuts.c, x -> x < CAST(d.n_chars AS DOUBLE)))
+              AS INTEGER) AS bucket
+  FROM documents d CROSS JOIN cuts
+)
+SELECT bucket,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM assigned GROUP BY 1
+""",
+    tags=("text", "llm-pipeline", "histogram"),
+)(doc_length_equidepth)
+
+
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile of the events table: row count plus
+    per-column null and exact distinct counts (the Deequ/"analyzer"
+    intake report run before any pipeline is pointed at new data).
+
+    One aggregate: Spark plans the multi-column count_distinct set via
+    a single Expand + two-stage hash aggregate — map-side partials make
+    the shuffled volume proportional to the distinct-value counts, not
+    the row count.
+    """
+    ev = load(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append((F.count("*") - F.count(c)).alias(f"{c}_nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}_distinct"))
+    return ev.agg(*aggs)
+
+
+register(
+    "table_profile",
+    oracle="SELECT count(*) AS n_rows, "
+    + ", ".join(
+        f"count(*) - count({c}) AS {c}_nulls, "
+        f"count(DISTINCT {c}) AS {c}_distinct"
+        for c in _PROFILE_COLS
+    )
+    + " FROM events",
+    tags=("profiling", "llm-pipeline"),
+)(table_profile)
