@@ -410,3 +410,59 @@ FROM canon GROUP BY 1
 """,
     tags=("dedup", "llm-pipeline", "url", "bench"),
 )(url_dedup)
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization report: clip ``value`` to each
+    event_type's [p05, p95] and compare raw vs winsorized means — the
+    outlier-capping step applied to noisy reward/quality signals before
+    they feed a training mix.
+
+    Same scale shape as the equi-depth histogram: the exact-percentile
+    cutpoints are a tiny per-group aggregate, broadcast back onto the
+    fact scan (map-only), then one bounded hash aggregate. No global
+    sort, no second fact shuffle.
+    """
+    ev = load(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    j = ev.join(F.broadcast(cuts), "event_type")
+    wv = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") < F.col("p05")).cast("int")).alias("n_clipped_lo"),
+        F.sum((F.col("value") > F.col("p95")).cast("int")).alias("n_clipped_hi"),
+        rnd(F.avg("value"), 4).alias("mean_raw"),
+        rnd(F.avg(wv), 4).alias("mean_winsorized"),
+        rnd(F.min("p05"), 4).alias("p05"),
+        rnd(F.max("p95"), 4).alias("p95"),
+    )
+
+
+register(
+    "winsorized_stats",
+    oracle="""
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN e.value < c.p05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_lo,
+       CAST(sum(CASE WHEN e.value > c.p95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_hi,
+       round(avg(e.value) + 1e-6, 4) AS mean_raw,
+       round(avg(least(greatest(e.value, c.p05), c.p95)) + 1e-6, 4)
+         AS mean_winsorized,
+       round(min(c.p05) + 1e-6, 4) AS p05,
+       round(max(c.p95) + 1e-6, 4) AS p95
+FROM events e JOIN cuts c ON e.event_type = c.event_type
+GROUP BY 1
+""",
+    tags=("curation", "llm-pipeline", "winsorize"),
+)(winsorized_stats)
