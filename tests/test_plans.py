@@ -256,3 +256,53 @@ def test_cohort_retention_single_scan(spark, sf_dir):
     df = cohort_retention(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_funnel_single_exchange(spark, sf_dir):
+    """All three funnel-stage conditional-MIN window passes and the final
+    per-user rollup must share ONE hash exchange on user_id."""
+    from flink_cookbook_spark.operators.timeseries import funnel_conversion
+
+    df = funnel_conversion(spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert not has_cartesian(df)
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """lag-mark, change filter, and lead/version windows: one exchange."""
+    from flink_cookbook_spark.operators.timeseries import scd2_dimension
+
+    df = scd2_dimension(spark, sf_dir)
+    assert count_exchanges(df) == 1
+
+
+def test_quantization_map_only(spark, sf_dir):
+    """int8 quantization + error report is a pass-through stage:
+    ZERO exchanges — the only shape that scales to a full-corpus run."""
+    from flink_cookbook_spark.pipeline.similarity import embedding_quantization
+
+    df = embedding_quantization(spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_equidepth_no_global_sort(spark, sf_dir):
+    """Equi-depth bucketing must use broadcast percentile cutpoints,
+    never a global ntile sort of the corpus."""
+    from flink_cookbook_spark.pipeline.text import doc_length_equidepth
+
+    df = doc_length_equidepth(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
+    # the 1-row cutpoint side rides the broadcast-of-a-scalar pattern
+    # (BroadcastNestedLoopJoin over an IdentityBroadcastMode exchange)
+    assert "BroadcastExchange" in plan
+
+
+def test_winsorize_broadcasts_cutpoints(spark, sf_dir):
+    """Percentile cutpoints (5 groups x 2 doubles) must broadcast; the
+    fact side must not shuffle for the join."""
+    from flink_cookbook_spark.pipeline.curation import winsorized_stats
+
+    df = winsorized_stats(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
