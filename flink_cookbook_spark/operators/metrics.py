@@ -409,9 +409,16 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """Generic as-of (latest-value) join: for each left row, attach the
-    most recent right row with ``right_ts <= left_ts`` on the same key.
+    most recent right row with ``right_ts <= left_ts`` on the same key
+    (``direction='backward'``, the default), or the EARLIEST right row
+    with ``right_ts >= left_ts`` (``direction='forward'`` — the
+    next-scheduled-value lookup). Both directions are the same
+    single-shuffle union + sorted sweep; forward just flips the sort
+    tie-break and sweeps a following frame with first() instead of a
+    preceding frame with last().
 
     Twin of the reference's broadcast latest-value join (J1,
     flinkarima.py:288-376). The reference needs Flink broadcast state only
@@ -433,27 +440,37 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
         F.lit(None).cast("long").alias("_r_ts"),
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # backward: right rows sort BEFORE left rows at equal ts => a baseline
+    # emitted at ts is visible to a left row at the same ts (documented
+    # order: right_ts <= left_ts, latest wins — SURVEY.md section 7.3).
+    # forward: right rows sort AFTER left rows at equal ts so a following
+    # frame starting at the current row still includes the equal-ts match
+    # (right_ts >= left_ts, earliest wins).
+    right_side = 0 if direction == "backward" else 2
     marked_right = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
+        F.lit(right_side).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
         epoch_seconds(right_ts).alias("_r_ts"),
     )
-    # right rows sort before left rows at equal ts => a baseline emitted at
-    # ts is visible to a left row at the same ts (documented order:
-    # right_ts <= left_ts, latest wins — SURVEY.md section 7.3).
-    sweep = Window.partitionBy("_k").orderBy("_ts", "_side").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    base = Window.partitionBy("_k").orderBy("_ts", "_side")
+    if direction == "backward":
+        sweep = base.rowsBetween(Window.unboundedPreceding, 0)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        sweep = base.rowsBetween(0, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     filled = marked_left.unionByName(marked_right).select(
         "*",
         *[
-            F.last(f"_r_{c}", ignorenulls=True).over(sweep).alias(f"_f_{c}")
+            pick(f"_r_{c}").over(sweep).alias(f"_f_{c}")
             for c in value_cols
         ],
-        F.last("_r_ts", ignorenulls=True).over(sweep).alias("_f_ts"),
+        pick("_r_ts").over(sweep).alias("_f_ts"),
     )
     out = filled.where(F.col("_side") == 1)
     if how == "inner":
@@ -515,6 +532,56 @@ FROM windowed r ASOF JOIN baselines b
 """,
     tags=("J1", "asof-join"),
 )(latest_baseline_join)
+
+
+def next_baseline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: enrich each window sample with the NEXT scheduled
+    baseline at-or-after it — the lookahead twin of J1 (used for
+    backfill/repair jobs that align history to the baseline that was
+    *about to* take effect). Same single-shuffle sweep as backward,
+    first() over a following frame instead of last() over a preceding
+    one."""
+    win = _windowed(spark, sf_dir)
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("window_start"))
+    baselines = (
+        win.withColumn("sample_no", rn)
+        .where(F.col("sample_no") % EMIT_EVERY_N == 0)
+        .select("user_id", "window_start", F.col("avg_value").alias("baseline_value"))
+    )
+    return asof_join(
+        win,
+        baselines,
+        key="user_id",
+        left_ts="window_start",
+        right_ts="window_start",
+        value_cols=["baseline_value"],
+        how="inner",
+        direction="forward",
+    )
+
+
+register(
+    "next_baseline_join",
+    oracle="WITH "
+    + _WINDOWED_CTE
+    + f""",
+numbered AS (
+  SELECT user_id, window_start, avg_value,
+         row_number() OVER (PARTITION BY user_id ORDER BY window_start) AS sample_no
+  FROM windowed
+),
+baselines AS (
+  SELECT user_id, window_start, avg_value AS baseline_value
+  FROM numbered WHERE sample_no % {EMIT_EVERY_N} = 0
+)
+SELECT r.user_id, r.window_start, r.avg_value,
+       b.baseline_value AS baseline_value_asof,
+       b.window_start AS window_start_asof
+FROM windowed r ASOF JOIN baselines b
+  ON r.user_id = b.user_id AND r.window_start <= b.window_start
+""",
+    tags=("asof-join", "forward"),
+)(next_baseline_join)
 
 
 # --- multi-resolution rollup (hypertable / continuous-aggregate shape) ------
