@@ -321,3 +321,57 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
 """,
     tags=("timeseries", "scd2", "cdc"),
 )(scd2_dimension)
+
+
+_GAP_THRESHOLD = 7200  # 2 h — heartbeat considered lost
+
+
+def heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-heartbeat detection: per user, every silence longer than
+    the 2-hour threshold, with its bounds and duration — the monitoring
+    complement of sessionize (which groups the activity BETWEEN gaps;
+    this emits the gaps themselves, the rows an on-call alert fires on).
+
+    One lag() pass over one exchange on user_id, then a filter — the
+    plan stays a single WindowExec regardless of corpus size.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    w = Window.partitionBy("user_id").orderBy(sec.asc(), F.col("event_id").asc())
+    gaps = ev.select(
+        "user_id",
+        sec.alias("gap_end"),
+        F.lag(sec, 1).over(w).alias("gap_start"),
+    ).where(
+        F.col("gap_start").isNotNull()
+        & (F.col("gap_end") - F.col("gap_start") > _GAP_THRESHOLD)
+    )
+    return gaps.select(
+        "user_id",
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start")).alias("gap_sec"),
+    )
+
+
+register(
+    "heartbeat_gaps",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+           OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC)
+           AS prev_sec
+  FROM events
+)
+SELECT user_id,
+       prev_sec AS gap_start,
+       ts_sec AS gap_end,
+       ts_sec - prev_sec AS gap_sec
+FROM ordered
+WHERE prev_sec IS NOT NULL AND ts_sec - prev_sec > {_GAP_THRESHOLD}
+""",
+    tags=("timeseries", "monitoring"),
+)(heartbeat_gaps)
