@@ -375,3 +375,47 @@ WHERE prev_sec IS NOT NULL AND ts_sec - prev_sec > {_GAP_THRESHOLD}
 """,
     tags=("timeseries", "monitoring"),
 )(heartbeat_gaps)
+
+
+def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user journey path: the full event-type sequence in event-time
+    order as one delimited string — the path-analysis primitive behind
+    Sankey funnels and Markov attribution models.
+
+    collect_list alone is order-nondeterministic under parallel merge;
+    collecting (ts, event_id, type) structs and sort_array-ing AFTER the
+    merge makes the result a pure function of the data. One exchange on
+    user_id; per-key memory is that key's own event count (the same
+    bound every per-key window op here already assumes).
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                sec.alias("ts_sec"),
+                F.col("event_id"),
+                F.col("event_type"),
+            )
+        )
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(
+            F.transform(arr, lambda s: s["event_type"]), ">"
+        ).alias("path"),
+    )
+
+
+register(
+    "user_event_paths",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       string_agg(event_type, '>'
+                  ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC,
+                           event_id ASC) AS path
+FROM events GROUP BY user_id
+""",
+    tags=("timeseries", "path-analysis"),
+)(user_event_paths)
