@@ -419,3 +419,109 @@ FROM events GROUP BY user_id
 """,
     tags=("timeseries", "path-analysis"),
 )(user_event_paths)
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: count and probability of each (from_type -> to_type)
+    step — the model behind attribution and next-action prediction,
+    and the aggregate twin of ``user_event_paths``.
+
+    One lag() pass on the user_id exchange, then a 25-cell hash
+    aggregate; the probability normalization is a window SUM over the
+    tiny aggregated matrix, not the raw events.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    w = Window.partitionBy("user_id").orderBy(sec.asc(), F.col("event_id").asc())
+    pairs = ev.select(
+        F.lag("event_type", 1).over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    total = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        rnd(F.col("n") / F.sum("n").over(total), 4).alias("prob"),
+    )
+
+
+register(
+    "event_transition_matrix",
+    oracle="""
+WITH pairs AS (
+  SELECT lag(event_type, 1)
+           OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY from_type) + 1e-6, 4) AS prob
+FROM counts
+""",
+    tags=("timeseries", "markov", "path-analysis"),
+)(event_transition_matrix)
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives + trailing-7-day distinct actives per day.
+
+    A sliding COUNT DISTINCT has no window-function form in either
+    engine; the scale-safe shape is the expand-by-window-width trick:
+    each distinct (user, day) contributes to the 7 window-end days it
+    falls into (a bounded 7x fan-out of the ALREADY-deduplicated
+    user-day pairs, not of raw events), then one distinct-count per
+    window day. Shuffle volume is users x days x 7 — independent of
+    event count.
+    """
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("offset"),
+        F.date_add("day", F.col("offset")).alias("window_day"),
+    ).drop("offset")
+    rolling = (
+        contrib.join(days.withColumnRenamed("day", "window_day"), "window_day")
+        .select("user_id", "window_day")
+        .distinct()
+        .groupBy("window_day")
+        .agg(F.count("*").alias("active_7d"))
+    )
+    return dau.join(
+        rolling, dau.day == rolling.window_day
+    ).select("day", "dau", "active_7d")
+
+
+register(
+    "rolling_active_users",
+    oracle="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+contrib AS (
+  SELECT DISTINCT ud.user_id, ud.day + CAST(t.x AS INTEGER) AS window_day
+  FROM ud, unnest(generate_series(0, 6)) AS t(x)
+),
+rolling AS (
+  SELECT c.window_day, count(*) AS active_7d
+  FROM contrib c JOIN days d ON c.window_day = d.day
+  GROUP BY 1
+)
+SELECT dau.day, dau.dau, r.active_7d
+FROM dau JOIN rolling r ON dau.day = r.window_day
+""",
+    tags=("timeseries", "retention", "sliding-distinct"),
+)(rolling_active_users)
