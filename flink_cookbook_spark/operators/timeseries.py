@@ -525,3 +525,135 @@ FROM dau JOIN rolling r ON dau.day = r.window_day
 """,
     tags=("timeseries", "retention", "sliding-distinct"),
 )(rolling_active_users)
+
+
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift summary per user: cumulative sum of deviations from
+    the user's own mean, reported as the worst absolute excursion and
+    its scale-free ratio (max|cusum| / (stddev * sqrt(n))) — the classic
+    change-point screen for slowly drifting signals that z-score
+    thresholds (A2) miss.
+
+    Per-user mean/stddev come from an unordered whole-partition window,
+    the running sum from an ordered one — both ride the SAME single
+    exchange on user_id; the final per-user rollup is a partial
+    aggregate over already-partitioned rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    whole = Window.partitionBy("user_id")
+    ordered = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_sec").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # two projections (mean/sd first, then the running sum) — nested
+    # window calls are illegal SQL; both passes share one exchange
+    stats = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        sec.alias("ts_sec"),
+        F.avg("value").over(whole).alias("mu"),
+        F.stddev_samp("value").over(whole).alias("sd"),
+    )
+    per_row = stats.select(
+        "user_id",
+        F.abs(F.sum(F.col("value") - F.col("mu")).over(ordered)).alias("abs_cusum"),
+        "sd",
+    )
+    return per_row.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        rnd(F.max("abs_cusum"), 4).alias("max_drift"),
+        rnd(F.min("sd"), 4).alias("value_sd"),
+        rnd(
+            F.max("abs_cusum") / (F.min("sd") * F.sqrt(F.count("*"))), 4
+        ).alias("drift_ratio"),
+    )
+
+
+register(
+    "cusum_drift",
+    oracle="""
+WITH stats AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         avg(value) OVER (PARTITION BY user_id) AS mu,
+         stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+  FROM events
+),
+per_row AS (
+  SELECT user_id,
+         abs(sum(value - mu)
+             OVER (PARTITION BY user_id
+                   ORDER BY ts_sec ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS abs_cusum,
+         sd
+  FROM stats
+)
+SELECT user_id,
+       count(*) AS n,
+       round(max(abs_cusum) + 1e-6, 4) AS max_drift,
+       round(min(sd) + 1e-6, 4) AS value_sd,
+       round(max(abs_cusum) / (min(sd) * sqrt(count(*))) + 1e-6, 4)
+         AS drift_ratio
+FROM per_row GROUP BY user_id
+""",
+    tags=("timeseries", "changepoint", "anomaly"),
+)(cusum_drift)
+
+
+def hourly_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event_type: mean value by hour
+    and each hour's effect vs the type's overall mean — the additive
+    seasonal component the reference's SARIMAX models with (s=288
+    5-min slots, flinkarima.py:226-235), reduced to the 24-slot daily
+    cycle a batch profile job publishes.
+
+    Two partial aggregates (type x hour, then type) joined on the tiny
+    profile table — the raw scan happens once, nothing re-shuffles at
+    event granularity.
+    """
+    ev = load(spark, sf_dir, "events")
+    by_hour = (
+        ev.select("event_type", F.hour("ts").alias("hour"), "value")
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n_events"), F.avg("value").alias("hour_avg"))
+    )
+    overall = by_hour.groupBy("event_type").agg(
+        (F.sum(F.col("hour_avg") * F.col("n_events")) / F.sum("n_events")).alias(
+            "type_avg"
+        )
+    )
+    return by_hour.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        "hour",
+        "n_events",
+        rnd(F.col("hour_avg"), 4).alias("hour_avg"),
+        rnd(F.col("hour_avg") - F.col("type_avg"), 4).alias("hour_effect"),
+    )
+
+
+register(
+    "hourly_seasonal_profile",
+    oracle="""
+WITH by_hour AS (
+  SELECT event_type,
+         CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+         count(*) AS n_events,
+         avg(value) AS hour_avg
+  FROM events GROUP BY 1, 2
+),
+overall AS (
+  SELECT event_type,
+         sum(hour_avg * n_events) / sum(n_events) AS type_avg
+  FROM by_hour GROUP BY 1
+)
+SELECT b.event_type, b.hour, b.n_events,
+       round(b.hour_avg + 1e-6, 4) AS hour_avg,
+       round(b.hour_avg - o.type_avg + 1e-6, 4) AS hour_effect
+FROM by_hour b JOIN overall o ON b.event_type = o.event_type
+""",
+    tags=("timeseries", "seasonality"),
+)(hourly_seasonal_profile)
