@@ -91,3 +91,66 @@ GROUP BY p_brand
 """,
     tags=("join", "skew", "salting", "bench"),
 )(salted_join_agg)
+
+
+def hot_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the distribution of per-key row counts for
+    each candidate shuffle key of the events table — the report that
+    decides WHETHER a join needs salting before anyone pays for it.
+
+    Per key column: one partial-aggregated count per key (shuffle volume
+    = distinct keys), then a single tiny rollup of count quantiles and
+    the max/mean skew factor. At 100 TB this is the cheap pre-flight
+    every repartition/join strategy decision should read.
+    """
+    ev = load(spark, sf_dir, "events")
+    outs = []
+    for key in ("user_id", "event_type"):
+        per_key = ev.groupBy(F.col(key).cast("string").alias("k")).agg(
+            F.count("*").alias("n")
+        )
+        outs.append(
+            per_key.agg(
+                F.lit(key).alias("key_col"),
+                F.count("*").alias("n_keys"),
+                F.min("n").alias("min_rows"),
+                F.floor(F.expr("percentile(n, 0.5)")).alias("p50_rows"),
+                F.floor(F.expr("percentile(n, 0.99)")).alias("p99_rows"),
+                F.max("n").alias("max_rows"),
+                rnd(F.max("n") / F.avg("n"), 4).alias("skew_factor"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+register(
+    "hot_key_profile",
+    oracle="""
+WITH u AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT event_type AS k, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT 'user_id' AS key_col, count(*) AS n_keys,
+       min(n) AS min_rows,
+       CAST(floor(quantile_cont(n, 0.5)) AS BIGINT) AS p50_rows,
+       CAST(floor(quantile_cont(n, 0.99)) AS BIGINT) AS p99_rows,
+       max(n) AS max_rows,
+       round(max(n) * 1.0 / avg(n) + 1e-6, 4) AS skew_factor
+FROM u
+UNION ALL
+SELECT 'event_type', count(*), min(n),
+       CAST(floor(quantile_cont(n, 0.5)) AS BIGINT),
+       CAST(floor(quantile_cont(n, 0.99)) AS BIGINT),
+       max(n),
+       round(max(n) * 1.0 / avg(n) + 1e-6, 4)
+FROM t
+""",
+    tags=("skew", "profiling", "diagnostics"),
+)(hot_key_profile)
