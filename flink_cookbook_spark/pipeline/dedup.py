@@ -9,9 +9,16 @@ Scale notes (100 TB):
 - exact dedup is one hash aggregate on a fingerprint — the canonical
   map-side-combinable shape.
 - the Jaccard inverted index joins on shingle; hot shingles (stopword
-  runs) are the skew risk at scale — AQE skew-join handles moderate skew,
-  and production would drop ultra-frequent shingles (df > threshold)
-  before the join, exactly like dropping stopwords.
+  runs, boilerplate) are THE quadratic risk at scale — a shingle present
+  in d documents contributes d^2 join rows. The index therefore drops
+  shingles with document frequency > SHINGLE_DF_CAP before any join
+  (exactly like dropping stopwords): one window count over the single
+  shingle exchange, mirrored in the DuckDB oracle so every downstream
+  stage (Jaccard, MinHash, LSH, clusters) stays hash-consistent. The
+  cap bounds the worst shingle's join fan-out at DF_CAP^2 regardless of
+  corpus size; boilerplate-heavy web text at 100 TB hits the cap, the
+  fixture corpora (max df 25 at sf0.1) do not, so fixture results are
+  unchanged with the cap active.
 - MinHash+LSH is the scale path: signature size k=16, 4 bands x 4 rows.
   Candidate generation joins on (band_id, band_key) — output is near-
   linear in the number of true near-dup pairs, not quadratic in corpus
@@ -36,6 +43,11 @@ from flink_cookbook_spark.pipeline._cache import memo_persist
 from flink_cookbook_spark.registry import register, rnd
 
 SHINGLE_K = 3
+#: drop shingles appearing in more than this many documents before any
+#: self-join: caps the worst hot-shingle fan-out at DF_CAP^2 rows. 100
+#: is far above the fixture max df (25 at sf0.1) and far below the df of
+#: true boilerplate (site headers repeat millions of times at 100 TB).
+SHINGLE_DF_CAP = 100
 JACCARD_THRESHOLD = 0.5
 MINHASH_K = 16
 LSH_BANDS = 4
@@ -75,42 +87,71 @@ FROM documents GROUP BY md5(text)
 )(exact_dedup)
 
 
+def _shingles_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unmemoized shingle-index plan: distinct (doc_id, shingle) word
+    3-grams, with ultra-frequent shingles (df > SHINGLE_DF_CAP) dropped.
+
+    The whole index is ONE hash exchange on ``shingle``: the explicit
+    repartition satisfies both the (doc_id, shingle) dedup aggregate
+    (co-location on shingle clusters every duplicate pair) and the df
+    window, so dedup, df-count, and the cap filter all ride the same
+    shuffle — a distinct-then-window shape costs a second exchange.
+    (Trade-off: repartitioning raw exploded shingles forgoes map-side
+    partial dedup, but within-document repeated 3-grams are rare, and
+    the cap filter runs BEFORE any self-join consumes the index, so a
+    hot boilerplate shingle can never fan out quadratically downstream
+    — tests/test_plans.py pins the Window-then-Filter, one-exchange
+    shape.)"""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts")).where(
+        F.size("ts") >= SHINGLE_K
+    )
+    raw = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ts)-3),"
+                " i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
+            )
+        ).alias("shingle"),
+    )
+    df_w = Window.partitionBy("shingle")
+    return (
+        raw.repartition("shingle")
+        .dropDuplicates(["doc_id", "shingle"])
+        .withColumn("_df", F.count("*").over(df_w))
+        .where(F.col("_df") <= SHINGLE_DF_CAP)
+        .drop("_df")
+    )
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs: word 3-grams.
-
-    Materialized once per session via memo_persist — the shingle index
-    is reused by every near-dup stage (Jaccard inverted index, MinHash
-    signatures, LSH verify joins), and self-joins consume it twice per
-    query; recomputing the explode+distinct at every use dominated the
-    un-cached plan (12 scans in minhash_lsh_pairs alone)."""
-
-    def build() -> DataFrame:
-        docs = load(spark, sf_dir, "documents")
-        toks = docs.select("doc_id", F.split("text", " ").alias("ts")).where(
-            F.size("ts") >= SHINGLE_K
-        )
-        return toks.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(ts)-3),"
-                    " i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
-                )
-            ).alias("shingle"),
-        ).distinct()
-
-    return memo_persist(spark, "shingles", sf_dir, build)
+    """Df-capped shingle index, materialized once per session via
+    memo_persist — it is reused by every near-dup stage (Jaccard
+    inverted index, MinHash signatures, LSH verify joins), and
+    self-joins consume it twice per query; recomputing the
+    explode+distinct at every use dominated the un-cached plan
+    (12 scans in minhash_lsh_pairs alone)."""
+    return memo_persist(
+        spark, "shingles", sf_dir, lambda: _shingles_plan(spark, sf_dir)
+    )
 
 
-_SHINGLES_CTE = """
+_SHINGLES_CTE = f"""
 toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
          WHERE len(string_split(text, ' ')) >= 3),
-shingles AS (
+shingles_all AS (
   SELECT DISTINCT doc_id, s AS shingle
   FROM (SELECT doc_id,
                unnest(list_transform(range(1, len(ts) - 1),
                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
         FROM toks)
+),
+shingles AS (
+  SELECT doc_id, shingle
+  FROM (SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM shingles_all)
+  WHERE df <= {SHINGLE_DF_CAP}
 )
 """
 

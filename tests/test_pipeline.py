@@ -215,3 +215,58 @@ def test_changelog_compaction_one_row_per_key_latest(spark, sf_dir):
     )
     for r in out.collect():
         assert r.last_ts == max_ts[r.user_id]
+
+
+def test_shingle_df_cap_drops_boilerplate_pairs(spark, tmp_path):
+    """A boilerplate sentence shared by >SHINGLE_DF_CAP documents must NOT
+    produce O(d^2) Jaccard pairs: its shingles are dropped by the df cap
+    before the inverted-index self-join, while a genuine near-dup pair
+    (rare shingles) survives — and the DuckDB oracle, which mirrors the
+    cap, agrees exactly (hash-consistency with the cap ACTIVE)."""
+    import duckdb
+    import pandas as pd
+
+    from flink_cookbook_spark.pipeline.dedup import (
+        SHINGLE_DF_CAP,
+        _shingles,
+        ngram_jaccard_pairs,
+    )
+    from flink_cookbook_spark.registry import get_query
+    from tests.oracle_harness import compare
+
+    n_boiler = SHINGLE_DF_CAP + 20
+    rows = []
+    for i in range(n_boiler):
+        # shared boilerplate header + unique tail (no cross-doc overlap)
+        rows.append(
+            {
+                "doc_id": i,
+                "text": f"all rights reserved terms of service apply u{i}a u{i}b u{i}c u{i}d u{i}e",
+            }
+        )
+    # one true near-dup pair built from rare shingles
+    rows.append({"doc_id": 9000, "text": "alpha beta gamma delta epsilon zeta eta"})
+    rows.append({"doc_id": 9001, "text": "alpha beta gamma delta epsilon zeta theta"})
+    pdf = pd.DataFrame(rows)
+    pdf["lang"] = "en"
+    pdf["source"] = "synthetic"
+    pdf["n_chars"] = pdf["text"].str.len()
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+
+    sf_dir = str(tmp_path)
+    idx = _shingles(spark, sf_dir)
+    max_df = idx.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    assert max_df <= SHINGLE_DF_CAP, max_df
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    got = {(r.doc1, r.doc2) for r in pairs.collect()}
+    assert (9000, 9001) in got
+    # no boilerplate-only pair may appear (the uncapped index would emit
+    # n_boiler*(n_boiler-1)/2 = 7140 of them)
+    assert all(d1 >= 9000 for d1, _ in got), sorted(got)[:5]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    problems = compare(pairs, con, get_query("ngram_jaccard_pairs").oracle, "ngram_jaccard_pairs")
+    assert not problems, problems

@@ -298,6 +298,21 @@ def test_equidepth_no_global_sort(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_shingle_df_cap_precedes_self_join(spark, sf_dir):
+    """The hot-shingle df cap must be applied INSIDE the shingle index —
+    a Window count partitioned by shingle feeding a <= SHINGLE_DF_CAP
+    filter — so no self-join can ever see an uncapped shingle; and the
+    whole index (dedup + df count + cap) must ride ONE hash exchange."""
+    from flink_cookbook_spark.pipeline.dedup import SHINGLE_DF_CAP, _shingles_plan
+
+    df = _shingles_plan(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan
+    assert f"<= {SHINGLE_DF_CAP})" in plan, plan
+    assert plan.index("Window") > plan.index("Filter"), "cap filter must sit above the window"
+    assert count_exchanges(df) == 1
+
+
 def test_winsorize_broadcasts_cutpoints(spark, sf_dir):
     """Percentile cutpoints (5 groups x 2 doubles) must broadcast; the
     fact side must not shuffle for the join."""
