@@ -237,16 +237,43 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct (HLL++). No oracle — sketch implementations
-    differ across engines; accuracy is asserted in tests/test_relational.py
-    against the exact count (rsd 5%)."""
+    """Approximate distinct (HLL++), made hash-checkable: the raw sketch
+    estimate differs across engines (DuckDB cannot reproduce Spark's
+    HLL), so project the EXACT count plus a deterministic accuracy
+    boolean — |est-exact|/exact <= 3*rsd. Spark's HLL merge is
+    order-independent, so the estimate (and hence the boolean) is stable
+    on fixed data; 3*rsd = 0.15 is the standard ~3-sigma bound (observed
+    max fixture error 8.6% at rsd=0.05). The oracle recomputes the exact
+    count and asserts the bound holds as literal TRUE."""
     lineitem = load(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("approx_orders"),
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", rsd=0.05).alias("_est"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("_est") - F.col("exact_orders"))
+                / F.col("exact_orders")
+                <= 0.15
+            ).alias("within_3rsd"),
+        )
     )
 
 
-register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))(agg_approx_distinct)
+register(
+    "agg_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS within_3rsd
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "approx"),
+)(agg_approx_distinct)
 
 
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

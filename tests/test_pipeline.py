@@ -25,18 +25,20 @@ def test_minhash_lsh_recall(spark, sf_dir):
 
 
 def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """The projected within_3rsd boolean must be TRUE for every group
+    (the HLL estimate lands inside the 3-sigma bound), and exact_orders
+    must equal the true distinct count."""
     from flink_cookbook_spark.catalog import load
     from flink_cookbook_spark.operators.relational import agg_approx_distinct
-    from pyspark.sql import functions as F
 
     li = load(spark, sf_dir, "lineitem")
     exact = {
         r.l_returnflag: r.n
         for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_orderkey").alias("n")).collect()
     }
-    approx = {r.l_returnflag: r.approx_orders for r in agg_approx_distinct(spark, sf_dir).collect()}
-    for k, n in exact.items():
-        assert abs(approx[k] - n) / n < 0.15, f"{k}: approx {approx[k]} vs exact {n}"
+    for r in agg_approx_distinct(spark, sf_dir).collect():
+        assert r.within_3rsd, r
+        assert r.exact_orders == exact[r.l_returnflag], r
 
 
 def test_multimodal_decode_stub_matches_python(spark, sf_dir):
