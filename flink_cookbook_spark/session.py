@@ -40,6 +40,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size post-shuffle partitions by data volume (advisory 64 MB
+        # target), not by the cluster's default parallelism — the Spark
+        # tuning guide's recommended production setting. A 3 MB aggregate
+        # becomes 1 partition instead of 32 near-empty tasks; a 10 GB
+        # shuffle still fans out to ~160.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # let AQE re-plan (and coalesce) CACHED plans too: persisted
+        # intermediates (the 5-min windowed aggregate, the shingle index)
+        # otherwise keep shuffle-partition-count slices forever, and every
+        # downstream consumer pays per-task overhead proportional to the
+        # ORIGINAL parallelism rather than the data size.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -302,8 +302,15 @@ def test_shingle_df_cap_precedes_self_join(spark, sf_dir):
     """The hot-shingle df cap must be applied INSIDE the shingle index —
     a Window count partitioned by shingle feeding a <= SHINGLE_DF_CAP
     filter — so no self-join can ever see an uncapped shingle; and the
-    whole index (dedup + df count + cap) must ride ONE hash exchange."""
+    whole index (dedup + df count + cap) must ride ONE hash exchange.
+
+    Clear the memo cache first: if an earlier test persisted the shingle
+    index, Spark substitutes the cached relation into this fresh plan and
+    the assertion would measure cache-read shape, not the build shape."""
+    from flink_cookbook_spark.pipeline._cache import clear
     from flink_cookbook_spark.pipeline.dedup import SHINGLE_DF_CAP, _shingles_plan
+
+    clear()
 
     df = _shingles_plan(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
