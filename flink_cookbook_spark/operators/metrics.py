@@ -457,7 +457,14 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
         epoch_seconds(right_ts).alias("_r_ts"),
     )
-    base = Window.partitionBy("_k").orderBy("_ts", "_side")
+    # deterministic tie-break among RIGHT rows sharing (key, ts): order by
+    # the carried value columns too, so backward's last() always picks the
+    # greatest value tuple (forward's first() the least) instead of
+    # whichever row the shuffle happened to deliver last. Left rows are
+    # unaffected (their _r_* are all NULL and the sweep reads only _r_*).
+    base = Window.partitionBy("_k").orderBy(
+        "_ts", "_side", *[F.col(f"_r_{c}") for c in value_cols]
+    )
     if direction == "backward":
         sweep = base.rowsBetween(Window.unboundedPreceding, 0)
         pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731

@@ -562,13 +562,15 @@ def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.sum(F.col("value") - F.col("mu")).over(ordered)).alias("abs_cusum"),
         "sd",
     )
+    # nullif-guard the sd divisor: for an all-constant user sd = 0, where
+    # Spark's Divide yields NULL but DuckDB (ieee_floating_point_ops
+    # default) yields inf — NULL on BOTH sides keeps the hash stable.
+    sd_div = F.when(F.min("sd") != 0, F.min("sd") * F.sqrt(F.count("*")))
     return per_row.groupBy("user_id").agg(
         F.count("*").alias("n"),
         rnd(F.max("abs_cusum"), 4).alias("max_drift"),
         rnd(F.min("sd"), 4).alias("value_sd"),
-        rnd(
-            F.max("abs_cusum") / (F.min("sd") * F.sqrt(F.count("*"))), 4
-        ).alias("drift_ratio"),
+        rnd(F.max("abs_cusum") / sd_div, 4).alias("drift_ratio"),
     )
 
 
@@ -596,7 +598,7 @@ SELECT user_id,
        count(*) AS n,
        round(max(abs_cusum) + 1e-6, 4) AS max_drift,
        round(min(sd) + 1e-6, 4) AS value_sd,
-       round(max(abs_cusum) / (min(sd) * sqrt(count(*))) + 1e-6, 4)
+       round(max(abs_cusum) / (nullif(min(sd), 0) * sqrt(count(*))) + 1e-6, 4)
          AS drift_ratio
 FROM per_row GROUP BY user_id
 """,

@@ -12,7 +12,9 @@ Scale notes (100 TB):
 - decontamination joins the corpus against a BENCHMARK n-gram index that
   is tiny relative to the corpus (eval suites are megabytes) — the gram
   index is explicitly ``F.broadcast``; the corpus side stays map-only,
-  no corpus shuffle at all.
+  no corpus shuffle at all. The pseudo-benchmark membership rule is
+  hard-bounded (doc_id < DECON_MAX_DOC_ID) so the broadcast side cannot
+  grow with the corpus.
 - PII redaction is a row-local regexp pass (whole-stage codegen; zero
   shuffles).
 - the repetition filter explodes tokens once (the dominant cost);
@@ -41,6 +43,16 @@ DECON_N = 4
 
 #: deterministic pseudo-benchmark membership: doc_id % DECON_MOD == 0.
 DECON_MOD = 97
+
+#: hard bound on the pseudo-benchmark's doc_id range. Without it the
+#: benchmark side is ~1/DECON_MOD of the CORPUS — growing linearly with
+#: corpus size and eventually breaking the broadcast. Real eval suites
+#: are fixed megabytes; this cap models that: at most ~DECON_MAX_DOC_ID
+#: / DECON_MOD (~10k) docs can ever be benchmark members, so the
+#: broadcast gram index is bounded by construction at any corpus scale.
+#: Far above every fixture's doc_id range, so fixture results are
+#: unchanged.
+DECON_MAX_DOC_ID = 1_000_000
 
 #: Gopher-style repetition thresholds (tuned to fixture quantiles so the
 #: flag is neither empty nor total).
@@ -99,10 +111,15 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     grams = _grams(docs)
     bench = (
-        grams.where(F.col("doc_id") % DECON_MOD == 0)
+        grams.where(
+            (F.col("doc_id") % DECON_MOD == 0)
+            & (F.col("doc_id") < DECON_MAX_DOC_ID)
+        )
         .select(F.col("doc_id").alias("bench_doc"), "gram")
     )
-    train = grams.where(F.col("doc_id") % DECON_MOD != 0)
+    train = grams.where(
+        (F.col("doc_id") % DECON_MOD != 0) | (F.col("doc_id") >= DECON_MAX_DOC_ID)
+    )
     return (
         train.join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
@@ -118,8 +135,10 @@ register(
     oracle="WITH "
     + _GRAMS_CTE
     + f""",
-bench AS (SELECT doc_id AS bench_doc, gram FROM grams WHERE doc_id % {DECON_MOD} = 0),
-train AS (SELECT doc_id, gram FROM grams WHERE doc_id % {DECON_MOD} <> 0)
+bench AS (SELECT doc_id AS bench_doc, gram FROM grams
+          WHERE doc_id % {DECON_MOD} = 0 AND doc_id < {DECON_MAX_DOC_ID}),
+train AS (SELECT doc_id, gram FROM grams
+          WHERE doc_id % {DECON_MOD} <> 0 OR doc_id >= {DECON_MAX_DOC_ID})
 SELECT t.doc_id,
        count(DISTINCT t.gram) AS n_shared_ngrams,
        count(DISTINCT b.bench_doc) AS n_benchmark_docs

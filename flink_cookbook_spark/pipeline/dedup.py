@@ -731,28 +731,41 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle computes the same fixpoint with a recursive CTE —
     an iterative distributed algorithm checked against recursive SQL.
     """
-    pairs = _lsh_verified_pairs_df(spark, sf_dir).select("doc1", "doc2")
     # undirected edge list — doubled via explode, NOT union-with-swap:
     # a union would embed the full LSH-pair pipeline twice in the plan
     # (exchange reuse does not fire across the swapped projections) and
-    # exactly double the most expensive stage of the whole query
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("doc1"), F.col("doc2")),
-                    F.struct(
-                        F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2")
-                    ),
-                )
-            ).alias("e")
+    # exactly double the most expensive stage of the whole query.
+    # Memoized: the edge list is tiny (2x the verified near-dup pairs)
+    # and re-entered on every dedup_clusters/dedup_canonical_docs call.
+    def build_edges() -> DataFrame:
+        pairs = _lsh_verified_pairs_df(spark, sf_dir).select("doc1", "doc2")
+        return (
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("doc1"), F.col("doc2")),
+                        F.struct(
+                            F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.doc1", "e.doc2")
+            .distinct()
         )
-        .select("e.doc1", "e.doc2")
-        .distinct()
+
+    edges = memo_persist(spark, "cluster_edges", sf_dir, build_edges)
+    # seed with least(self, min direct neighbor): one full propagation
+    # round folded into initialization for free (the groupBy replaces the
+    # distinct-nodes shuffle the identity seed needed anyway), so a
+    # diameter-d component converges in d-1 iterations instead of d.
+    # Any per-node label drawn from its own component upper-bounds the
+    # component min, so the fixpoint is unchanged.
+    labels = (
+        edges.groupBy(F.col("doc1").alias("doc_id"))
+        .agg(F.min("doc2").alias("nbr"))
+        .select("doc_id", F.least(F.col("doc_id"), F.col("nbr")).alias("label"))
     )
-    edges.persist()
-    nodes = edges.select(F.col("doc1").alias("doc_id")).distinct()
-    labels = nodes.withColumn("label", F.col("doc_id"))
     # Iteration hygiene: each generation is persisted only until the next
     # one's convergence count has materialized, then explicitly dropped
     # (blocking, so storage is bounded at 2 generations), and lineage is
@@ -795,7 +808,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     if prev_persisted is not None:
         prev_persisted.unpersist(blocking=True)
-    edges.unpersist(blocking=True)
     return result
 
 

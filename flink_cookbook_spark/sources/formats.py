@@ -76,15 +76,25 @@ _FMT_CACHE_ROOT = os.path.join(
 
 def _sf_fingerprint(sf_dir: str) -> str:
     """Hash of the fixture parquet mtimes/sizes under ``sf_dir`` — the
-    cache-invalidation key for everything materialized from fixtures."""
+    cache-invalidation key for everything materialized from fixtures.
+
+    Nanosecond mtimes (``st_mtime_ns``), recursively over any nested
+    layout: a regeneration that lands within the same wall-clock second
+    with identical file sizes must still invalidate (whole-second
+    truncation was exactly the staleness class this key exists to
+    prevent)."""
     import hashlib
 
-    stat = "|".join(
-        f"{f}:{int(os.path.getmtime(p))}:{os.path.getsize(p)}"
-        for f in sorted(os.listdir(sf_dir))
-        if (p := os.path.join(sf_dir, f)).endswith(".parquet")
-    )
-    return hashlib.md5(stat.encode()).hexdigest()[:10]
+    parts: list[str] = []
+    for dirpath, dirnames, filenames in sorted(os.walk(sf_dir)):
+        dirnames.sort()
+        for f in sorted(filenames):
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                rel = os.path.relpath(p, sf_dir)
+                parts.append(f"{rel}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
 def _materialized(

@@ -75,6 +75,10 @@ class NodeMetricsGridReader(DataSourceReader):
         self.n_parts = max(1, int(options.get("partitions", 8)))
 
     def partitions(self) -> list[InputPartition]:
+        if self.n_rows <= 0:
+            # n_rows=0 would make step 0 and range() raise; an empty
+            # source is a legal (empty) partition list
+            return []
         step = -(-self.n_rows // self.n_parts)  # ceil div
         return [
             _GridPartition(lo, min(lo + step, self.n_rows))

@@ -81,3 +81,34 @@ def test_approx_percentile_accuracy(spark, sf_dir):
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.02
+
+
+def test_cusum_drift_constant_user_null_parity(spark, tmp_path):
+    """A user with identical values has sd=0; Spark's guarded divide and
+    the oracle's nullif(sd,0) must BOTH yield NULL for drift_ratio (DuckDB
+    ieee division would otherwise return inf and flip the hash)."""
+    import duckdb
+    import pandas as pd
+
+    from flink_cookbook_spark.operators.timeseries import cusum_drift
+    from flink_cookbook_spark.registry import get_query
+    from tests.oracle_harness import compare
+
+    rows = []
+    for i in range(6):
+        rows.append({"event_id": i, "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+                     "user_id": 1, "event_type": "view", "value": 42.0, "props": "{}"})
+        rows.append({"event_id": 100 + i, "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+                     "user_id": 2, "event_type": "view", "value": float(i * i), "props": "{}"})
+    path = str(tmp_path / "events.parquet")
+    pd.DataFrame(rows).to_parquet(path)
+
+    out = cusum_drift(spark, str(tmp_path))
+    got = {r.user_id: r.drift_ratio for r in out.collect()}
+    assert got[1] is None, got
+    assert got[2] is not None
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    problems = compare(out, con, get_query("cusum_drift").oracle, "cusum_drift")
+    assert not problems, problems

@@ -226,3 +226,10 @@ def test_python_datasource_feeds_windowed_pipeline(spark, tmp_path):
         for r in batch.collect()
     }
     assert streamed == want
+
+
+def test_python_datasource_zero_rows_is_empty(spark):
+    """n_rows=0 must yield an empty frame, not a range() ValueError."""
+    from flink_cookbook_spark.sources.pydatasource import NodeMetricsGridReader
+
+    assert NodeMetricsGridReader({"n_rows": 0}).partitions() == []
