@@ -13,10 +13,16 @@ pandas frame), ``applyInPandasWithState`` in streaming (Arrow-batched
 state, vs the reference's per-record pickling). Everything around it
 (window agg, enrichment join, alert filter) stays relational.
 
-statsmodels is not installed in this container, so the default forecaster
-is a documented pure-numpy approximation (seasonal-naive level + EWMA of
-the seasonally differenced series ~ SARIMA(0,0,0)(0,1,1)s); when
-statsmodels is importable the exact reference model is used instead.
+Three forecasters behind one switch (``BaselineConfig.method``): the
+exact statsmodels SARIMAX (used automatically when importable), a
+VENDORED CSS fit of the same ARIMA(1,1,1)x(0,1,1,s) model
+(streaming/seasonal_arima.py — no statsmodels needed, pytest-verified
+against simulated data and, env-gated, against statsmodels itself), and
+a closed-form numpy fallback (seasonal-naive level + EWMA of the
+seasonally differenced series ~ SARIMA(0,0,0)(0,1,1)s) whose math is
+hash-checked end-to-end by ``baseline_fallback_oracle``. ``auto``
+resolves statsmodels -> fallback, keeping the registered fixture
+queries on the fast closed-form path.
 
 State-update order replicated exactly (flinkarima.py:191-239):
 scale with PRE-update mean/std -> append + trim history -> Welford update
@@ -54,7 +60,20 @@ except ImportError:
 @dataclass(frozen=True)
 class BaselineConfig:
     """Reference defaults from run_job.sh:11-28 / flinkarima.py:498-515,
-    scaled down for the fixture cadence by the registered queries."""
+    scaled down for the fixture cadence by the registered queries.
+
+    ``method`` selects the forecaster:
+    - ``"auto"``: statsmodels SARIMAX when importable, else the EWMA
+      fallback (the fast closed-form path the registered fixture
+      queries use — its math is hash-checked end-to-end by
+      ``baseline_fallback_oracle``).
+    - ``"sarimax"``: force the exact statsmodels fit (raises if absent).
+    - ``"css"``: the vendored seasonal-ARIMA(1,1,1)x(0,1,1,s) CSS fit
+      (streaming/seasonal_arima.py) — the reference MODEL without the
+      statsmodels dependency; per-fit cost is a real optimizer run, so
+      use it at the reference's fit cadence, not in bulk bench paths.
+    - ``"ewma"``: force the closed-form fallback.
+    """
 
     max_history: int = 1440
     min_history: int = 288
@@ -63,6 +82,7 @@ class BaselineConfig:
     order: tuple[int, int, int] = (1, 1, 1)
     seasonal_order: tuple[int, int, int] = (0, 1, 1)
     forecast_steps: int = 1
+    method: str = "auto"
 
 
 #: fixture-scale config: 5-min windows over ~2 weeks of events, 12
@@ -75,22 +95,35 @@ BASELINE_SCHEMA = (
     "trend_latest double, trend_5season double, model string"
 )
 
-#: which forecaster produced a baseline record — surfaced per record so
-#: consumers can tell the exact reference SARIMAX from the numpy
-#: fallback this container is limited to (statsmodels absent).
-MODEL_NAME = "sarimax" if HAVE_STATSMODELS else "ewma_fallback"
+def resolve_method(cfg: BaselineConfig) -> str:
+    """Concrete forecaster for a config: auto -> sarimax|ewma."""
+    if cfg.method == "auto":
+        return "sarimax" if HAVE_STATSMODELS else "ewma"
+    return cfg.method
+
+
+def model_name(cfg: BaselineConfig) -> str:
+    """Per-record ``model`` tag so consumers can tell which forecaster
+    produced a baseline (exact statsmodels fit, vendored CSS fit of the
+    same model, or the closed-form fallback)."""
+    return {"sarimax": "sarimax", "css": "sarimax_css", "ewma": "ewma_fallback"}[
+        resolve_method(cfg)
+    ]
 
 
 def forecast_next(history: np.ndarray, cfg: BaselineConfig) -> float:
     """One-step forecast of the scaled series.
 
-    statsmodels path: the reference's exact SARIMAX fit
-    (flinkarima.py:226-235). numpy fallback: seasonal-naive + EWMA of the
-    seasonally differenced series — EWMA(alpha) is the closed form of the
-    (0,1,1) MA-smoothing the reference's seasonal component applies.
+    sarimax: the reference's exact statsmodels fit (flinkarima.py:226-235).
+    css: the vendored CSS fit of the SAME ARIMA(1,1,1)x(0,1,1,s) model
+    (streaming/seasonal_arima.py) — no statsmodels required.
+    ewma: seasonal-naive + EWMA of the seasonally differenced series —
+    EWMA(alpha) is the closed form of the (0,1,1) MA-smoothing the
+    reference's seasonal component applies.
     """
     z = np.asarray(history, dtype=np.float64)
-    if HAVE_STATSMODELS:  # pragma: no cover
+    method = resolve_method(cfg)
+    if method == "sarimax":  # pragma: no cover - statsmodels absent here
         model = SARIMAX(
             z,
             order=cfg.order,
@@ -100,6 +133,12 @@ def forecast_next(history: np.ndarray, cfg: BaselineConfig) -> float:
         )
         fitted = model.fit(disp=False)
         return float(fitted.forecast(cfg.forecast_steps)[-1])
+    if method == "css":
+        from flink_cookbook_spark.streaming.seasonal_arima import forecast_one_step
+
+        return forecast_one_step(z, cfg.season)
+    if method != "ewma":
+        raise ValueError(f"unknown forecast method {cfg.method!r}")
     s = cfg.season
     if len(z) < s + 1:
         return float(z[-1]) if len(z) else 0.0
@@ -193,7 +232,7 @@ def _process_sample(
         "running_std": post_std,
         "trend_latest": trend_latest,
         "trend_5season": trend_5,
-        "model": MODEL_NAME,
+        "model": model_name(cfg),
     }
 
 
