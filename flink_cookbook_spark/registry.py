@@ -62,12 +62,13 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def _driver_evidence() -> tuple[dict[str, dict], int]:
+def _driver_evidence() -> tuple[dict[str, dict], dict[str, int], int]:
     """Read the driver's own CORRECTNESS_r*.json artifacts (repo root).
 
-    Returns (latest per-query record, number of rounds recorded). Derived
-    from the artifacts rather than a hand-maintained snapshot so the
-    'already verified' set can never drift from what the driver actually
+    Returns (latest per-query record, per-query round index of that
+    latest record, number of rounds recorded). Derived from the
+    artifacts rather than a hand-maintained snapshot so the 'already
+    verified' set can never drift from what the driver actually
     observed — a query that regresses in a later round automatically
     loses verified status because the LATEST record per name wins.
     """
@@ -78,7 +79,8 @@ def _driver_evidence() -> tuple[dict[str, dict], int]:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     merged: dict[str, dict] = {}
-    for path in files:
+    last_round: dict[str, int] = {}
+    for i, path in enumerate(files, start=1):
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -87,7 +89,8 @@ def _driver_evidence() -> tuple[dict[str, dict], int]:
         for name, rec in data.items():
             if isinstance(rec, dict):
                 merged[name] = rec
-    return merged, len(files)
+                last_round[name] = i
+    return merged, last_round, len(files)
 
 
 def _verified_names() -> frozenset[str]:
@@ -95,7 +98,7 @@ def _verified_names() -> frozenset[str]:
     or cleanly rows-only-checked for a query that still registers no
     oracle (upgrading a rows-only query to an oracle re-pends it)."""
     _ensure_loaded()
-    evidence, _ = _driver_evidence()
+    evidence, _, _ = _driver_evidence()
     out = set()
     for name, rec in evidence.items():
         spec = _REGISTRY.get(name)
@@ -158,23 +161,36 @@ def get_query(name: str) -> QuerySpec:
     return _REGISTRY[name]
 
 
+def proven_sort_key(name: str, last_round: dict[str, int], n_rounds: int):
+    """LRU-with-rotation ordering for the proven tail: least-recently
+    PROVED first (so a query's re-proof gap is bounded by
+    ceil(n_proven / window) rounds — plain md5 rotation alone leaves the
+    gap unbounded in principle), ties broken by a per-round md5 rotation
+    so same-round cohorts don't freeze into one fixed order."""
+    import hashlib
+
+    return (
+        last_round.get(name, 0),
+        hashlib.md5(f"{n_rounds}:{name}".encode()).hexdigest(),
+    )
+
+
 def all_specs() -> dict[str, QuerySpec]:
     """All registered specs, ordered for the driver's bounded (~50-entry)
     per-round correctness window: never-verified / regressed / upgraded
-    queries FIRST (registration order preserved), then the proven set in
-    a deterministic per-round ROTATION (keyed on the number of recorded
-    rounds) — so every round both covers all new ground and re-proves a
-    different ~40-query sample of the old greens instead of permanently
-    exiling them."""
-    import hashlib
-
+    queries FIRST (registration order preserved), then the proven set
+    least-recently-proved first (``proven_sort_key``) — so every round
+    covers all new ground, re-proves the stalest ~40 greens, and no
+    green query's latest driver record can age past
+    ceil(n_queries / window) + 1 rounds (tests/test_robustness.py pins
+    the bound by simulation)."""
     _ensure_loaded()
     verified = _verified_names()
-    _, n_rounds = _driver_evidence()
+    _, last_round, n_rounds = _driver_evidence()
     pending = {n: s for n, s in _REGISTRY.items() if n not in verified}
     proven_names = sorted(
         (n for n in _REGISTRY if n in verified),
-        key=lambda n: hashlib.md5(f"{n_rounds}:{n}".encode()).hexdigest(),
+        key=lambda n: proven_sort_key(n, last_round, n_rounds),
     )
     return {**pending, **{n: _REGISTRY[n] for n in proven_names}}
 

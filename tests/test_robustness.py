@@ -100,10 +100,13 @@ def test_registry_orders_unverified_first():
     first50 = set(names[:50])
     for key in pending[:50]:
         assert key in first50, key
-    # the rotation must actually change with the round count
-    evidence, n_rounds = registry._driver_evidence()
+    # the ordering must actually change as rounds advance: bump every
+    # proven query's last-proof round to the (new) latest so the md5
+    # tie-break is what varies
+    evidence, last_round, n_rounds = registry._driver_evidence()
+    bumped = {n: n_rounds + 1 for n in last_round}
     with mock.patch.object(
-        registry, "_driver_evidence", return_value=(evidence, n_rounds + 1)
+        registry, "_driver_evidence", return_value=(evidence, bumped, n_rounds + 1)
     ):
         rotated = list(all_specs())
     assert [n for n in names if n not in verified] == [
@@ -123,7 +126,7 @@ def test_verified_set_derives_from_driver_artifacts():
         _verified_names,
     )
 
-    evidence, n_rounds = _driver_evidence()
+    evidence, _, n_rounds = _driver_evidence()
     assert n_rounds >= 2
     _ensure_loaded()
     verified = _verified_names()
@@ -146,3 +149,28 @@ def test_verified_set_derives_from_driver_artifacts():
     # the artifacts must actually exercise the first two classes
     assert greens > 0
     assert errs >= 0  # may legitimately be zero in an all-green round
+
+
+def test_rotation_staleness_is_bounded():
+    """Simulate the driver loop over the REAL ordering logic: each round
+    the driver re-proves the first WINDOW entries of the proven tail
+    (pending assumed empty — worst case for staleness). With the
+    least-recently-proved-first key, no green query's latest record may
+    age past ceil(N / WINDOW) + 1 rounds — the bound md5-only rotation
+    could not give."""
+    import math
+
+    from flink_cookbook_spark.registry import proven_sort_key
+
+    n_queries, window, sim_rounds = 146, 40, 60
+    names = [f"q{i:03d}" for i in range(n_queries)]
+    # adversarial start: everything proven in round 1
+    last_round = {n: 1 for n in names}
+    worst_gap = 0
+    for rnd_no in range(2, sim_rounds + 2):
+        order = sorted(names, key=lambda n: proven_sort_key(n, last_round, rnd_no))
+        for n in order[:window]:
+            last_round[n] = rnd_no
+        if rnd_no > math.ceil(n_queries / window) + 1:  # past warm-up
+            worst_gap = max(worst_gap, rnd_no - min(last_round.values()))
+    assert worst_gap <= math.ceil(n_queries / window) + 1, worst_gap
