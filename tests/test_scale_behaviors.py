@@ -83,6 +83,106 @@ def test_approx_percentile_accuracy(spark, sf_dir):
     assert abs(row.approx - row.exact) / row.exact < 0.02
 
 
+# --- hot-key skew stress: the two operators most exposed at 100x -------
+#
+# An 80/20 key distribution (one user holds 80% of all rows) is the shape
+# web/telemetry data takes at real scale. Window-sweep operators (as-of
+# join, gap-fill carry) cannot salt their key — the whole key must land in
+# one partition — so the scale posture to pin is: (a) results stay correct
+# under skew, (b) the plan shape is IDENTICAL to the uniform case (no
+# extra exchange, no fallback), and (c) per-key output/state is bounded by
+# time span, never by the hot key's row count.
+
+_SKEW_BASE = 1_699_999_200  # divisible by 3600 and 900: closed-form ticks
+
+
+def _write_skewed_events(spark, path, hot_rows=160_000, cold_keys=400, cold_rows_per_key=100):
+    """hot user_id=1: 80% of rows packed into a 1-day span (1 s cadence);
+    400 cold users: 100 rows each spread over ~30 days."""
+    hot = spark.range(hot_rows).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(_SKEW_BASE) + F.col("id") % 86_400).alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    cold = spark.range(cold_keys * cold_rows_per_key).select(
+        (F.lit(1_000_000) + F.col("id")).alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(_SKEW_BASE) + (F.col("id") / cold_keys).cast("long") * 25_920
+        ).alias("ts"),
+        (F.lit(2) + F.col("id") % cold_keys).cast("long").alias("user_id"),
+        (F.col("id") % 89).cast("double").alias("value"),
+    )
+    hot.unionByName(cold).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_asof_join_under_hot_key_skew(spark, tmp_path):
+    """As-of join with one key holding 80% of rows: results must match the
+    closed form (latest hourly tick <= ts) with zero driver-side
+    materialization, and the plan must keep the uniform case's exchange
+    count — skew must not introduce a new shuffle or a fallback join."""
+    from flink_cookbook_spark.operators.metrics import asof_join
+    from flink_cookbook_spark.plans.explain import count_exchanges, has_cartesian
+
+    _write_skewed_events(spark, str(tmp_path))
+    left = load(spark, str(tmp_path), "events").select("user_id", "ts", "value")
+    # right side: hourly ticks per user over the full span, value = tick sec
+    span = 2_600_000
+    ticks = (
+        left.select("user_id").distinct().select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit(_SKEW_BASE), F.lit(_SKEW_BASE + span), F.lit(3600)
+                )
+            ).alias("tick_sec"),
+        )
+        .select(
+            "user_id",
+            F.timestamp_seconds("tick_sec").alias("bts"),
+            F.col("tick_sec").cast("double").alias("bvalue"),
+        )
+    )
+    joined = asof_join(
+        left, ticks, key="user_id", left_ts="ts", right_ts="bts",
+        value_cols=["bvalue"], how="inner",
+    )
+    expected = (F.floor(F.col("ts").cast("long") / 3600) * 3600).cast("double")
+    bad = joined.where(F.col("bvalue_asof") != expected).count()
+    assert bad == 0
+    assert joined.count() == 200_000  # every row has a prior tick
+    assert not has_cartesian(joined)
+    # same plan shape as the uniform-key pin (test_plans.py): <= 5 exchanges
+    assert count_exchanges(joined) <= 5
+
+
+def test_gap_fill_output_bounded_by_span_not_rows(spark, tmp_path):
+    """Gap-fill's per-key grid must grow with the key's TIME SPAN, never
+    its row count: the hot key's 160k rows collapse to 96 buckets (1-day
+    span / 15 min), while a 100-row cold key legitimately yields ~2852
+    buckets (30-day span) — the bounded-``sequence()`` contract that keeps
+    a hot key from exploding a partition at 100x."""
+    from flink_cookbook_spark.operators.timeseries import gap_fill_locf
+
+    _write_skewed_events(spark, str(tmp_path))
+    out = gap_fill_locf(spark, str(tmp_path))
+    sizes = {r.user_id: (r.n, r.gaps) for r in
+             out.groupBy("user_id").agg(
+                 F.count("*").alias("n"),
+                 F.sum(F.col("is_gap").cast("long")).alias("gaps"),
+             ).collect()}
+    # hot key: span 86399 s -> buckets base..base+85500 step 900 = 96 rows,
+    # every bucket observed (1 s cadence) -> 0 gaps, despite 160k input rows
+    assert sizes[1] == (96, 0), sizes[1]
+    # cold keys: span 99*25920 s -> 2852 grid rows, ~100 observed
+    n_cold, gaps_cold = sizes[2]
+    assert n_cold == 99 * 25_920 // 900 + 1, n_cold
+    assert gaps_cold == n_cold - 100  # 100 observations, all distinct buckets
+    # LOCF: after the first bucket no cold key may have a NULL fill
+    nulls = out.where(F.col("value_filled").isNull()).count()
+    assert nulls == 0
+
+
 def test_cusum_drift_constant_user_null_parity(spark, tmp_path):
     """A user with identical values has sd=0; Spark's guarded divide and
     the oracle's nullif(sd,0) must BOTH yield NULL for drift_ratio (DuckDB
