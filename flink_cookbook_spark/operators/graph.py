@@ -1,0 +1,144 @@
+"""Graph analytics over relational data: fixed-iteration PageRank.
+
+The dedup family already ships one graph algorithm (transitive-closure
+label propagation, pipeline/dedup.py); this module adds the other
+workhorse — PageRank — over a graph DERIVED from the warehouse tables:
+suppliers are vertices, and two suppliers are adjacent when they
+co-supply at least one order (a lineitem self-join on the order key).
+Centrality over a co-occurrence projection is the standard shape for
+entity-importance scoring (co-purchase graphs, author co-citation,
+domain co-linking) and needs no dedicated graph store.
+
+Scale notes (100 TB):
+- Edge derivation is an equi-join on the order key — candidate pairs are
+  per-order supplier pairs (orders are small sets), never supplier².
+- Each PageRank round is one equi-join (ranks x edges on src) + one hash
+  aggregate on dst: map-side partial sums make shuffle volume O(edges)
+  with combining, and the iteration count is fixed, so the whole plan is
+  ITERS joined stages Catalyst can pipeline — no driver round-trips, no
+  collect anywhere (vertex count rides along as a broadcast 1-row agg).
+- Fixed iteration count (power iteration truncated at PR_ITERS) is the
+  production batch form — convergence-loop PageRank adds a driver-side
+  delta check per round for little accuracy at rank-ordering use cases.
+
+Determinism: damping, iteration count, and the unweighted distinct-pair
+edge set are fixed; per-vertex sums differ from the oracle only by float
+summation order (absorbed by rounding). Dangling vertices (no co-supply
+edge) contribute no outflow — their mass leaves the system, matching the
+oracle's LEFT JOIN formulation on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.registry import register, rnd
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR_ITERS rounds of PageRank on the supplier co-supply graph.
+
+    Emits every supplier with its normalized rank (rank x vertex-count,
+    so 1.0 is the uniform-centrality baseline) and degree. The oracle
+    replays the identical power iteration as unrolled CTEs, making an
+    iterative graph algorithm value-hash-checkable.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node")
+    )
+    per_order = li.distinct()
+    a = per_order.select(F.col("l_orderkey"), F.col("l_suppkey").alias("src"))
+    b = per_order.select(F.col("l_orderkey"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()  # unweighted: adjacency, not co-supply multiplicity
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # vertex count as broadcast DATA (1-row aggregate), not a collect:
+    # the plan stays fully lazy and cluster-side.
+    nc = sup.agg(F.count("*").alias("nc"))
+    ranks = sup.crossJoin(F.broadcast(nc)).select(
+        "node", "nc", (F.lit(1.0) / F.col("nc")).alias("pr")
+    )
+    out_flow = edges.join(deg, "src")
+    for _ in range(PR_ITERS):
+        contrib = (
+            out_flow.join(
+                ranks.select(F.col("node").alias("src"), "pr"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("inflow"))
+        )
+        ranks = (
+            ranks.select("node", "nc")
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                "nc",
+                (
+                    (1.0 - PR_DAMPING) / F.col("nc")
+                    + PR_DAMPING * F.coalesce("inflow", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return (
+        ranks.join(deg.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            F.col("node").alias("s_suppkey"),
+            F.coalesce("deg", F.lit(0)).alias("degree"),
+            rnd(F.col("pr") * F.col("nc"), 6).alias("pr_norm"),
+        )
+    )
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        """
+WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM su a JOIN su b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+n AS (SELECT count(*) AS nc FROM supplier),
+r0 AS (SELECT s_suppkey AS node, 1.0 / nc AS pr FROM supplier CROSS JOIN n)"""
+    ]
+    for i in range(PR_ITERS):
+        parts.append(
+            f""",
+r{i + 1} AS (
+  SELECT s.s_suppkey AS node,
+         (1.0 - {PR_DAMPING}) / n.nc
+           + {PR_DAMPING} * coalesce(sum(r.pr / d.deg), 0) AS pr
+  FROM supplier s CROSS JOIN n
+  LEFT JOIN edges e ON e.dst = s.s_suppkey
+  LEFT JOIN r{i} r ON r.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY s.s_suppkey, n.nc
+)"""
+        )
+    parts.append(
+        f"""
+SELECT r.node AS s_suppkey,
+       coalesce(d.deg, 0) AS degree,
+       round(r.pr * n.nc + 1e-6, 6) AS pr_norm
+FROM r{PR_ITERS} r CROSS JOIN n
+LEFT JOIN deg d ON d.src = r.node"""
+    )
+    return "\n".join(parts)
+
+
+register(
+    "supplier_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative", "bench"),
+)(supplier_pagerank)

@@ -588,3 +588,161 @@ WHERE rn = 1
 """,
     tags=("window", "dedup", "changelog"),
 )(changelog_compaction)
+
+
+# --------------------------------------------------------------------------
+# incremental / sketch-mergeable aggregation
+# --------------------------------------------------------------------------
+
+#: incremental split point: history before it is the "materialized" agg
+#: state, rows at/after it are the delta batch (events span Jan 2024).
+INC_SPLIT = "2024-01-16 00:00:00"
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: merge yesterday's materialized
+    per-user aggregate STATE with the delta batch's state and emit the
+    refreshed aggregate — the algebraic foundation of every incremental
+    materialized view / continuous aggregate (only ever re-scan the
+    delta, never the full history).
+
+    Both halves reduce to mergeable moments (n, sum, sumsq, min, max);
+    the merge is a second hash aggregate over 2 rows per key. avg and
+    stddev are re-derived from merged moments, proving the state carries
+    everything needed. The oracle recomputes from ALL raw rows — passing
+    the hash check IS the merge-correctness proof (merge(old, delta) ==
+    full recompute).
+
+    At 100 TB: the "old" side is k rows of state (one per key), not
+    history — only the delta is scanned per refresh; partial-aggregate
+    shuffle volume is O(keys), and the same state merges associatively
+    across any partitioning of the input.
+    """
+    ev = load(spark, sf_dir, "events")
+    split = F.lit(INC_SPLIT).cast("timestamp")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("ssq"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    old = state(ev.where(F.col("ts") < split))
+    delta = state(ev.where(F.col("ts") >= split))
+    merged = (
+        old.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.sum("ssq").alias("ssq"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        rnd("s").alias("sum_value"),
+        rnd(F.col("s") / F.col("n")).alias("avg_value"),
+        rnd("mn").alias("min_value"),
+        rnd("mx").alias("max_value"),
+        rnd(
+            F.sqrt(
+                (F.col("ssq") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            3,
+        ).alias("std_value"),
+    )
+
+
+register(
+    "incremental_agg_merge",
+    # full recompute over raw rows — hash-matching it proves the
+    # state-merge path is exact. stddev via the same moment formula so
+    # both engines share the (benign at fixture magnitudes) cancellation.
+    oracle="""
+SELECT user_id,
+       count(value) AS n_events,
+       round(sum(value) + 1e-6, 4) AS sum_value,
+       round(sum(value) / count(value) + 1e-6, 4) AS avg_value,
+       round(min(value) + 1e-6, 4) AS min_value,
+       round(max(value) + 1e-6, 4) AS max_value,
+       round(sqrt((sum(value * value) - sum(value) * sum(value) / count(value))
+                  / (count(value) - 1)) + 1e-6, 3) AS std_value
+FROM events
+GROUP BY user_id
+""",
+    tags=("agg", "incremental", "materialized-view"),
+)(incremental_agg_merge)
+
+
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-mergeable distinct-count rollup: per-day active users from
+    a UNION of hourly HLL sketches (Datasketches ``hll_sketch_agg`` /
+    ``hll_union_agg``), checked against the exact per-day distinct.
+
+    The 100 TB distinct-count shape: hourly partials are computed once
+    (map-side, mergeable, a few KB per bucket), and every coarser rollup
+    (day/week/month) is a sketch UNION over partials — no re-scan of raw
+    data, no shuffle of raw user ids. Like ``agg_approx_distinct``, the
+    sketch estimate itself is engine-specific, so the emitted columns are
+    the exact count plus a deterministic accuracy bound the oracle states
+    as a literal: HLL at default lgK=12 is well inside 5% at fixture
+    cardinalities, and union of partials must not degrade that.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    hourly = (
+        ev.select(
+            (F.floor(sec / 86400) * 86400).alias("day_start"),
+            (F.floor(sec / 3600) * 3600).alias("hour_start"),
+            "user_id",
+        )
+        .groupBy("day_start", "hour_start")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    daily = hourly.groupBy("day_start").agg(
+        F.count("*").alias("n_hours"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+    )
+    exact = (
+        ev.select((F.floor(sec / 86400) * 86400).alias("day_start"), "user_id")
+        .groupBy("day_start")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return daily.join(exact, "day_start").select(
+        "day_start",
+        "n_hours",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
+
+
+register(
+    "hll_mergeable_rollup",
+    oracle="""
+WITH hourly AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_start
+  FROM events GROUP BY 1, 2
+)
+SELECT h.day_start,
+       h.n_hours,
+       e.exact_users,
+       TRUE AS within_5pct
+FROM (SELECT day_start, count(*) AS n_hours FROM hourly GROUP BY 1) h
+JOIN (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
+             count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1) e
+  ON h.day_start = e.day_start
+""",
+    tags=("agg", "sketch", "hll", "rollup"),
+)(hll_mergeable_rollup)

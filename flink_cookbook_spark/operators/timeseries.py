@@ -659,3 +659,66 @@ FROM by_hour b JOIN overall o ON b.event_type = o.event_type
 """,
     tags=("timeseries", "seasonality"),
 )(hourly_seasonal_profile)
+
+
+def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1/lag-2 autocorrelation of the 15-min bucket series —
+    the seasonality/persistence screen a forecasting pipeline runs before
+    choosing model orders (the reference hardcodes its (1,1,1)x(0,1,1,288)
+    SARIMAX orders; ACF is how those orders get picked from data).
+
+    One exchange on user_id: bucket aggregation, two lag windows over the
+    same partitioning, then a per-user ``corr`` aggregate — Pearson
+    correlation of the series against its own lags, pairwise-complete
+    (lag rows with no predecessor drop out of the aggregate on both
+    engines via NULL propagation).
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    obs = (
+        ev.select(
+            "user_id",
+            ((sec / _BUCKET).cast("long") * _BUCKET).alias("bucket_start"),
+            "value",
+        )
+        .groupBy("user_id", "bucket_start")
+        .agg(F.avg("value").alias("x"))
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket_start")
+    lagged = obs.select(
+        "user_id",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+    )
+    return lagged.groupBy("user_id").agg(
+        F.count("x").alias("n_buckets"),
+        rnd(F.corr("x", "x1"), 4).alias("lag1_acf"),
+        rnd(F.corr("x", "x2"), 4).alias("lag2_acf"),
+    )
+
+
+register(
+    "autocorrelation",
+    oracle=f"""
+WITH obs AS (
+  SELECT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // {_BUCKET}) * {_BUCKET} AS bucket_start,
+         avg(value) AS x
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT user_id, x,
+         lag(x, 1) OVER (PARTITION BY user_id ORDER BY bucket_start) AS x1,
+         lag(x, 2) OVER (PARTITION BY user_id ORDER BY bucket_start) AS x2
+  FROM obs
+)
+SELECT user_id,
+       count(x) AS n_buckets,
+       round(corr(x, x1) + 1e-6, 4) AS lag1_acf,
+       round(corr(x, x2) + 1e-6, 4) AS lag2_acf
+FROM lagged
+GROUP BY user_id
+""",
+    tags=("timeseries", "acf", "seasonality"),
+)(autocorrelation)

@@ -543,3 +543,142 @@ GROUP BY 1, 2
 """,
     tags=("similarity", "llm-pipeline", "centroids"),
 )(label_centroids)
+
+
+# --- distributed k-means (semantic clustering), hash-checkable ----------
+
+KM_K = 8  # clusters; seeds = embeddings of vec_id 0..KM_K-1
+KM_ITERS = 2  # fixed Lloyd update rounds (unrolled in the oracle SQL)
+
+
+def _assign_with_dist(emb: DataFrame, pairs: list[tuple[int, list[float]]]) -> DataFrame:
+    """Map-only nearest-centroid assignment carrying the distance.
+
+    Same broadcast-data shape as ``_assign_cells`` but (a) centroid ids
+    are EXPLICIT (stable across iterations even if a cluster empties and
+    drops out of the list) and (b) the argmin struct's distance is kept,
+    so the final pass can emit it. Ties resolve to the lowest cid via
+    (dist, cid) struct ordering."""
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [([(int(cid), [float(v) for v in c]) for cid, c in pairs],)],
+        "cents array<struct<cid: int, cemb: array<double>>>",
+    )
+    sqdist = lambda cemb: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("emb"), cemb, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(sqdist(c.cemb).alias("dist"), c.cid.alias("cid")),
+        )
+    )
+    return emb.crossJoin(F.broadcast(cdf)).select(
+        "vec_id",
+        "emb",
+        best.getField("cid").alias("cid"),
+        best.getField("dist").alias("sqdist"),
+    )
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus — the semantic
+    clustering primitive (SemDeDup-style cluster-then-dedup, corpus topic
+    maps, IVF coarse quantizers trained IN-cluster when the sample-based
+    path of ``_kmeans_centroids`` isn't enough).
+
+    Every heavy step is distributed and shuffle-minimal:
+    - assignment is the ``_assign_cells`` map-only broadcast pass (zero
+      shuffles; centroids travel as one broadcast row);
+    - the centroid update is posexplode + one hash aggregate on
+      (cid, dim) — map-side partial means make shuffle volume k x dims
+      regardless of corpus size (the ``label_centroids`` shape);
+    - the driver only ever holds the k x dim centroid matrix (a few KB),
+      exactly what it must broadcast next round — never corpus rows.
+
+    Determinism: seeds are the first KM_K vectors by vec_id, iteration
+    count is fixed (KM_ITERS Lloyd rounds, then a final assignment), ties
+    argmin to the lowest cid, empty clusters drop on BOTH sides. That
+    makes the whole algorithm SQL-expressible by unrolling — the oracle
+    below replays each round as CTEs — so an *iterative* operator gets a
+    full value-hash check, not a rows-only pass.
+    """
+    emb = _emb_double(load(spark, sf_dir, "embeddings")).select("vec_id", "emb")
+    seeds = emb.where(F.col("vec_id") < KM_K).collect()  # k rows, bounded
+    pairs = [(int(r.vec_id), list(r.emb)) for r in sorted(seeds, key=lambda r: r.vec_id)]
+    for _ in range(KM_ITERS):
+        assigned = _assign_with_dist(emb, pairs)
+        rows = (
+            assigned.select("cid", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()  # k x dim partial means — bounded, not corpus data
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r.cid, {})[r.pos] = r.m
+        pairs = [
+            (cid, [by_cid[cid][p] for p in range(DIM)]) for cid in sorted(by_cid)
+        ]
+    final = _assign_with_dist(emb, pairs)
+    return final.select(
+        "vec_id",
+        F.col("cid").alias("cluster"),
+        rnd(F.sqrt("sqdist"), 4).alias("dist"),
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd rounds as DuckDB CTEs: assignment = windowed argmin
+    over the vector x centroid cross product, update = per-dim AVG."""
+    dims = DIM
+
+    def assign(i: int) -> str:
+        return f"""
+d{i} AS (
+  SELECT e.vec_id, e.v, c.cid,
+         list_sum(list_transform(range(1, {dims + 1}),
+                  i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS sqd
+  FROM e CROSS JOIN c{i} c
+),
+a{i} AS (
+  SELECT vec_id, v, cid, sqd FROM (
+    SELECT vec_id, v, cid, sqd,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cid) AS rk
+    FROM d{i})
+  WHERE rk = 1
+)"""
+
+    def update(i: int) -> str:
+        return f"""
+c{i + 1} AS (
+  SELECT cid, list(m ORDER BY i) AS c
+  FROM (SELECT cid, g.i AS i, avg(v[g.i]) AS m
+        FROM a{i} CROSS JOIN generate_series(1, {dims}) AS g(i)
+        GROUP BY cid, g.i)
+  GROUP BY cid
+)"""
+
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < {KM_K})",
+    ]
+    for i in range(KM_ITERS):
+        parts.append("," + assign(i))
+        parts.append("," + update(i))
+    parts.append("," + assign(KM_ITERS))
+    parts.append(
+        f"""
+SELECT vec_id, cid AS cluster, round(sqrt(sqd) + 1e-6, 4) AS dist
+FROM a{KM_ITERS}"""
+    )
+    return "\n".join(parts)
+
+
+register(
+    "kmeans_embeddings",
+    oracle=_kmeans_oracle(),
+    tags=("similarity", "llm-pipeline", "kmeans", "clustering", "iterative", "bench"),
+)(kmeans_embeddings)

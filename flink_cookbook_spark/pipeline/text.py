@@ -668,3 +668,121 @@ register(
     + " FROM events",
     tags=("profiling", "llm-pipeline"),
 )(table_profile)
+
+
+# --- chunking + mixture drift -------------------------------------------
+
+CHUNK_TOKENS = 64  # tokens per training chunk
+CHUNK_STRIDE = 48  # chunk start stride (16-token overlap)
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking: each document becomes ceil-strided
+    64-token windows with 16-token overlap — the context-window splitter
+    that feeds sequence packing (``sequence_packing``) in a training-data
+    pipeline. Chunk identity is the md5 of the joined token slice, so
+    downstream chunk-level dedup composes directly.
+
+    Map-only: tokenize once, explode the stride grid (bounded by each
+    doc's own token count / stride), slice per start — zero shuffles, and
+    at 100 TB the fan-out is rows x (len/stride), streamed through
+    whole-stage codegen with nothing driver-side.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    starts = toks.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.sequence(F.lit(0), F.size("ts") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice("ts", F.col("start") + 1, CHUNK_TOKENS)
+    return starts.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+register(
+    "doc_chunking",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+s AS (SELECT doc_id, ts, unnest(range(0, len(ts), {CHUNK_STRIDE})) AS start FROM t)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       CAST(len(ts[start + 1 : start + {CHUNK_TOKENS}]) AS INTEGER) AS n_tokens,
+       md5(array_to_string(ts[start + 1 : start + {CHUNK_TOKENS}], ' ')) AS chunk_hash
+FROM s
+""",
+    tags=("text", "llm-pipeline", "chunking"),
+)(doc_chunking)
+
+
+KL_BUCKET_CHARS = 50  # doc-length histogram bucket width for KL
+KL_BUCKET_CAP = 10
+
+
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the doc-length distribution vs the
+    corpus — the mixture-drift monitor for multi-source training data
+    (is src7 suddenly shipping only short docs?). KL(P_source || Q_corpus)
+    over capped 50-char length buckets; Q covers every bucket P occupies
+    (corpus includes the source), so the log is always finite.
+
+    One hash aggregate to (source, bucket) counts — tiny from then on:
+    the window normalizations and the KL sum run over at most
+    sources x buckets rows regardless of corpus size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            "source",
+            F.least(
+                F.floor(F.col("n_chars") / KL_BUCKET_CHARS),
+                F.lit(KL_BUCKET_CAP),
+            ).alias("b"),
+        )
+        .groupBy("source", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    src_w = Window.partitionBy("source")
+    bkt_w = Window.partitionBy("b")
+    all_w = Window.partitionBy()
+    terms = c.select(
+        "source",
+        (F.col("cnt") / F.sum("cnt").over(src_w)).alias("p"),
+        (F.sum("cnt").over(bkt_w) / F.sum("cnt").over(all_w)).alias("q"),
+        F.sum("cnt").over(src_w).alias("n_docs"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"),
+        rnd(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl"),
+    )
+
+
+register(
+    "source_kl_divergence",
+    oracle=f"""
+WITH c AS (
+  SELECT source, least(n_chars // {KL_BUCKET_CHARS}, {KL_BUCKET_CAP}) AS b,
+         count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+terms AS (
+  SELECT source,
+         cnt / sum(cnt) OVER (PARTITION BY source) AS p,
+         sum(cnt) OVER (PARTITION BY b) / sum(cnt) OVER () AS q,
+         sum(cnt) OVER (PARTITION BY source) AS n_docs
+  FROM c
+)
+SELECT source,
+       max(n_docs) AS n_docs,
+       round(sum(p * ln(p / q)) + 1e-6, 6) AS kl
+FROM terms
+GROUP BY source
+""",
+    tags=("text", "llm-pipeline", "mixture", "drift"),
+)(source_kl_divergence)

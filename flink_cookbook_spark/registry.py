@@ -135,6 +135,7 @@ def register(
 
 def _ensure_loaded() -> None:
     """Import every operator module so registrations run."""
+    import flink_cookbook_spark.operators.graph  # noqa: F401
     import flink_cookbook_spark.operators.metrics  # noqa: F401
     import flink_cookbook_spark.operators.relational  # noqa: F401
     import flink_cookbook_spark.operators.skew  # noqa: F401

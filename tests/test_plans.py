@@ -328,3 +328,37 @@ def test_winsorize_broadcasts_cutpoints(spark, sf_dir):
     df = winsorized_stats(spark, sf_dir)
     assert has_broadcast_join(df)
     assert not has_cartesian(df)
+
+
+def test_doc_chunking_map_only(spark, sf_dir):
+    """Chunk fan-out is tokenize + explode + slice: zero exchanges."""
+    from flink_cookbook_spark.pipeline.text import doc_chunking
+
+    df = doc_chunking(spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert uses_whole_stage_codegen(df)
+
+
+def test_kmeans_final_assignment_map_only(spark, sf_dir):
+    """Lloyd assignment ships centroids as one broadcast row; the final
+    per-vector (cluster, dist) pass must cost ZERO shuffles — the
+    property that lets assignment run as a pure map at any corpus size."""
+    from flink_cookbook_spark.pipeline.similarity import kmeans_embeddings
+
+    df = kmeans_embeddings(spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert "BroadcastExchange" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pagerank_no_cartesian_and_broadcast_vertex_count(spark, sf_dir):
+    """Each PageRank round is equi-join + hash agg; the vertex count is a
+    broadcast 1-row aggregate, and nothing may plan as a real cartesian
+    (the 1-row crossJoin lowers to BroadcastNestedLoopJoin, which is the
+    broadcast-of-a-scalar pattern, not a cartesian product)."""
+    from flink_cookbook_spark.operators.graph import supplier_pagerank
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    df = supplier_pagerank(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan
