@@ -605,7 +605,18 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     below replays each round as CTEs — so an *iterative* operator gets a
     full value-hash check, not a rows-only pass.
     """
-    emb = _emb_double(load(spark, sf_dir, "embeddings")).select("vec_id", "emb")
+    from flink_cookbook_spark.pipeline._cache import memo_persist
+
+    # persist the projected corpus once: every Lloyd round makes
+    # KM_ITERS + 1 assignment passes plus update aggregates over the SAME
+    # (vec_id, emb) projection — at 100 TB this is the materialized
+    # feature table every iteration reads, not a re-scan of raw storage.
+    emb = memo_persist(
+        spark,
+        "kmeans_emb",
+        sf_dir,
+        lambda: _emb_double(load(spark, sf_dir, "embeddings")).select("vec_id", "emb"),
+    )
     seeds = emb.where(F.col("vec_id") < KM_K).collect()  # k rows, bounded
     pairs = [(int(r.vec_id), list(r.emb)) for r in sorted(seeds, key=lambda r: r.vec_id)]
     for _ in range(KM_ITERS):
