@@ -746,3 +746,74 @@ JOIN (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
 """,
     tags=("agg", "sketch", "hll", "rollup"),
 )(hll_mergeable_rollup)
+
+
+#: maintenance-window range join: 30 daily 90-min windows starting
+#: 2024-01-01T06:00Z (epoch 1704088800) — both engines derive them from
+#: these literals, no fixture table needed.
+RJ_WIN_START = 1_704_088_800
+RJ_WIN_LEN = 5_400
+RJ_N_WINDOWS = 30
+RJ_BUCKET = 3_600
+
+
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no shared key) made equi: events falling inside
+    any of 30 daily maintenance windows, joined via time-bucket overlap.
+
+    A keyless interval predicate plans as BroadcastNestedLoopJoin (or
+    worse, a cartesian) — O(rows x windows) comparisons. The scale
+    rewrite: explode each window to the hour buckets it overlaps, bucket
+    each event once, equi-join on bucket, then re-check the exact bounds.
+    Each event is compared against only the windows sharing its hour —
+    the standard bucketed range-join trick (Databricks' range-join hint,
+    postgres range partitioning) expressed with plain operators. The
+    window side stays tiny and broadcasts; the event side never fans out.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    windows = spark.range(RJ_N_WINDOWS).select(
+        F.col("id").alias("win_id"),
+        (F.lit(RJ_WIN_START) + F.col("id") * 86_400).alias("w_start"),
+    )
+    buckets = windows.select(
+        "win_id",
+        "w_start",
+        F.explode(
+            F.sequence(
+                (F.col("w_start") / RJ_BUCKET).cast("long"),
+                ((F.col("w_start") + RJ_WIN_LEN - 1) / RJ_BUCKET).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    tagged = ev.select(sec.alias("sec"), "value").withColumn(
+        "bucket", (F.col("sec") / RJ_BUCKET).cast("long")
+    )
+    return (
+        tagged.join(F.broadcast(buckets), "bucket")
+        .where(
+            (F.col("sec") >= F.col("w_start"))
+            & (F.col("sec") < F.col("w_start") + RJ_WIN_LEN)
+        )
+        .groupBy("win_id")
+        .agg(F.count("*").alias("n_events"), rnd(F.avg("value")).alias("avg_value"))
+    )
+
+
+register(
+    "range_join_bucketed",
+    # the oracle states the SEMANTICS as the naive non-equi join — the
+    # hash match proves the bucketed rewrite loses/duplicates nothing.
+    oracle=f"""
+WITH win AS (
+  SELECT CAST(g.i AS BIGINT) AS win_id,
+         {RJ_WIN_START} + g.i * 86400 AS w_start
+  FROM generate_series(0, {RJ_N_WINDOWS - 1}) AS g(i)
+),
+ev AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, value FROM events)
+SELECT w.win_id, count(*) AS n_events, round(avg(value) + 1e-6, 4) AS avg_value
+FROM win w JOIN ev e ON e.sec >= w.w_start AND e.sec < w.w_start + {RJ_WIN_LEN}
+GROUP BY 1
+""",
+    tags=("join", "range-join", "bucketed"),
+)(range_join_bucketed)

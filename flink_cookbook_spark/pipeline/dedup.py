@@ -1002,3 +1002,117 @@ FROM ranked GROUP BY cluster_id
 """,
     tags=("dedup", "llm-pipeline", "curation"),
 )(dedup_canonical_docs)
+
+
+def dedup_pair_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the verified near-dup pair graph — the
+    cluster-cohesion QA for dedup: a clique-like cluster (high local
+    clustering coefficient) means its members are mutual near-dups and
+    canonical-doc selection is safe; a chain (triangle-free) means the
+    transitive closure glued non-duplicates through intermediates and
+    the Jaccard threshold deserves a second look.
+
+    Triangles enumerate each once as ordered doc1 < doc2 < doc3 via two
+    equi-joins over the (already memoized, tiny-by-construction) verified
+    pair list — cost is bounded by the pair list, never the corpus. Per
+    doc: neighbor degree, triangle membership count, and the local
+    clustering coefficient 2T/(deg * (deg-1)) (NULL below degree 2, both
+    engines via NULL propagation).
+    """
+    pairs = _lsh_verified_pairs_df(spark, sf_dir).select("doc1", "doc2")
+    p1 = pairs.select(F.col("doc1").alias("x"), F.col("doc2").alias("y"))
+    p2 = pairs.select(F.col("doc1").alias("y"), F.col("doc2").alias("z"))
+    p3 = pairs.select(F.col("doc1").alias("x"), F.col("doc2").alias("z"))
+    tris = p1.join(p2, "y").join(p3, ["x", "z"])
+    tri_nodes = (
+        tris.select(F.col("x").alias("doc_id"))
+        .unionAll(tris.select(F.col("y").alias("doc_id")))
+        .unionAll(tris.select(F.col("z").alias("doc_id")))
+    )
+    tcount = tri_nodes.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+    deg = (
+        pairs.select(F.col("doc1").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)),
+    )
+    return (
+        deg.join(tcount, "doc_id", "left")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)))
+        .select(
+            "doc_id",
+            "degree",
+            "n_triangles",
+            rnd(coeff, 4).alias("clustering_coeff"),
+        )
+    )
+
+
+register(
+    "dedup_pair_triangles",
+    oracle="WITH "
+    + _SHINGLES_CTE
+    + f""",
+sigs AS (
+  SELECT doc_id,
+         {_minhash_sql_cols()}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band_id,
+         CASE band_id
+           {" ".join(f"WHEN {b} THEN {_band_sql(b)}" for b in range(LSH_BANDS))}
+         END AS band_key
+  FROM sigs, (SELECT unnest(range(0, {LSH_BANDS})) AS band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS n_common
+  FROM cand c
+  JOIN shingles s1 ON s1.doc_id = c.doc1
+  JOIN shingles s2 ON s2.doc_id = c.doc2 AND s1.shingle = s2.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc1, i.doc2
+  FROM inter i
+  JOIN sizes sa ON i.doc1 = sa.doc_id
+  JOIN sizes sb ON i.doc2 = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+),
+tris AS (
+  SELECT p1.doc1 AS x, p1.doc2 AS y, p2.doc2 AS z
+  FROM verified p1
+  JOIN verified p2 ON p1.doc2 = p2.doc1
+  JOIN verified p3 ON p3.doc1 = p1.doc1 AND p3.doc2 = p2.doc2
+),
+tri_nodes AS (
+  SELECT x AS doc_id FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris
+),
+tcount AS (SELECT doc_id, count(*) AS n_triangles FROM tri_nodes GROUP BY 1),
+deg AS (
+  SELECT doc_id, count(*) AS degree
+  FROM (SELECT doc1 AS doc_id FROM verified
+        UNION ALL SELECT doc2 FROM verified)
+  GROUP BY 1
+)
+SELECT d.doc_id, d.degree, coalesce(t.n_triangles, 0) AS n_triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(t.n_triangles, 0) / (d.degree * (d.degree - 1))
+             END + 1e-6, 4) AS clustering_coeff
+FROM deg d LEFT JOIN tcount t ON d.doc_id = t.doc_id
+""",
+    tags=("dedup", "llm-pipeline", "graph", "qa"),
+)(dedup_pair_triangles)

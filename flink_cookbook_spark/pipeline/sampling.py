@@ -17,7 +17,7 @@ mixture summary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_cookbook_spark.catalog import load
@@ -113,3 +113,60 @@ FROM per_source
 """,
     tags=("sampling", "llm-pipeline", "mixture"),
 )(source_mixture_weights)
+
+
+RESERVOIR_K = 5  # kept docs per source
+
+
+def reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k "reservoir" per source: the K docs with the
+    smallest md5-coin per group — the debug/eyeball sample every corpus
+    job wants ("show me 5 docs from each source") made reproducible
+    across re-runs and engines.
+
+    Hash-ordered top-k per key IS distributed reservoir sampling with a
+    deterministic coin: rank by a pure hash, keep k. One exchange on
+    source, and Spark executes the rank-filter as WindowGroupLimit —
+    per-partition partial top-k before the shuffle, so the exchange
+    carries at most k rows per source per map partition, never the
+    corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    coin = _coin(F.concat(F.lit("reservoir:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(F.col("coin").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", "n_chars", coin.alias("coin"))
+        .withColumn("pick", F.row_number().over(w))
+        .where(F.col("pick") <= RESERVOIR_K)
+        .select(
+            "source",
+            F.col("pick").alias("pick"),
+            "doc_id",
+            "n_chars",
+            rnd("coin", 6).alias("coin"),
+        )
+    )
+
+
+register(
+    "reservoir_sample_per_source",
+    oracle=f"""
+WITH coined AS (
+  SELECT doc_id, source, n_chars,
+         (CAST(('0x' || substr(md5('reservoir:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % {COIN_MOD}) / {COIN_MOD}.0 AS coin
+  FROM documents
+)
+SELECT source,
+       CAST(pick AS INTEGER) AS pick,
+       doc_id,
+       n_chars,
+       round(coin + 1e-6, 6) AS coin
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY coin ASC, doc_id ASC) AS pick
+  FROM coined
+)
+WHERE pick <= {RESERVOIR_K}
+""",
+    tags=("sampling", "llm-pipeline", "reservoir"),
+)(reservoir_sample_per_source)

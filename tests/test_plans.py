@@ -362,3 +362,28 @@ def test_pagerank_no_cartesian_and_broadcast_vertex_count(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan
+
+
+def test_range_join_bucketed_is_equi_not_nested_loop(spark, sf_dir):
+    """The keyless interval join must plan as an EQUI join on the bucket
+    (broadcast hash), never BroadcastNestedLoopJoin/cartesian — the whole
+    point of the bucketed rewrite."""
+    from flink_cookbook_spark.operators.relational import range_join_bucketed
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    df = range_join_bucketed(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_join(df)
+
+
+def test_reservoir_sample_is_rank_limited(spark, sf_dir):
+    """Fixed-k per-source sampling must run as WindowGroupLimit (partial
+    per-partition top-k before the exchange), one exchange total."""
+    from flink_cookbook_spark.pipeline.sampling import reservoir_sample_per_source
+
+    df = reservoir_sample_per_source(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert count_exchanges(df) == 1
