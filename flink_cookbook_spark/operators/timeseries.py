@@ -722,3 +722,54 @@ GROUP BY user_id
 """,
     tags=("timeseries", "acf", "seasonality"),
 )(autocorrelation)
+
+
+def per_key_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of value over time: slope per hour,
+    intercept at the user's first observation, and R² — the cheap screen
+    for "is this metric drifting and how fast" that complements the CUSUM
+    excursion test (``cusum_drift`` detects THAT a shift happened; the
+    regression slope says the direction and rate).
+
+    One hash aggregate: ``regr_slope``/``regr_intercept``/``regr_r2`` are
+    single-pass mergeable moment aggregates (sums of x, y, xy, x², n), so
+    the shuffle carries five doubles per key at any scale. The x axis is
+    hours since each user's first event (a window MIN over the same
+    exchange), which keeps the intercept interpretable and the moments
+    far from the float cancellation range an absolute-epoch x would hit.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    w = Window.partitionBy("user_id")
+    based = ev.select(
+        "user_id",
+        "value",
+        ((sec - F.min(sec).over(w)) / 3600.0).alias("x_hours"),
+    )
+    return based.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        rnd(F.regr_slope("value", "x_hours"), 6).alias("slope_per_hour"),
+        rnd(F.regr_intercept("value", "x_hours"), 4).alias("intercept"),
+        rnd(F.regr_r2("value", "x_hours"), 6).alias("r2"),
+    )
+
+
+register(
+    "per_key_linear_trend",
+    oracle="""
+WITH based AS (
+  SELECT user_id, value,
+         (CAST(floor(epoch(ts)) AS BIGINT)
+          - min(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id)) / 3600.0 AS x_hours
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       round(regr_slope(value, x_hours) + 1e-6, 6) AS slope_per_hour,
+       round(regr_intercept(value, x_hours) + 1e-6, 4) AS intercept,
+       round(regr_r2(value, x_hours) + 1e-6, 6) AS r2
+FROM based
+GROUP BY user_id
+""",
+    tags=("timeseries", "regression", "trend"),
+)(per_key_linear_trend)
