@@ -817,3 +817,80 @@ GROUP BY 1
 """,
     tags=("join", "range-join", "bucketed"),
 )(range_join_bucketed)
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile scores for Recency (days since
+    last order, anchored to the corpus max order date), Frequency (order
+    count) and Monetary (total spend), plus the composite segment label —
+    the canonical warehouse cohorting query.
+
+    Shape: one aggregate to per-customer metrics, then three ntile
+    windows over the SAME unpartitioned ordering set. ntile over an
+    un-keyed window is a single-partition sort of the per-customer
+    AGGREGATE (one row per customer, not raw orders) — at 100 TB the
+    aggregate is customer-cardinality, and a production variant swaps
+    ntile for broadcast percentile cutpoints (the ``winsorized_stats``
+    pattern) to drop even that sort. Ties rank deterministically by
+    customer key on both engines.
+    """
+    orders = load(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum("o_totalprice").alias("monetary_raw"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.datediff("anchor", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary_raw",
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("c_custkey").asc())
+    m_w = Window.orderBy(F.col("monetary_raw").desc(), F.col("c_custkey").asc())
+    scored = per_cust.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        rnd("monetary_raw", 2).alias("monetary"),
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("-", "r_score", "f_score", "m_score"),
+    )
+
+
+register(
+    "rfm_segments",
+    oracle="""
+WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+per_cust AS (
+  SELECT o_custkey AS c_custkey,
+         date_diff('day', max(o_orderdate), (SELECT a FROM anchor)) AS recency_days,
+         count(*) AS frequency,
+         sum(o_totalprice) AS monetary_raw
+  FROM orders GROUP BY 1
+)
+SELECT c_custkey,
+       CAST(recency_days AS INTEGER) AS recency_days,
+       frequency,
+       round(monetary_raw + 1e-6, 2) AS monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_days ASC, c_custkey ASC) AS INTEGER) AS r_score,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, c_custkey ASC) AS INTEGER) AS f_score,
+       CAST(ntile(4) OVER (ORDER BY monetary_raw DESC, c_custkey ASC) AS INTEGER) AS m_score,
+       CAST(ntile(4) OVER (ORDER BY recency_days ASC, c_custkey ASC) AS VARCHAR)
+         || '-' || CAST(ntile(4) OVER (ORDER BY frequency DESC, c_custkey ASC) AS VARCHAR)
+         || '-' || CAST(ntile(4) OVER (ORDER BY monetary_raw DESC, c_custkey ASC) AS VARCHAR) AS segment
+FROM per_cust
+""",
+    tags=("agg", "window", "segmentation"),
+)(rfm_segments)

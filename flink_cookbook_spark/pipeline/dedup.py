@@ -1116,3 +1116,81 @@ FROM deg d LEFT JOIN tcount t ON d.doc_id = t.doc_id
 """,
     tags=("dedup", "llm-pipeline", "graph", "qa"),
 )(dedup_pair_triangles)
+
+
+def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs that SPAN sources — the train/eval leakage
+    scan: when one "source" is a benchmark or held-out split, a verified
+    near-dup crossing the boundary is contamination
+    (``benchmark_decontamination`` catches n-gram overlap; this catches
+    whole-document duplication via the MinHash path).
+
+    Reuses the memoized verified pair list; the documents side joins only
+    to stamp each end's source (two joins against the tiny pair list,
+    corpus never self-joins here)."""
+    pairs = _lsh_verified_pairs_df(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    s1 = docs.select(F.col("doc_id").alias("doc1"), F.col("source").alias("source1"))
+    s2 = docs.select(F.col("doc_id").alias("doc2"), F.col("source").alias("source2"))
+    return (
+        pairs.join(s1, "doc1")
+        .join(s2, "doc2")
+        .where(F.col("source1") != F.col("source2"))
+        .select(
+            "doc1",
+            "doc2",
+            "source1",
+            "source2",
+            rnd("jaccard_raw", 4).alias("jaccard"),
+        )
+    )
+
+
+register(
+    "cross_source_leakage",
+    oracle="WITH "
+    + _SHINGLES_CTE
+    + f""",
+sigs AS (
+  SELECT doc_id,
+         {_minhash_sql_cols()}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band_id,
+         CASE band_id
+           {" ".join(f"WHEN {b} THEN {_band_sql(b)}" for b in range(LSH_BANDS))}
+         END AS band_key
+  FROM sigs, (SELECT unnest(range(0, {LSH_BANDS})) AS band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS n_common
+  FROM cand c
+  JOIN shingles s1 ON s1.doc_id = c.doc1
+  JOIN shingles s2 ON s2.doc_id = c.doc2 AND s1.shingle = s2.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc1, i.doc2,
+         n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard_raw
+  FROM inter i
+  JOIN sizes sa ON i.doc1 = sa.doc_id
+  JOIN sizes sb ON i.doc2 = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+)
+SELECT v.doc1, v.doc2, d1.source AS source1, d2.source AS source2,
+       round(v.jaccard_raw + 1e-6, 4) AS jaccard
+FROM verified v
+JOIN documents d1 ON v.doc1 = d1.doc_id
+JOIN documents d2 ON v.doc2 = d2.doc_id
+WHERE d1.source <> d2.source
+""",
+    tags=("dedup", "llm-pipeline", "leakage", "decontamination"),
+)(cross_source_leakage)

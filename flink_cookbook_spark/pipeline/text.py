@@ -786,3 +786,107 @@ GROUP BY source
 """,
     tags=("text", "llm-pipeline", "mixture", "drift"),
 )(source_kl_divergence)
+
+
+PMI_MIN_COUNT = 3  # drop bigrams rarer than this before scoring
+
+
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations by pointwise mutual information: bigrams whose
+    joint probability beats the independence assumption of their unigrams
+    — the classic phrase-mining pass (multi-word entities, boilerplate
+    idioms) that feeds tokenizer vocab decisions and boilerplate lists.
+
+    PMI = ln( (c_xy / N_bi) / ((c_x / N_uni) * (c_y / N_uni)) ), floored
+    to bigrams seen >= PMI_MIN_COUNT times. Reuses the memoized exploded
+    bigram stream (shared with ``bigram_logprob_score``); unigram counts
+    are vocabulary-sized and broadcast; the two corpus totals ride along
+    as broadcast 1-row aggregates — the fact stream is joined only
+    against broadcast sides.
+    """
+    from flink_cookbook_spark.pipeline._cache import memo_persist
+
+    def build_exploded() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        bi = (
+            docs.select("doc_id", F.split("text", " ").alias("ts"))
+            .select(
+                "doc_id",
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> concat_ws(' ', ts[i - 1], ts[i]))"
+                ).alias("bigrams"),
+            )
+            .where(F.size("bigrams") >= 1)
+        )
+        return bi.select("doc_id", F.explode("bigrams").alias("bigram"))
+
+    exploded = memo_persist(spark, "bigram_tokens", sf_dir, build_exploded)
+    docs = load(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_uni"))
+    )
+    n_uni = uni.agg(F.sum("c_uni").alias("n_uni"))
+    bc = (
+        exploded.groupBy("bigram")
+        .agg(F.count("*").alias("c_bigram"))
+        .where(F.col("c_bigram") >= PMI_MIN_COUNT)
+        .withColumn("w1", F.split_part("bigram", F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part("bigram", F.lit(" "), F.lit(2)))
+    )
+    n_bi = exploded.agg(F.count("*").alias("n_bi"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c_uni").alias("c_w1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c_uni").alias("c_w2"))
+    pmi = F.log(
+        (F.col("c_bigram") / F.col("n_bi"))
+        / ((F.col("c_w1") / F.col("n_uni")) * (F.col("c_w2") / F.col("n_uni")))
+    )
+    return (
+        bc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select("w1", "w2", "c_bigram", rnd(pmi, 4).alias("pmi"))
+    )
+
+
+register(
+    "collocation_pmi",
+    oracle=f"""
+WITH bi AS (
+  SELECT doc_id,
+         list_transform(range(1, len(string_split(text, ' '))),
+                        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])
+           AS bigrams
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+exploded AS (SELECT doc_id, unnest(bigrams) AS bigram FROM bi),
+uni AS (
+  SELECT tok, count(*) AS c_uni
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+totals AS (
+  SELECT (SELECT sum(c_uni) FROM uni) AS n_uni,
+         (SELECT count(*) FROM exploded) AS n_bi
+),
+bc AS (
+  SELECT bigram, count(*) AS c_bigram,
+         split_part(bigram, ' ', 1) AS w1,
+         split_part(bigram, ' ', 2) AS w2
+  FROM exploded GROUP BY bigram
+  HAVING count(*) >= {PMI_MIN_COUNT}
+)
+SELECT b.w1, b.w2, b.c_bigram,
+       round(ln((b.c_bigram * 1.0 / t.n_bi)
+                / ((u1.c_uni * 1.0 / t.n_uni) * (u2.c_uni * 1.0 / t.n_uni))) + 1e-6, 4) AS pmi
+FROM bc b
+JOIN uni u1 ON b.w1 = u1.tok
+JOIN uni u2 ON b.w2 = u2.tok
+CROSS JOIN totals t
+""",
+    tags=("text", "llm-pipeline", "collocation", "pmi"),
+)(collocation_pmi)
