@@ -1,0 +1,124 @@
+"""Python UDTF + grouped-agg pandas UDAF surface, hash-checked.
+
+The engine's other Python escape hatches are the Arrow-batched model
+operators (applyInPandas / applyInPandasWithState / mapInPandas in
+streaming/sarimax.py and pipeline/multimodal.py). This module covers the
+remaining two user-function shapes SURVEY.md §2.2 lists for the UDF/UDAF/
+UDTF row: a table function (one row in, many rows out, LATERAL-joined)
+and a grouped aggregate (pandas Series in, scalar out) — each with a
+DuckDB oracle, so the Python path is value-checked, not just smoke-run.
+
+Both computations are DELIBERATELY also expressible natively (explode +
+count; exp(avg(ln))) — that is what makes them oracle-checkable, and the
+native twins (top_tokens, agg_stats) document that a production pipeline
+keeps hot paths JVM-side; these registrations pin that the Python API
+produces identical results when users do reach for it.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.registry import register, rnd
+
+
+class _WordCountsUDTF:
+    """Per-document token frequency table: eval() receives one document's
+    text and yields a (token, count) row per distinct token — the
+    classic UDTF shape (same contract as Flink's TableFunction, which the
+    reference's PyFlink API exposes but the reference never uses).
+
+    Wrapped with ``udtf(returnType=...)`` lazily inside the query fn:
+    the decorator parses its DDL schema against the ACTIVE session, so
+    decorating at import time would require a SparkSession to exist
+    before the registry can even enumerate queries."""
+
+    def eval(self, text: str):  # noqa: D102 — contract fixed by Spark
+        if not text:
+            return
+        counts: dict[str, int] = {}
+        for tok in text.split(" "):
+            counts[tok] = counts.get(tok, 0) + 1
+        for tok, cnt in counts.items():
+            yield tok, cnt
+
+
+def python_udtf_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF applied per corpus row via LATERAL join. Row-at-a-time
+    by nature (the UDTF protocol); the oracle proves output parity with
+    the relational form, and ``top_tokens``/``tf_idf`` are the native
+    explode+agg twins a hot path should use."""
+    docs = load(spark, sf_dir, "documents")
+    spark.udtf.register(
+        "fcs_word_counts", udtf(_WordCountsUDTF, returnType="token string, cnt bigint")
+    )
+    docs.createOrReplaceTempView("_fcs_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.token, w.cnt
+        FROM _fcs_udtf_docs d, LATERAL fcs_word_counts(d.text) w
+        """
+    )
+
+
+register(
+    "python_udtf_word_counts",
+    oracle="""
+SELECT doc_id, token, count(*) AS cnt
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY 1, 2
+""",
+    tags=("udf", "udtf", "python"),
+)(python_udtf_word_counts)
+
+
+def _geomean_fn(v: pd.Series) -> float:
+    """Grouped-agg pandas UDAF body: geometric mean via exp(mean(log)) —
+    Arrow-batched, one scalar per group. Wrapped with pandas_udf lazily
+    (schema parsing needs an active session, same as the UDTF above)."""
+    import numpy as np
+
+    if len(v) == 0:
+        return float("nan")
+    return float(math.exp(np.log(v.to_numpy()).mean()))
+
+
+def _count_fn(v: pd.Series) -> int:
+    return len(v)
+
+
+def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user geometric mean of event values through the grouped-agg
+    pandas UDF path (SUM/AVG-style custom aggregate in Python, Arrow
+    transfer, one invocation per group partition)."""
+    ev = load(spark, sf_dir, "events")
+    geomean = pandas_udf(_geomean_fn, "double")
+    # Spark disallows mixing group-agg pandas UDFs with built-in
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # group size is a pandas aggregate too. The Series -> scalar type
+    # hints are what make pandas_udf infer GROUPED_AGG (a bare lambda
+    # would be inferred SCALAR and fail analysis).
+    n_rows = pandas_udf(_count_fn, "long")
+    return ev.groupBy("user_id").agg(
+        n_rows("value").alias("n_events"),
+        rnd(geomean("value"), 4).alias("geomean_value"),
+    )
+
+
+register(
+    "pandas_udaf_geomean",
+    oracle="""
+SELECT user_id,
+       count(value) AS n_events,
+       round(exp(avg(ln(value))) + 1e-6, 4) AS geomean_value
+FROM events
+GROUP BY user_id
+""",
+    tags=("udf", "udaf", "pandas", "python"),
+)(pandas_udaf_geomean)

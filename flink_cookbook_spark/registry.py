@@ -143,6 +143,7 @@ def _ensure_loaded() -> None:
     import flink_cookbook_spark.operators.tpch  # noqa: F401
     import flink_cookbook_spark.operators.windows  # noqa: F401
     import flink_cookbook_spark.functions.collections  # noqa: F401
+    import flink_cookbook_spark.functions.pyudf  # noqa: F401
     import flink_cookbook_spark.functions.scalars  # noqa: F401
     import flink_cookbook_spark.pipeline.curation  # noqa: F401
     import flink_cookbook_spark.pipeline.dedup  # noqa: F401
