@@ -272,3 +272,60 @@ def test_shingle_df_cap_drops_boilerplate_pairs(spark, tmp_path):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
     problems = compare(pairs, con, get_query("ngram_jaccard_pairs").oracle, "ngram_jaccard_pairs")
     assert not problems, problems
+
+
+def test_kmeans_lloyd_wcss_monotone(spark, sf_dir):
+    """Each Lloyd update must not increase the within-cluster sum of
+    squares — the convergence invariant of k-means. Checked over the real
+    fixture by replaying the query's own helpers round by round."""
+    from pyspark.sql import functions as F
+
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.similarity import (
+        DIM,
+        KM_K,
+        _assign_with_dist,
+        _emb_double,
+    )
+
+    emb = _emb_double(load(spark, sf_dir, "embeddings")).select("vec_id", "emb")
+    seeds = sorted(emb.where(F.col("vec_id") < KM_K).collect(), key=lambda r: r.vec_id)
+    pairs = [(int(r.vec_id), list(r.emb)) for r in seeds]
+    wcss = []
+    for _ in range(3):
+        assigned = _assign_with_dist(emb, pairs)
+        wcss.append(assigned.agg(F.sum("sqdist")).collect()[0][0])
+        rows = (
+            assigned.select("cid", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by = {}
+        for r in rows:
+            by.setdefault(r.cid, {})[r.pos] = r.m
+        pairs = [(cid, [by[cid][p] for p in range(DIM)]) for cid in sorted(by)]
+    assert wcss[0] >= wcss[1] >= wcss[2], wcss
+    assert wcss[1] < wcss[0]  # the first update must actually improve
+
+
+def test_pagerank_mass_and_dangling(spark, sf_dir):
+    """Rank mass stays within [(1-d), 1] (dangling outflow leaks, never
+    inflates) and every vertex keeps at least the teleport floor."""
+    from pyspark.sql import functions as F
+
+    from flink_cookbook_spark.operators.graph import PR_DAMPING, supplier_pagerank
+
+    df = supplier_pagerank(spark, sf_dir).cache()
+    n = df.count()
+    total_norm = df.agg(F.sum("pr_norm")).collect()[0][0]  # == n if mass-preserving
+    # pr_norm carries the registry rounding nudge (+1e-6 per row)
+    slack = n * 2e-6
+    assert (1 - PR_DAMPING) * n - slack <= total_norm <= n + slack, (total_norm, n)
+    floor = (1 - PR_DAMPING) - 1e-6
+    assert df.where(F.col("pr_norm") < floor).count() == 0
+    # an isolated vertex (degree 0) must sit exactly on the teleport floor
+    iso = df.where((F.col("degree") == 0)).collect()
+    for r in iso:
+        assert abs(r.pr_norm - (1 - PR_DAMPING)) < 1e-4, r
+    df.unpersist()
