@@ -894,3 +894,153 @@ FROM per_cust
 """,
     tags=("agg", "window", "segmentation"),
 )(rfm_segments)
+
+
+AFFINITY_MIN_CO = 2  # minimum co-order count before scoring a part pair
+
+
+def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-ordered at least
+    AFFINITY_MIN_CO times, with support and lift — the relational twin of
+    ``collocation_pmi`` (lift is PMI without the log): co-purchase
+    recommendation candidates straight from the order lines.
+
+    Per-order pair expansion is an equi self-join on the order key —
+    candidate pairs are per-basket combinations (baskets are small),
+    never part². Singleton counts and the order total are broadcast-side
+    aggregates; lift = P(p1,p2) / (P(p1) * P(p2)) over order-incidence
+    probabilities.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    co = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_co"))
+        .where(F.col("n_co") >= AFFINITY_MIN_CO)
+    )
+    singles = li.groupBy("l_partkey").agg(F.count("*").alias("n_orders_part"))
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    s1 = singles.select(F.col("l_partkey").alias("p1"), F.col("n_orders_part").alias("c1"))
+    s2 = singles.select(F.col("l_partkey").alias("p2"), F.col("n_orders_part").alias("c2"))
+    lift = (F.col("n_co") * F.col("n_orders")) / (F.col("c1") * F.col("c2"))
+    return (
+        co.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "n_co",
+            rnd(F.col("n_co") / F.col("n_orders"), 6).alias("support"),
+            rnd(lift, 4).alias("lift"),
+        )
+    )
+
+
+register(
+    "part_affinity",
+    oracle=f"""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+co AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_co
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {AFFINITY_MIN_CO}
+),
+singles AS (SELECT l_partkey, count(*) AS c FROM lp GROUP BY 1),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp)
+SELECT co.p1, co.p2, co.n_co,
+       round(co.n_co * 1.0 / n.n_orders + 1e-6, 6) AS support,
+       round((co.n_co * n.n_orders * 1.0) / (s1.c * s2.c) + 1e-6, 4) AS lift
+FROM co
+JOIN singles s1 ON co.p1 = s1.l_partkey
+JOIN singles s2 ON co.p2 = s2.l_partkey
+CROSS JOIN n
+""",
+    tags=("agg", "join", "basket", "recommendation"),
+)(part_affinity)
+
+
+def expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over ``events`` — the Deequ/
+    Great-Expectations shape: each row is one named check with its
+    observed metric and pass flag (completeness, uniqueness, value range,
+    referential sanity of the JSON payload).
+
+    All checks reduce over ONE scan: conditional aggregates share the
+    same partial-aggregation pass, so adding a check costs a column, not
+    a job — the always-on data-quality gate a 100 TB ingest runs per
+    batch.
+    """
+    ev = load(spark, sf_dir, "events")
+    checks = ev.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("value") / F.count("*")).alias("value_completeness"),
+        (F.countDistinct("event_id") / F.count("*")).alias("event_id_uniqueness"),
+        F.sum((F.col("value") < 0).cast("long")).alias("value_negative_count"),
+        F.sum(F.get_json_object("props", "$.k").isNull().cast("long")).alias(
+            "props_missing_k_count"
+        ),
+    )
+    rows = [
+        ("value_completeness", F.col("value_completeness"), F.col("value_completeness") == 1.0),
+        ("event_id_uniqueness", F.col("event_id_uniqueness"), F.col("event_id_uniqueness") == 1.0),
+        (
+            "value_non_negative",
+            F.col("value_negative_count").cast("double"),
+            F.col("value_negative_count") == 0,
+        ),
+        (
+            "props_has_k",
+            F.col("props_missing_k_count").cast("double"),
+            F.col("props_missing_k_count") == 0,
+        ),
+    ]
+    stacked = checks.select(
+        F.col("n_rows"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check"),
+                        rnd(metric, 6).alias("observed"),
+                        passed.alias("passed"),
+                    )
+                    for name, metric, passed in rows
+                ]
+            )
+        ).alias("c"),
+    )
+    return stacked.select("c.check", "n_rows", "c.observed", "c.passed")
+
+
+register(
+    "expectation_checks",
+    oracle="""
+WITH m AS (
+  SELECT count(*) AS n_rows,
+         count(value) * 1.0 / count(*) AS value_completeness,
+         count(DISTINCT event_id) * 1.0 / count(*) AS event_id_uniqueness,
+         sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS value_negative_count,
+         sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS props_missing_k_count
+  FROM events
+)
+SELECT u.check, m.n_rows, u.observed, u.passed FROM m, LATERAL (
+  SELECT 'value_completeness' AS "check", round(value_completeness + 1e-6, 6) AS observed,
+         value_completeness = 1.0 AS passed
+  UNION ALL
+  SELECT 'event_id_uniqueness', round(event_id_uniqueness + 1e-6, 6),
+         event_id_uniqueness = 1.0
+  UNION ALL
+  SELECT 'value_non_negative', round(value_negative_count * 1.0 + 1e-6, 6),
+         value_negative_count = 0
+  UNION ALL
+  SELECT 'props_has_k', round(props_missing_k_count * 1.0 + 1e-6, 6),
+         props_missing_k_count = 0
+) u
+""",
+    tags=("quality", "profiling", "expectations"),
+)(expectation_checks)

@@ -773,3 +773,78 @@ GROUP BY user_id
 """,
     tags=("timeseries", "regression", "trend"),
 )(per_key_linear_trend)
+
+
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of each user's hourly series:
+    trend (25-point centered moving average), seasonal (mean detrended
+    value per hour-of-day), residual — the STL-lite every anomaly
+    pipeline runs before thresholding residuals, and the batch analogue
+    of the reference's seasonal-factor adjustment
+    (flinkarima.py:118-135, s=288 five-minute slots -> 24 hourly slots).
+
+    Two exchanges total: the hourly aggregate + trend window share the
+    user_id exchange; the seasonal mean re-partitions on (user, hour).
+    Edge buckets use the window's natural shrinking frame on BOTH
+    engines (ROWS BETWEEN semantics), so no NULL trimming is needed.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    hourly = (
+        ev.select(
+            "user_id",
+            ((sec / 3600).cast("long") * 3600).alias("bucket_start"),
+            "value",
+        )
+        .groupBy("user_id", "bucket_start")
+        .agg(F.avg("value").alias("x"))
+    )
+    trend_w = (
+        Window.partitionBy("user_id").orderBy("bucket_start").rowsBetween(-12, 12)
+    )
+    trended = hourly.select(
+        "user_id",
+        "bucket_start",
+        "x",
+        F.avg("x").over(trend_w).alias("trend"),
+        ((F.col("bucket_start") % 86400) / 3600).cast("int").alias("hod"),
+    ).withColumn("detrended", F.col("x") - F.col("trend"))
+    seas_w = Window.partitionBy("user_id", "hod")
+    return trended.select(
+        "user_id",
+        "bucket_start",
+        rnd("x").alias("x"),
+        rnd("trend").alias("trend"),
+        rnd(F.avg("detrended").over(seas_w)).alias("seasonal"),
+        rnd(
+            F.col("detrended") - F.avg("detrended").over(seas_w)
+        ).alias("residual"),
+    )
+
+
+register(
+    "seasonal_decompose",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_start,
+         avg(value) AS x
+  FROM events GROUP BY 1, 2
+),
+trended AS (
+  SELECT user_id, bucket_start, x,
+         avg(x) OVER (PARTITION BY user_id ORDER BY bucket_start
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend,
+         CAST((bucket_start % 86400) // 3600 AS INTEGER) AS hod
+  FROM hourly
+),
+det AS (SELECT *, x - trend AS detrended FROM trended)
+SELECT user_id, bucket_start,
+       round(x + 1e-6, 4) AS x,
+       round(trend + 1e-6, 4) AS trend,
+       round(avg(detrended) OVER (PARTITION BY user_id, hod) + 1e-6, 4) AS seasonal,
+       round(detrended - avg(detrended) OVER (PARTITION BY user_id, hod) + 1e-6, 4) AS residual
+FROM det
+""",
+    tags=("timeseries", "seasonality", "decomposition"),
+)(seasonal_decompose)
