@@ -848,3 +848,92 @@ FROM det
 """,
     tags=("timeseries", "seasonality", "decomposition"),
 )(seasonal_decompose)
+
+
+PSI_SPLIT = "2024-01-16 00:00:00"  # reference window | comparison window
+PSI_BUCKET = 50.0  # value-histogram bucket width
+PSI_BUCKET_CAP = 9  # top bucket is open-ended
+PSI_SMOOTH = 0.5  # Laplace smoothing count so empty buckets stay finite
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution per
+    event_type, first half of the month vs second — THE model-monitoring
+    drift metric (PSI = sum (p-q) * ln(p/q); > 0.2 conventionally means
+    the population shifted). Complements ``source_kl_divergence`` (drift
+    across sources) with drift across TIME, and ``cusum_drift`` (mean
+    shift) with a full-distribution comparison.
+
+    One scan -> (event_type, bucket, half) counts; Laplace-smoothed so a
+    bucket empty in one half contributes a finite term on both engines.
+    Everything after the first aggregate is event_type x buckets tiny.
+    """
+    ev = load(spark, sf_dir, "events")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    bucketed = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / PSI_BUCKET), F.lit(PSI_BUCKET_CAP)
+        ).alias("b"),
+        (F.col("ts") < split).alias("is_ref"),
+    )
+    counts = (
+        bucketed.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("is_ref").cast("long")).alias("c_ref"),
+            F.sum((~F.col("is_ref")).cast("long")).alias("c_cmp"),
+        )
+    )
+    tot_w = Window.partitionBy("event_type")
+    terms = counts.select(
+        "event_type",
+        (
+            (F.col("c_ref") + PSI_SMOOTH)
+            / F.sum(F.col("c_ref") + PSI_SMOOTH).over(tot_w)
+        ).alias("p"),
+        (
+            (F.col("c_cmp") + PSI_SMOOTH)
+            / F.sum(F.col("c_cmp") + PSI_SMOOTH).over(tot_w)
+        ).alias("q"),
+        F.sum("c_ref").over(tot_w).alias("n_ref"),
+        F.sum("c_cmp").over(tot_w).alias("n_cmp"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cmp").alias("n_cmp"),
+        rnd(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias("psi"),
+    )
+
+
+register(
+    "psi_value_drift",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT event_type,
+         least(floor(value / {PSI_BUCKET}), {PSI_BUCKET_CAP}) AS b,
+         ts < TIMESTAMP '{PSI_SPLIT}' AS is_ref
+  FROM events
+),
+counts AS (
+  SELECT event_type, b,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c_cmp
+  FROM bucketed GROUP BY 1, 2
+),
+terms AS (
+  SELECT event_type,
+         (c_ref + {PSI_SMOOTH}) / sum(c_ref + {PSI_SMOOTH}) OVER (PARTITION BY event_type) AS p,
+         (c_cmp + {PSI_SMOOTH}) / sum(c_cmp + {PSI_SMOOTH}) OVER (PARTITION BY event_type) AS q,
+         sum(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+         sum(c_cmp) OVER (PARTITION BY event_type) AS n_cmp
+  FROM counts
+)
+SELECT event_type,
+       max(n_ref) AS n_ref,
+       max(n_cmp) AS n_cmp,
+       round(sum((p - q) * ln(p / q)) + 1e-6, 6) AS psi
+FROM terms
+GROUP BY event_type
+""",
+    tags=("timeseries", "drift", "monitoring", "psi"),
+)(psi_value_drift)
