@@ -815,7 +815,7 @@ SELECT w.win_id, count(*) AS n_events, round(avg(value) + 1e-6, 4) AS avg_value
 FROM win w JOIN ev e ON e.sec >= w.w_start AND e.sec < w.w_start + {RJ_WIN_LEN}
 GROUP BY 1
 """,
-    tags=("join", "range-join", "bucketed"),
+    tags=("join", "range-join", "bucketed", "bench"),
 )(range_join_bucketed)
 
 
@@ -911,7 +911,19 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates; lift = P(p1,p2) / (P(p1) * P(p2)) over order-incidence
     probabilities.
     """
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    from flink_cookbook_spark.pipeline._cache import memo_persist
+
+    # the distinct basket-line table feeds FOUR consumers (both sides of
+    # the pair join, singleton counts, the order total); materialize it
+    # once instead of four distinct-aggregates over the raw scan.
+    li = memo_persist(
+        spark,
+        "basket_lines",
+        sf_dir,
+        lambda: load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct(),
+    )
     a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
     co = (
@@ -960,7 +972,7 @@ JOIN singles s1 ON co.p1 = s1.l_partkey
 JOIN singles s2 ON co.p2 = s2.l_partkey
 CROSS JOIN n
 """,
-    tags=("agg", "join", "basket", "recommendation"),
+    tags=("agg", "join", "basket", "recommendation", "bench"),
 )(part_affinity)
 
 

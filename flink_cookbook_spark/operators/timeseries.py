@@ -846,7 +846,7 @@ SELECT user_id, bucket_start,
        round(detrended - avg(detrended) OVER (PARTITION BY user_id, hod) + 1e-6, 4) AS residual
 FROM det
 """,
-    tags=("timeseries", "seasonality", "decomposition"),
+    tags=("timeseries", "seasonality", "decomposition", "bench"),
 )(seasonal_decompose)
 
 

@@ -888,5 +888,5 @@ JOIN uni u1 ON b.w1 = u1.tok
 JOIN uni u2 ON b.w2 = u2.tok
 CROSS JOIN totals t
 """,
-    tags=("text", "llm-pipeline", "collocation", "pmi"),
+    tags=("text", "llm-pipeline", "collocation", "pmi", "bench"),
 )(collocation_pmi)
