@@ -352,3 +352,44 @@ FROM docs
 """,
     tags=("scalar", "json", "variant", "semi-structured"),
 )(variant_shred)
+
+
+def json_keys_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema discovery: top-level JSON key frequency in
+    the ``props`` payload — the first question against an uncontrolled
+    event payload ("what fields actually arrive, and how often?"), the
+    scan a VARIANT shredder (``variant_shred``) is configured from.
+
+    Map-only explode of ``json_object_keys`` + one combinable hash
+    aggregate; key cardinality (the output) is schema-sized, so the
+    shuffle is trivially small at any event volume.
+    """
+    ev = load(spark, sf_dir, "events")
+    n_rows = ev.agg(F.count("*").alias("n_rows"))
+    return (
+        ev.select(F.explode(F.json_object_keys("props")).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("n_present"))
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            "key",
+            "n_present",
+            rnd(F.col("n_present") / F.col("n_rows"), 6).alias("presence_ratio"),
+        )
+    )
+
+
+register(
+    "json_keys_profile",
+    oracle="""
+WITH keys AS (
+  SELECT unnest(json_keys(props)) AS key FROM events
+),
+n AS (SELECT count(*) AS n_rows FROM events)
+SELECT key, count(*) AS n_present,
+       round(count(*) * 1.0 / max(n.n_rows) + 1e-6, 6) AS presence_ratio
+FROM keys CROSS JOIN n
+GROUP BY key
+""",
+    tags=("json", "profiling", "schema"),
+)(json_keys_profile)

@@ -937,3 +937,56 @@ GROUP BY event_type
 """,
     tags=("timeseries", "drift", "monitoring", "psi"),
 )(psi_value_drift)
+
+
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth split: per day, how many active users are seen for
+    the FIRST time vs returning — the companion to ``cohort_retention``
+    (that query tracks a cohort forward; this one classifies each day's
+    traffic) and ``rolling_active_users``.
+
+    Two combinable aggregates over user-days: dedupe to (user, day),
+    window-min for each user's first day (same user_id exchange), then a
+    per-day conditional count. No joins; everything after the dedup is
+    user-day-cardinality.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    user_days = (
+        ev.select("user_id", (F.floor(sec / 86400) * 86400).alias("day_start"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    tagged = user_days.select(
+        "day_start",
+        (F.col("day_start") == F.min("day_start").over(w)).alias("is_new"),
+    )
+    return tagged.groupBy("day_start").agg(
+        F.count("*").alias("active_users"),
+        F.sum(F.col("is_new").cast("long")).alias("new_users"),
+        F.sum((~F.col("is_new")).cast("long")).alias("returning_users"),
+    )
+
+
+register(
+    "new_vs_returning",
+    oracle="""
+WITH user_days AS (
+  SELECT DISTINCT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start
+  FROM events
+),
+tagged AS (
+  SELECT day_start,
+         day_start = min(day_start) OVER (PARTITION BY user_id) AS is_new
+  FROM user_days
+)
+SELECT day_start,
+       count(*) AS active_users,
+       sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS new_users,
+       sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS returning_users
+FROM tagged
+GROUP BY day_start
+""",
+    tags=("timeseries", "growth", "cohort"),
+)(new_vs_returning)

@@ -1194,3 +1194,66 @@ WHERE d1.source <> d2.source
 """,
     tags=("dedup", "llm-pipeline", "leakage", "decontamination"),
 )(cross_source_leakage)
+
+
+CONTAINMENT_THRESHOLD = 0.8  # |A n B| / |A| — "A is mostly inside B"
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-duplication: ordered pairs where at least
+    CONTAINMENT_THRESHOLD of the smaller document's shingles appear in
+    the other document — the quote/excerpt/boilerplate-inclusion
+    detector Jaccard misses (a 50-line doc fully quoted inside a
+    5000-line doc has tiny Jaccard but containment 1.0).
+
+    Same inverted-index shape as ``ngram_jaccard_pairs`` (equi-join on
+    the df-capped shingle index, never doc x doc); the only change is
+    normalizing the intersection by EACH side's size and emitting both
+    directions that clear the threshold.
+    """
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("src_doc"), F.col("b.doc_id").alias("in_doc"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ssz = sizes.select(F.col("doc_id").alias("src_doc"), F.col("n_shingles").alias("n_src"))
+    return (
+        inter.join(ssz, "src_doc")
+        .withColumn("containment_raw", F.col("n_common") / F.col("n_src"))
+        .where(F.col("containment_raw") >= CONTAINMENT_THRESHOLD)
+        .select(
+            "src_doc",
+            "in_doc",
+            "n_common",
+            rnd("containment_raw", 4).alias("containment"),
+        )
+    )
+
+
+register(
+    "containment_pairs",
+    oracle="WITH "
+    + _SHINGLES_CTE
+    + f""",
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS src_doc, b.doc_id AS in_doc, count(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.src_doc, i.in_doc, i.n_common,
+       round(i.n_common * 1.0 / s.n_shingles + 1e-6, 4) AS containment
+FROM inter i JOIN sizes s ON i.src_doc = s.doc_id
+WHERE i.n_common * 1.0 / s.n_shingles >= {CONTAINMENT_THRESHOLD}
+""",
+    tags=("dedup", "llm-pipeline", "near-dup", "containment"),
+)(containment_pairs)
