@@ -174,3 +174,73 @@ def test_rotation_staleness_is_bounded():
         if rnd_no > math.ceil(n_queries / window) + 1:  # past warm-up
             worst_gap = max(worst_gap, rnd_no - min(last_round.values()))
     assert worst_gap <= math.ceil(n_queries / window) + 1, worst_gap
+
+
+def test_queries_survive_empty_tables(spark, tmp_path):
+    """Zero-row inputs (fresh deployment, empty partition, filtered-out
+    day) must yield empty DataFrames — never a crash from seq bounds,
+    argmin over nothing, or divide-by-zero. Exercises one representative
+    per operator family against schema-only fixtures."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_cookbook_spark.pipeline._cache import clear
+
+    # explicit arrow schemas: an empty pandas object column would land
+    # in parquet as a null/int32 column and break string expressions
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+                "user_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "value": pa.array([], type=pa.float64()),
+                "props": pa.array([], type=pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float32())),
+                "label": pa.array([], type=pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+
+    from flink_cookbook_spark.registry import get_query
+
+    clear()  # empty-fixture builds must not reuse real-fixture memos
+    for name in (
+        "gap_fill_locf",
+        "autocorrelation",
+        "psi_value_drift",
+        "seasonal_decompose",
+        "incremental_agg_merge",
+        "new_vs_returning",
+        "welford_moments",
+        "exact_dedup",
+        "doc_chunking",
+        "minhash_lsh_pairs",
+        "kmeans_embeddings",
+        "json_keys_profile",
+    ):
+        out = get_query(name).fn(spark, str(tmp_path))
+        assert out.count() == 0, name
+    clear()  # don't leave empty-fixture memos for later tests
