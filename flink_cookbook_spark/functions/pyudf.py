@@ -97,7 +97,11 @@ def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user geometric mean of event values through the grouped-agg
     pandas UDF path (SUM/AVG-style custom aggregate in Python, Arrow
     transfer, one invocation per group partition)."""
-    ev = load(spark, sf_dir, "events")
+    # geometric mean is defined on positive support: filter value > 0 on
+    # BOTH sides (a zero would be ln(0): -inf silently in numpy, an
+    # OutOfRange ERROR in DuckDB — the fixture's sf0.1 generation does
+    # contain one zero).
+    ev = load(spark, sf_dir, "events").where(F.col("value") > 0)
     geomean = pandas_udf(_geomean_fn, "double")
     # Spark disallows mixing group-agg pandas UDFs with built-in
     # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
@@ -118,6 +122,7 @@ SELECT user_id,
        count(value) AS n_events,
        round(exp(avg(ln(value))) + 1e-6, 4) AS geomean_value
 FROM events
+WHERE value > 0
 GROUP BY user_id
 """,
     tags=("udf", "udaf", "pandas", "python"),
