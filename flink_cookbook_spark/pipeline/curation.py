@@ -485,3 +485,157 @@ GROUP BY 1
 """,
     tags=("curation", "llm-pipeline", "winsorize"),
 )(winsorized_stats)
+
+
+def training_data_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus -> training-chunk manifest: the full curation
+    chain composed as ONE lazy plan — (1) the quality/dedup verdict of
+    ``corpus_filter_pipeline`` (exact-dup removal, length, quality,
+    language), (2) near-dup removal via the MinHash+LSH verified pairs
+    (pairwise keeper rule: the larger doc_id of every verified pair
+    drops — transitivity-free, so the oracle needs no recursion; the
+    transitive variant is ``dedup_clusters``), (3) 64-token/16-overlap
+    chunking of the survivors (``doc_chunking``'s shape), emitting the
+    manifest a trainer consumes: (doc_id, chunk_idx, source, n_tokens,
+    chunk_hash).
+
+    Scale: stage 1 is one keyed exchange (md5 fingerprint); stage 2
+    anti-joins the corpus against the tiny-by-construction pair list;
+    stage 3 is map-only fan-out. Nothing materializes on the driver, and
+    each stage's intermediate is row-pruned before the next (survivors
+    only are chunked).
+    """
+    from flink_cookbook_spark.pipeline.dedup import _lsh_verified_pairs_df
+    from flink_cookbook_spark.pipeline.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        corpus_filter_pipeline,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    keep = corpus_filter_pipeline(spark, sf_dir).where(F.col("keep")).select("doc_id")
+    near_losers = (
+        _lsh_verified_pairs_df(spark, sf_dir).select(F.col("doc2").alias("doc_id")).distinct()
+    )
+    survivors = (
+        docs.join(keep, "doc_id")
+        .join(near_losers, "doc_id", "left_anti")
+        .select("doc_id", "source", F.split("text", " ").alias("ts"))
+    )
+    starts = survivors.select(
+        "doc_id",
+        "source",
+        "ts",
+        F.explode(
+            F.sequence(F.lit(0), F.size("ts") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice("ts", F.col("start") + 1, CHUNK_TOKENS)
+    return starts.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        "source",
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+def _manifest_oracle() -> str:
+    from flink_cookbook_spark.pipeline.dedup import (
+        _SHINGLES_CTE,
+        _band_sql,
+        _minhash_sql_cols,
+        JACCARD_THRESHOLD,
+        LSH_BANDS,
+    )
+    from flink_cookbook_spark.pipeline.text import CHUNK_STRIDE, CHUNK_TOKENS, STOPWORDS
+
+    return (
+        "WITH "
+        + _SHINGLES_CTE
+        + f""",
+sigs AS (
+  SELECT doc_id,
+         {_minhash_sql_cols()}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, band_id,
+         CASE band_id
+           {" ".join(f"WHEN {b} THEN {_band_sql(b)}" for b in range(LSH_BANDS))}
+         END AS band_key
+  FROM sigs, (SELECT unnest(range(0, {LSH_BANDS})) AS band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS n_common
+  FROM cand c
+  JOIN shingles s1 ON s1.doc_id = c.doc1
+  JOIN shingles s2 ON s2.doc_id = c.doc2 AND s1.shingle = s2.shingle
+  GROUP BY 1, 2
+),
+near_losers AS (
+  SELECT DISTINCT i.doc2 AS doc_id
+  FROM inter i
+  JOIN sizes sa ON i.doc1 = sa.doc_id
+  JOIN sizes sb ON i.doc2 = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+),
+ft AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS ts,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS dup_rank
+  FROM documents
+),
+fm AS (
+  SELECT doc_id, dup_rank,
+         len(ts) AS n,
+         CAST(len(list_filter(ts, x -> x IN ({", ".join(repr(s) for s in STOPWORDS)}))) AS DOUBLE)
+           / len(ts) AS stop_ratio,
+         1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS rep_ratio
+  FROM ft
+),
+verdict AS (
+  SELECT doc_id,
+         CASE WHEN dup_rank > 1 THEN 'duplicate'
+              WHEN n < 10 THEN 'too_short'
+              WHEN round((CASE WHEN n < 10 THEN 0.0 ELSE 1.0 END)
+                         * (1.0 - rep_ratio)
+                         * (CASE WHEN stop_ratio > 0.5 THEN 0.5 ELSE 1.0 END) + 1e-6, 4) < 0.5
+                THEN 'low_quality'
+              WHEN round(stop_ratio + 1e-6, 4) < 0.05 THEN 'non_en'
+              ELSE 'keep' END AS reason
+  FROM fm
+),
+survivors AS (
+  SELECT d.doc_id, d.source, string_split(d.text, ' ') AS ts
+  FROM documents d
+  JOIN verdict v ON d.doc_id = v.doc_id AND v.reason = 'keep'
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM near_losers)
+),
+s AS (
+  SELECT doc_id, source, ts,
+         unnest(range(0, len(ts), {CHUNK_STRIDE})) AS start
+  FROM survivors
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       source,
+       CAST(len(ts[start + 1 : start + {CHUNK_TOKENS}]) AS INTEGER) AS n_tokens,
+       md5(array_to_string(ts[start + 1 : start + {CHUNK_TOKENS}], ' ')) AS chunk_hash
+FROM s
+"""
+    )
+
+
+register(
+    "training_data_manifest",
+    oracle=_manifest_oracle(),
+    tags=("llm-pipeline", "curation", "end-to-end", "bench"),
+)(training_data_manifest)
