@@ -104,15 +104,25 @@ def _check(out: dict, budget_path: str) -> int:
     if ref.get("sf") != out["sf"]:
         print(f"--check: budgets are for sf={ref.get('sf')}, run is sf={out['sf']}; skipping", file=sys.stderr)
         return 0
+    # normalize out host-speed noise: this container's wall-clock swings
+    # ~±25% run to run (shared host), which would flag every query on a
+    # slow run. Scale measured times by the common-set total ratio first —
+    # a GLOBAL slowdown then cancels, while a single query regressing
+    # relative to its peers still trips the gate.
+    common = [n for n in out["queries"] if n in ref["budgets"]]
+    speed = (
+        sum(ref["budgets"][n] for n in common) / sum(out["queries"][n] for n in common)
+        if common else 1.0
+    )
     flagged = []
     for name, sec in sorted(out["queries"].items()):
         budget = ref["budgets"].get(name)
         # floor tiny budgets: sub-0.3 s queries jitter by scheduler noise
-        if budget is not None and sec > max(budget, 0.3) * DRIFT:
-            flagged.append((name, sec, budget))
+        if budget is not None and sec * speed > max(budget, 0.3) * DRIFT:
+            flagged.append((name, sec * speed, budget))
     for name, sec, budget in flagged:
-        print(f"--check DRIFT {name}: {sec:.3f}s vs budget {budget:.3f}s "
-              f"({sec / budget:.2f}x)", file=sys.stderr)
+        print(f"--check DRIFT {name}: {sec:.3f}s (speed-normalized x{speed:.2f}) "
+              f"vs budget {budget:.3f}s ({sec / budget:.2f}x)", file=sys.stderr)
     new = [n for n in out["queries"] if n not in ref["budgets"]]
     if new:
         print(f"--check: {len(new)} unbudgeted queries (run --write-budgets): {new}", file=sys.stderr)
