@@ -48,19 +48,30 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical power iteration as unrolled CTEs, making an
     iterative graph algorithm value-hash-checkable.
     """
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    from flink_cookbook_spark.pipeline._cache import memo_persist
+
     sup = load(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("node")
     )
-    per_order = li.distinct()
-    a = per_order.select(F.col("l_orderkey"), F.col("l_suppkey").alias("src"))
-    b = per_order.select(F.col("l_orderkey"), F.col("l_suppkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()  # unweighted: adjacency, not co-supply multiplicity
-    )
+
+    def build_edges() -> DataFrame:
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        per_order = li.distinct()
+        a = per_order.select(F.col("l_orderkey"), F.col("l_suppkey").alias("src"))
+        b = per_order.select(F.col("l_orderkey"), F.col("l_suppkey").alias("dst"))
+        return (
+            a.join(b, "l_orderkey")
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct()  # unweighted: adjacency, not co-supply multiplicity
+        )
+
+    # materialize the edge list once: every power-iteration round (and the
+    # final degree join) consumes it, and without persistence Catalyst
+    # re-derives the distinct+self-join lineage PR_ITERS + 1 times inside
+    # one plan tree — the graph-index analogue of the memoized shingle
+    # index (the iteration loop itself stays fully lazy).
+    edges = memo_persist(spark, "pagerank_edges", sf_dir, build_edges)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # vertex count as broadcast DATA (1-row aggregate), not a collect:
     # the plan stays fully lazy and cluster-side.
