@@ -605,40 +605,54 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     below replays each round as CTEs — so an *iterative* operator gets a
     full value-hash check, not a rows-only pass.
     """
-    from flink_cookbook_spark.pipeline._cache import memo_persist
-
-    # persist the projected corpus once: every Lloyd round makes
-    # KM_ITERS + 1 assignment passes plus update aggregates over the SAME
-    # (vec_id, emb) projection — at 100 TB this is the materialized
-    # feature table every iteration reads, not a re-scan of raw storage.
-    emb = memo_persist(
-        spark,
-        "kmeans_emb",
-        sf_dir,
-        lambda: _emb_double(load(spark, sf_dir, "embeddings")).select("vec_id", "emb"),
-    )
-    seeds = emb.where(F.col("vec_id") < KM_K).collect()  # k rows, bounded
-    pairs = [(int(r.vec_id), list(r.emb)) for r in sorted(seeds, key=lambda r: r.vec_id)]
-    for _ in range(KM_ITERS):
-        assigned = _assign_with_dist(emb, pairs)
-        rows = (
-            assigned.select("cid", F.posexplode("emb").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
-            .collect()  # k x dim partial means — bounded, not corpus data
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cid.setdefault(r.cid, {})[r.pos] = r.m
-        pairs = [
-            (cid, [by_cid[cid][p] for p in range(DIM)]) for cid in sorted(by_cid)
-        ]
+    emb, pairs = _kmeans_model(spark, sf_dir)
     final = _assign_with_dist(emb, pairs)
     return final.select(
         "vec_id",
         F.col("cid").alias("cluster"),
         rnd(F.sqrt("sqdist"), 4).alias("dist"),
     )
+
+
+def _kmeans_model(spark: SparkSession, sf_dir: str):
+    """(persisted corpus projection, trained centroid pairs) — memoized:
+    the Lloyd training runs once per session and both consumers
+    (``kmeans_embeddings``, ``semantic_cluster_dups``) reuse it.
+
+    The projected corpus is persisted because every Lloyd round makes
+    KM_ITERS + 1 assignment passes plus update aggregates over the SAME
+    (vec_id, emb) projection — at 100 TB this is the materialized
+    feature table every iteration reads, not a re-scan of raw storage.
+    """
+    from flink_cookbook_spark.pipeline._cache import memo_persist, memo_value
+
+    emb = memo_persist(
+        spark,
+        "kmeans_emb",
+        sf_dir,
+        lambda: _emb_double(load(spark, sf_dir, "embeddings")).select("vec_id", "emb"),
+    )
+
+    def train() -> list[tuple[int, list[float]]]:
+        seeds = emb.where(F.col("vec_id") < KM_K).collect()  # k rows, bounded
+        pairs = [(int(r.vec_id), list(r.emb)) for r in sorted(seeds, key=lambda r: r.vec_id)]
+        for _ in range(KM_ITERS):
+            assigned = _assign_with_dist(emb, pairs)
+            rows = (
+                assigned.select("cid", F.posexplode("emb").alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect()  # k x dim partial means — bounded, not corpus data
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_cid.setdefault(r.cid, {})[r.pos] = r.m
+            pairs = [
+                (cid, [by_cid[cid][p] for p in range(DIM)]) for cid in sorted(by_cid)
+            ]
+        return pairs
+
+    return emb, memo_value(spark, "kmeans_model", sf_dir, train)
 
 
 def _kmeans_oracle() -> str:
@@ -688,8 +702,78 @@ FROM a{KM_ITERS}"""
     return "\n".join(parts)
 
 
+def _kmeans_cte_prefix() -> str:
+    """The unrolled-Lloyd CTE chain ending at the final assignment
+    ``a{KM_ITERS}`` (vec_id, v, cid, sqd) — shared by the k-means oracle
+    and the SemDeDup within-cluster dedup oracle."""
+    full = _kmeans_oracle()
+    return full[: full.rindex("\nSELECT ")]
+
+
 register(
     "kmeans_embeddings",
     oracle=_kmeans_oracle(),
     tags=("similarity", "llm-pipeline", "kmeans", "clustering", "iterative", "bench"),
 )(kmeans_embeddings)
+
+
+SEMDEDUP_COS = 0.4  # within-cluster cosine threshold (SemDeDup epsilon).
+# The fixture corpus is pure-random (no planted semantic duplicates: the
+# max within-cluster cosine is ~0.6), so production epsilon (~0.95) would
+# make the query vacuously empty; 0.4 sits at the ~99.9th percentile of
+# the within-cluster similarity distribution, exercising the full
+# cluster->pair->verify path with non-degenerate output at every SF.
+
+
+def semantic_cluster_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic near-duplicate pairs found INSIDE k-means
+    clusters — cluster the corpus with the trained Lloyd model, then
+    compare only within-cluster pairs with exact cosine >= SEMDEDUP_COS.
+    The cluster acts as the coarse blocking key (the paper's recipe), so
+    candidate pairs are sum(cluster_size²), not corpus²; at 100 TB k
+    scales ~sqrt(n) (and composes with the LSH bucket key of
+    ``embedding_cosine_dup_pairs`` for a second blocking level), while
+    the fixture uses the same KM_K=8 model the ``kmeans_embeddings``
+    query trains — shared via the memoized model, trained once.
+
+    The oracle replays Lloyd by unrolled CTEs and the same within-
+    cluster pair join, so the full cluster->dedup composition is
+    value-hash-checked.
+    """
+    emb, pairs = _kmeans_model(spark, sf_dir)
+    assigned = _assign_with_dist(emb, pairs).select("vec_id", "emb", "cid")
+    a = assigned.select(
+        F.col("vec_id").alias("vec1"), F.col("emb").alias("e1"), F.col("cid").alias("c1")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec2"), F.col("emb").alias("e2"), F.col("cid").alias("c2")
+    )
+    cos = _dot(F.col("e1"), F.col("e2")) / (_norm(F.col("e1")) * _norm(F.col("e2")))
+    return (
+        a.join(b, (F.col("c1") == F.col("c2")) & (F.col("vec1") < F.col("vec2")))
+        .withColumn("cosine_raw", cos)
+        .where(F.col("cosine_raw") >= SEMDEDUP_COS)
+        .select(
+            "vec1",
+            "vec2",
+            F.col("c1").alias("cluster"),
+            rnd("cosine_raw", 6).alias("cosine"),
+        )
+    )
+
+
+register(
+    "semantic_cluster_dups",
+    oracle=_kmeans_cte_prefix()
+    + f"""
+SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.cid AS cluster,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             + 1e-6, 6) AS cosine
+FROM a{KM_ITERS} a JOIN a{KM_ITERS} b
+  ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {SEMDEDUP_COS}
+""",
+    tags=("similarity", "llm-pipeline", "near-dup", "semdedup", "kmeans"),
+)(semantic_cluster_dups)
