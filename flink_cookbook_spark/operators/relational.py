@@ -1056,3 +1056,130 @@ SELECT u.check, m.n_rows, u.observed, u.passed FROM m, LATERAL (
 """,
     tags=("quality", "profiling", "expectations"),
 )(expectation_checks)
+
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 256  # buckets per row
+CMS_TOP = 20  # heavy hitters to verify
+
+
+def _cms_hash(depth: int, col) -> F.Column:
+    """Portable 60-bit md5 hash (same construction as the dedup family's
+    ``_portable_hash``) seeded by the sketch row index, reduced mod the
+    sketch width — bit-identical in Spark and DuckDB."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{depth}:"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(CMS_WIDTH))
+
+
+def _cms_hash_sql(depth: int, x: str) -> str:
+    return (
+        f"(CAST('0x' || substr(md5('cms{depth}:' || CAST({x} AS VARCHAR)), 1, 15) AS BIGINT)"
+        f" % {CMS_WIDTH})"
+    )
+
+
+def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over event user ids, verified on the exact top
+    CMS_TOP heavy hitters — the streaming-friendly frequency sketch
+    (depth x width counters, mergeable across partitions and windows like
+    the HLL rollup) built from PURE deterministic md5 hashing, so the
+    sketch itself — not just a bound — is value-hash-checked against the
+    oracle.
+
+    Emits per heavy hitter: exact count, CMS estimate, and the
+    overcount (estimate - exact). The count-min guarantee `estimate >=
+    exact` holds deterministically (collisions only ADD), so `overcount`
+    is always >= 0 on both engines. At 100 TB the sketch is
+    depth x width longs per partition, combined map-side — frequency
+    monitoring without shuffling raw keys.
+    """
+    ev = load(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_hash(d, F.col("user_id")).alias("bucket"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("h"),
+    )
+    cms = rows.groupBy("h.d", "h.bucket").agg(F.count("*").alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    top = (
+        exact.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+            ),
+        )
+        .where(F.col("rank") <= CMS_TOP)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_n",
+        "rank",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_hash(d, F.col("user_id")).alias("bucket"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "exact_n", "rank", "h.d", "h.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("user_id", "exact_n", "rank")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "rank",
+            "user_id",
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+register(
+    "count_min_heavy_hitters",
+    oracle=f"""
+WITH hashed AS (
+  SELECT user_id, d,
+         CASE d
+           {" ".join(f"WHEN {d} THEN {_cms_hash_sql(d, 'user_id')}" for d in range(CMS_DEPTH))}
+         END AS bucket
+  FROM events CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS d)
+),
+cms AS (SELECT d, bucket, count(*) AS c FROM hashed GROUP BY 1, 2),
+exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
+top AS (
+  SELECT user_id, exact_n,
+         row_number() OVER (ORDER BY exact_n DESC, user_id ASC) AS rank
+  FROM exact QUALIFY rank <= {CMS_TOP}
+),
+probes AS (
+  SELECT t.user_id, t.exact_n, t.rank, h.d, h.bucket
+  FROM top t JOIN hashed h ON t.user_id = h.user_id
+  GROUP BY ALL
+)
+SELECT CAST(p.rank AS INTEGER) AS rank, p.user_id, p.exact_n,
+       min(c.c) AS cms_estimate,
+       min(c.c) - p.exact_n AS overcount
+FROM probes p JOIN cms c ON p.d = c.d AND p.bucket = c.bucket
+GROUP BY p.rank, p.user_id, p.exact_n
+""",
+    tags=("agg", "sketch", "count-min", "heavy-hitters"),
+)(count_min_heavy_hitters)
