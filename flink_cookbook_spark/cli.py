@@ -62,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--z-threshold", type=float, default=3.0)
     p.add_argument("--pct-threshold", type=float, default=50.0)
     p.add_argument("--min-baseline", type=float, default=1.0)
+    # ad-hoc analytics: run any registered engine query by name
+    p.add_argument("--run-query", default=None, metavar="NAME",
+                   help="run a registered query (see --list-queries) and show rows")
+    p.add_argument("--list-queries", action="store_true",
+                   help="print every registered query name and exit")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                   help="fixture directory for --run-query")
+    p.add_argument("--show-rows", type=int, default=20)
     return p
 
 
@@ -85,6 +93,27 @@ def run(argv: list[str] | None = None) -> int:
     from flink_cookbook_spark.streaming.sarimax import baseline_batch
     from flink_cookbook_spark.streaming.sources import synthetic_metrics_batch
 
+    if args.list_queries:
+        from flink_cookbook_spark.registry import all_specs
+
+        for name, spec in sorted(all_specs().items()):
+            oracle = "oracle" if spec.oracle else "rows-only"
+            print(f"{name}\t[{oracle}]\t{', '.join(spec.tags)}")
+        return 0
+    if args.run_query:
+        from flink_cookbook_spark.registry import get_query
+
+        spark = get_spark(
+            app_name=f"fcs-query-{args.run_query}",
+            shuffle_partitions=args.parallelism,
+        )
+        try:
+            spec = get_query(args.run_query)
+        except KeyError:
+            print(f"unknown query {args.run_query!r}; see --list-queries")
+            return 2
+        spec.fn(spark, args.sf_dir).show(args.show_rows, truncate=False)
+        return 0
     spark = get_spark(
         app_name="node-cpu-sarimax-baseline",  # reference job name
         shuffle_partitions=args.parallelism,

@@ -535,3 +535,20 @@ def test_stream_static_join(spark, events_stream_dir):
     )
     assert got.n == want_rows
     assert got.s == want_tier
+
+
+def test_cli_run_query_and_list(spark, sf_dir, capsys):
+    """--list-queries prints the full registry; --run-query executes a
+    registered operator against an explicit fixture dir."""
+    from flink_cookbook_spark.cli import run
+    from flink_cookbook_spark.registry import all_specs
+
+    assert run(["--list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert len(out.strip().splitlines()) == len(all_specs())
+    assert "zscore_flags" in out
+
+    assert run(["--run-query", "welford_moments", "--sf-dir", sf_dir]) == 0
+    assert "running_mean" in capsys.readouterr().out
+
+    assert run(["--run-query", "nope_not_a_query", "--sf-dir", sf_dir]) == 2
