@@ -552,3 +552,58 @@ def test_cli_run_query_and_list(spark, sf_dir, capsys):
     assert "running_mean" in capsys.readouterr().out
 
     assert run(["--run-query", "nope_not_a_query", "--sf-dir", sf_dir]) == 2
+
+
+def test_streaming_daily_actives_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming daily-distinct-actives (watermarked dropDuplicates on
+    (user, day) then a windowed count) must emit exactly the batch
+    DAU — the streaming face of ``new_vs_returning``/
+    ``rolling_active_users``'s first stage.
+
+    Source layout makes the comparison exact: one time-SORTED data file
+    (no out-of-order arrivals to drop) followed by a far-future sentinel
+    file whose only job is to advance the watermark past every real
+    window so append mode emits them all."""
+    from flink_cookbook_spark.catalog import load
+
+    src = tmp_path / "dau_src"
+    src.mkdir()
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    ev.orderBy("ts").coalesce(1).write.parquet(str(src / "part=000"))
+    spark.createDataFrame(
+        [(-1, "2030-01-01 00:00:00")], "user_id long, ts_s string"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts")).coalesce(1).write.parquet(
+        str(src / "part=999")
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    user_days = (
+        stream.withWatermark("ts", "1 day")
+        .select(F.col("user_id"), F.window("ts", "1 day").alias("w"))
+        .dropDuplicates(["user_id", "w"])
+        .groupBy("w")
+        .agg(F.count("*").alias("active_users"))
+        .select(F.col("w.start").cast("long").alias("day_start"), "active_users")
+    )
+    _run_to_memory(user_days, "dau_stream")
+    sentinel_cut = 1_800_000_000  # well past the fixture, before 2030
+    got = {
+        r.day_start: r.active_users
+        for r in spark.sql("SELECT * FROM dau_stream").collect()
+        if r.day_start < sentinel_cut
+    }
+    want = {
+        r.day_start: r.active_users
+        for r in (
+            ev.select("user_id", F.window("ts", "1 day").alias("w"))
+            .dropDuplicates(["user_id", "w"])
+            .groupBy("w")
+            .agg(F.count("*").alias("active_users"))
+            .select(F.col("w.start").cast("long").alias("day_start"), "active_users")
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
