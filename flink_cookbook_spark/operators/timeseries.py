@@ -990,3 +990,64 @@ GROUP BY day_start
 """,
     tags=("timeseries", "growth", "cohort"),
 )(new_vs_returning)
+
+
+def behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix (plus the dominant
+    type and its share) — the behavioral-diversity screen: bots and
+    single-purpose integrations sit near zero entropy, organic users
+    spread across types. Complements ``event_transition_matrix`` (which
+    models ORDER; this models the marginal mix).
+
+    One hash aggregate to (user, type) counts; entropy folds over the
+    per-user window — everything after the aggregate is
+    users x types tiny.
+    """
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id")
+    probs = counts.select(
+        "user_id",
+        "event_type",
+        "c",
+        (F.col("c") / F.sum("c").over(w)).alias("p"),
+        F.sum("c").over(w).alias("n_events"),
+    )
+    rk = Window.partitionBy("user_id").orderBy(F.col("c").desc(), F.col("event_type").asc())
+    return (
+        probs.withColumn("rk", F.row_number().over(rk))
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            rnd(-F.sum(F.col("p") * F.log2("p")), 4).alias("entropy_bits"),
+            F.max(F.when(F.col("rk") == 1, F.col("event_type"))).alias("top_type"),
+            rnd(F.max(F.when(F.col("rk") == 1, F.col("p"))), 4).alias("top_share"),
+        )
+    )
+
+
+register(
+    "behavior_entropy",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+probs AS (
+  SELECT user_id, event_type, c,
+         c * 1.0 / sum(c) OVER (PARTITION BY user_id) AS p,
+         sum(c) OVER (PARTITION BY user_id) AS n_events,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, event_type ASC) AS rk
+  FROM counts
+)
+SELECT user_id,
+       max(n_events) AS n_events,
+       round(-sum(p * log2(p)) + 1e-6, 4) AS entropy_bits,
+       max(CASE WHEN rk = 1 THEN event_type END) AS top_type,
+       round(max(CASE WHEN rk = 1 THEN p END) + 1e-6, 4) AS top_share
+FROM probs
+GROUP BY user_id
+""",
+    tags=("timeseries", "profiling", "entropy"),
+)(behavior_entropy)

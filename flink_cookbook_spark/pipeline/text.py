@@ -890,3 +890,47 @@ CROSS JOIN totals t
 """,
     tags=("text", "llm-pipeline", "collocation", "pmi", "bench"),
 )(collocation_pmi)
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility: subword (BPE-ish) tokens per
+    whitespace word, with corpus-share context — THE metric for deciding
+    whether a tokenizer under-serves a language (high fertility = more
+    sequence length burned per word = worse effective context and higher
+    training cost for that language).
+
+    Rolls the per-document ``bpe_token_count`` signals up by ``lang``:
+    one map pass (both token counts are array-side, no explode) + one
+    combinable hash aggregate over languages.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_ws"),
+        F.size(bpe).alias("n_bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws").alias("total_words"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        rnd(F.sum("n_bpe") / F.sum("n_ws"), 4).alias("fertility"),
+    )
+
+
+_BPE_SQL = BPE_ISH_PATTERN.replace("'", "''")  # SQL string-literal escaping
+
+register(
+    "tokenizer_fertility",
+    oracle=rf"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_words,
+       sum(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS total_bpe_tokens,
+       round(sum(len(regexp_extract_all(text, '{_BPE_SQL}'))) * 1.0
+             / sum(len(string_split(text, ' '))) + 1e-6, 4) AS fertility
+FROM documents
+GROUP BY lang
+""",
+    tags=("text", "llm-pipeline", "tokenizer"),
+)(tokenizer_fertility)
