@@ -244,3 +244,76 @@ def test_queries_survive_empty_tables(spark, tmp_path):
         out = get_query(name).fn(spark, str(tmp_path))
         assert out.count() == 0, name
     clear()  # don't leave empty-fixture memos for later tests
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Independent cross-check: both directions of the engine's as-of
+    join must agree with pandas.merge_asof on randomized-but-seeded data
+    with duplicate timestamps, missing matches, and exact-tie cases.
+
+    pandas resolves equal right-side timestamps by taking the LAST row
+    in sort order (backward) / FIRST (forward); the engine's
+    deterministic value tie-break orders right rows by their value
+    columns, so feeding pandas the value-sorted frame makes the two
+    contracts comparable exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_cookbook_spark.operators.metrics import asof_join
+
+    rng = np.random.RandomState(7)
+    n_keys, n_left, n_right = 5, 400, 60
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, n_keys, n_left),
+            "lts": rng.randint(0, 1000, n_left),
+            "payload": np.arange(n_left),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, n_keys, n_right),
+            "rts": rng.choice(rng.randint(0, 1000, 30), n_right),  # forced ties
+            "bval": rng.randint(0, 10_000, n_right).astype("float64"),
+        }
+    )
+    left = spark.createDataFrame(left_pd.assign(lts=left_pd.lts))
+    right = spark.createDataFrame(right_pd)
+
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join(
+                left,
+                right,
+                key="k",
+                left_ts="lts",
+                right_ts="rts",
+                value_cols=["bval"],
+                how="left",
+                direction=direction,
+            )
+            .select("k", "lts", "payload", "bval_asof")
+            .toPandas()
+            .sort_values(["k", "lts", "payload"])
+            .reset_index(drop=True)
+        )
+        rp = right_pd.sort_values(["rts", "bval"]).reset_index(drop=True)
+        # tie contracts line up under one ascending (rts, bval) sort:
+        # merge_asof backward keeps the LAST tied row (= greatest bval =
+        # the engine's last() pick) and forward keeps the FIRST tied row
+        # (= least bval = the engine's first() pick).
+        want = (
+            pd.merge_asof(
+                left_pd.sort_values("lts"),
+                rp.sort_values("rts", kind="mergesort"),
+                left_on="lts",
+                right_on="rts",
+                by="k",
+                direction=direction,
+                allow_exact_matches=True,
+            )
+            .sort_values(["k", "lts", "payload"])
+            .reset_index(drop=True)
+        )
+        mism = (got["bval_asof"].fillna(-1) != want["bval"].fillna(-1)).sum()
+        assert mism == 0, f"{direction}: {mism} mismatches"
