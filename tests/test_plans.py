@@ -387,3 +387,20 @@ def test_reservoir_sample_is_rank_limited(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
     assert count_exchanges(df) == 1
+
+
+def test_round5_exchange_budgets(spark, sf_dir):
+    """Pin the exchange counts the PERF.md round-5 plan audit claims —
+    a regression here is a silently degraded plan, the failure class
+    that only hurts at 100 TB."""
+    from flink_cookbook_spark.operators.relational import incremental_agg_merge
+    from flink_cookbook_spark.operators.timeseries import (
+        psi_value_drift,
+        seasonal_decompose,
+    )
+    from flink_cookbook_spark.pipeline.text import source_kl_divergence
+
+    assert count_exchanges(incremental_agg_merge(spark, sf_dir)) <= 2
+    assert count_exchanges(psi_value_drift(spark, sf_dir)) <= 2
+    assert count_exchanges(seasonal_decompose(spark, sf_dir)) <= 2
+    assert count_exchanges(source_kl_divergence(spark, sf_dir)) <= 2
