@@ -639,3 +639,107 @@ register(
     oracle=_manifest_oracle(),
     tags=("llm-pipeline", "curation", "end-to-end", "bench"),
 )(training_data_manifest)
+
+
+def decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination EXCISION spans: where ``benchmark_decontamination``
+    reports that a training doc overlaps the benchmark, this emits the
+    token ranges to cut — per doc, maximal runs of benchmark-matching
+    4-gram start positions merged into [start_tok, end_tok) spans
+    (positions closer than DECON_N tokens share a span). The removal
+    step of the open-weights decontamination recipe: surgical span
+    excision instead of dropping whole documents.
+
+    Same scale shape as the report query — positional gram expansion is
+    map-only, the benchmark gram set broadcasts, and the span merge is
+    one lag+cumsum window over the (tiny) hit list.
+    """
+    docs = load(spark, sf_dir, "documents")
+    gram_i = F.expr(
+        f"transform(sequence(0, size(ts) - {DECON_N}),"
+        f" i -> concat_ws(' ', {', '.join(f'ts[i + {j}]' for j in range(DECON_N))}))"
+    )
+    pos_grams = (
+        docs.select("doc_id", F.split("text", " ").alias("ts"))
+        .where(F.size("ts") >= DECON_N)
+        .select("doc_id", F.posexplode(gram_i).alias("pos", "gram"))
+    )
+    bench = (
+        pos_grams.where(
+            (F.col("doc_id") % DECON_MOD == 0) & (F.col("doc_id") < DECON_MAX_DOC_ID)
+        )
+        .select("gram")
+        .distinct()
+    )
+    hits = (
+        pos_grams.where(
+            (F.col("doc_id") % DECON_MOD != 0) | (F.col("doc_id") >= DECON_MAX_DOC_ID)
+        )
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = hits.select(
+        "doc_id",
+        "pos",
+        F.sum(
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") - F.lag("pos").over(w) > DECON_N),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("span_id"),
+    )
+    return spans.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + DECON_N).alias("end_tok"),
+        F.count("*").alias("n_matched_grams"),
+    )
+
+
+register(
+    "decontamination_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  WHERE len(string_split(text, ' ')) >= {DECON_N}
+),
+pg0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts) - {DECON_N - 2}),
+                i -> struct_pack(pos := i - 1,
+                                 gram := {" || ' ' || ".join(f"ts[i + {j}]" for j in range(DECON_N))}))) AS u
+  FROM toks
+),
+pos_grams AS (
+  SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.gram AS gram FROM pg0
+),
+bench AS (
+  SELECT DISTINCT gram FROM pos_grams
+  WHERE doc_id % {DECON_MOD} = 0 AND doc_id < {DECON_MAX_DOC_ID}
+),
+hits AS (
+  SELECT p.doc_id, p.pos
+  FROM pos_grams p JOIN bench b ON p.gram = b.gram
+  WHERE p.doc_id % {DECON_MOD} <> 0 OR p.doc_id >= {DECON_MAX_DOC_ID}
+),
+spans AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > {DECON_N} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits)
+)
+SELECT doc_id, span_id,
+       min(pos) AS start_tok,
+       max(pos) + {DECON_N} AS end_tok,
+       count(*) AS n_matched_grams
+FROM spans
+GROUP BY doc_id, span_id
+""",
+    tags=("text", "llm-pipeline", "decontamination", "spans"),
+)(decontamination_spans)
