@@ -1051,3 +1051,80 @@ GROUP BY user_id
 """,
     tags=("timeseries", "profiling", "entropy"),
 )(behavior_entropy)
+
+
+ATTR_WINDOW_S = 7 * 86_400  # last-touch lookback
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's most
+    recent prior ``view`` within a 7-day lookback (else unattributed) —
+    the marketing-analytics face of the engine's as-of machinery (the
+    reference's J1 latest-baseline join, applied to a different domain).
+
+    One exchange on user_id: both event classes ride the same keyed
+    window; the latest-prior-view lookup is a conditional ``last()``
+    over the ordered event stream (no join at all), then the lookback
+    bound filters attribution. Per user: purchases, attributed count,
+    and the mean view->purchase latency of attributed conversions.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        sec.alias("t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("t")), ignorenulls=True
+    ).over(w)
+    purchases = base.withColumn("last_view_t", last_view).where(
+        F.col("event_type") == "purchase"
+    )
+    attributed = (F.col("last_view_t").isNotNull()) & (
+        F.col("t") - F.col("last_view_t") <= ATTR_WINDOW_S
+    )
+    return purchases.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(attributed.cast("long")).alias("n_attributed"),
+        rnd(
+            F.avg(F.when(attributed, (F.col("t") - F.col("last_view_t")) / 3600.0)),
+            4,
+        ).alias("avg_hours_to_convert"),
+    )
+
+
+register(
+    "purchase_attribution",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_type, t,
+         last_value(CASE WHEN event_type = 'view' THEN t END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_t
+  FROM base
+)
+SELECT user_id,
+       count(*) AS n_purchases,
+       sum(CASE WHEN last_view_t IS NOT NULL AND t - last_view_t <= {ATTR_WINDOW_S}
+                THEN 1 ELSE 0 END) AS n_attributed,
+       round(avg(CASE WHEN last_view_t IS NOT NULL AND t - last_view_t <= {ATTR_WINDOW_S}
+                      THEN (t - last_view_t) / 3600.0 END) + 1e-6, 4)
+         AS avg_hours_to_convert
+FROM marked
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+    tags=("timeseries", "attribution", "asof"),
+)(purchase_attribution)
