@@ -1128,3 +1128,73 @@ GROUP BY user_id
 """,
     tags=("timeseries", "attribution", "asof"),
 )(purchase_attribution)
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution for the view -> purchase funnel:
+    per user, the FIRST view and the first purchase AFTER it define the
+    conversion latency; the corpus-level output is the exact p50/p90 and
+    mean latency plus the converted-user count — the "how fast do users
+    convert" companion to ``funnel_conversion``'s "how many".
+
+    One exchange on user_id for the two conditional-MIN window passes,
+    then a single global aggregate over one row per user (exact
+    interpolated percentiles over user-cardinality data; at 100 TB swap
+    for percentile_approx or the broadcast-cutpoint pattern).
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    base = ev.select("user_id", "event_type", sec.alias("t"))
+    w = Window.partitionBy("user_id")
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(w)
+    per_row = base.withColumn("fv", first_view)
+    first_purchase_after = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("t") >= F.col("fv")),
+            F.col("t"),
+        )
+    ).over(w)
+    users = (
+        per_row.withColumn("fp", first_purchase_after)
+        .groupBy("user_id")
+        .agg(F.max("fv").alias("fv"), F.max("fp").alias("fp"))
+        .where(F.col("fv").isNotNull() & F.col("fp").isNotNull())
+        .select(((F.col("fp") - F.col("fv")) / 3600.0).alias("hours"))
+    )
+    return users.agg(
+        F.count("*").alias("n_converted"),
+        rnd(F.expr("percentile(hours, 0.5)"), 4).alias("p50_hours"),
+        rnd(F.expr("percentile(hours, 0.9)"), 4).alias("p90_hours"),
+        rnd(F.avg("hours"), 4).alias("mean_hours"),
+    )
+
+
+register(
+    "funnel_time_to_convert",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+),
+marked AS (
+  SELECT user_id, event_type, t,
+         min(CASE WHEN event_type = 'view' THEN t END)
+           OVER (PARTITION BY user_id) AS fv
+  FROM base
+),
+users AS (
+  SELECT user_id, max(fv) AS fv,
+         min(CASE WHEN event_type = 'purchase' AND t >= fv THEN t END) AS fp
+  FROM marked GROUP BY user_id
+),
+conv AS (
+  SELECT (fp - fv) / 3600.0 AS hours FROM users
+  WHERE fv IS NOT NULL AND fp IS NOT NULL
+)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(hours, 0.5) + 1e-6, 4) AS p50_hours,
+       round(quantile_cont(hours, 0.9) + 1e-6, 4) AS p90_hours,
+       round(avg(hours) + 1e-6, 4) AS mean_hours
+FROM conv
+""",
+    tags=("timeseries", "funnel", "latency"),
+)(funnel_time_to_convert)

@@ -170,3 +170,48 @@ WHERE pick <= {RESERVOIR_K}
 """,
     tags=("sampling", "llm-pipeline", "reservoir"),
 )(reservoir_sample_per_source)
+
+
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filtering (the CCNet-style alternative to hard
+    drops): each document's keep-probability IS its quality signal —
+    here the distinct-token ratio, so repetitive/boilerplate docs get
+    proportionally downsampled instead of binarily rejected — and
+    membership is the same deterministic md5 coin as
+    ``stratified_sample`` (re-runs and backfills select identical sets;
+    the oracle verifies exact membership).
+
+    Map-only: per-row token arrays + one hash comparison; no shuffle,
+    no joins, trivially 100 TB-safe.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    p_keep = F.size(F.array_distinct(ts)).cast("double") / F.size(ts)
+    coin = _coin(F.concat(F.lit("qsample:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            rnd(p_keep, 6).alias("keep_prob"),
+            rnd(coin, 6).alias("coin"),
+        )
+        .where(F.col("coin") < F.col("keep_prob"))
+    )
+
+
+register(
+    "quality_weighted_sample",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         round(len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) + 1e-6, 6) AS keep_prob,
+         round((CAST('0x' || substr(md5('qsample:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                % {COIN_MOD}) * 1.0 / {COIN_MOD} + 1e-6, 6) AS coin
+  FROM documents
+)
+SELECT doc_id, source, keep_prob, coin
+FROM scored WHERE coin < keep_prob
+""",
+    tags=("sampling", "llm-pipeline", "quality"),
+)(quality_weighted_sample)
