@@ -1183,3 +1183,124 @@ GROUP BY p.rank, p.user_id, p.exact_n
 """,
     tags=("agg", "sketch", "count-min", "heavy-hitters"),
 )(count_min_heavy_hitters)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter runtime prefilter (semi-join pruning)
+# --------------------------------------------------------------------------
+
+#: Bloom filter size in bit positions. Deliberately small (64) so the
+#: fixture actually exercises false positives — the point of the query
+#: is to *verify the Bloom contract* (kept set is a superset of the true
+#: matches; false-positive rate ~ (set_bits/m)^k). Production sizing is
+#: m ~ 10 bits/key for ~1% fp at k=2.
+BLOOM_BITS = 64
+#: number of hash functions (salted md5 positions).
+BLOOM_HASHES = 2
+#: build-side selection: suppliers of this nation.
+BLOOM_NATION = "NATION_9"
+
+
+def _bloom_pos(salt: str, col) -> F.Column:
+    """Bit position ``hash_salt(key) % BLOOM_BITS`` — md5-derived so the
+    DuckDB oracle computes the identical position."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % BLOOM_BITS
+
+
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter semi-join pruning, made explicit: build a
+    Bloom filter over a selective dimension key set (suppliers of one
+    nation), apply it map-side to the fact scan, then verify against the
+    exact semi-join. Output per l_returnflag: rows kept by the Bloom
+    prefilter, true matches, and false positives.
+
+    This is the runtime-filter pattern (Spark's
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled``, here explicit
+    and oracle-checkable): at 100 TB the fact side is filtered BEFORE
+    the shuffle by a broadcast O(m)-bit side-channel, so a selective
+    join moves only ~matching rows instead of the whole fact table. The
+    filter is a 1-row broadcast array of set bit positions; membership
+    is k ``array_contains`` probes — zero extra shuffles, and the exact
+    join that follows only sees the pre-pruned stream.
+    """
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    lineitem = load(spark, sf_dir, "lineitem")
+
+    build = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == BLOOM_NATION)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+
+    positions = build.select(_bloom_pos("b0", F.col("s_suppkey")).alias("p"))
+    for i in range(1, BLOOM_HASHES):
+        positions = positions.unionByName(
+            build.select(_bloom_pos(f"b{i}", F.col("s_suppkey")).alias("p"))
+        )
+    bitset = positions.agg(F.sort_array(F.collect_set("p")).alias("bitset"))
+
+    probe = lineitem.select("l_returnflag", "l_suppkey").crossJoin(F.broadcast(bitset))
+    bloom_pass = F.array_contains("bitset", _bloom_pos("b0", F.col("l_suppkey")))
+    for i in range(1, BLOOM_HASHES):
+        bloom_pass = bloom_pass & F.array_contains(
+            "bitset", _bloom_pos(f"b{i}", F.col("l_suppkey"))
+        )
+    flagged = (
+        probe.withColumn("bloom_pass", bloom_pass)
+        .join(
+            F.broadcast(build.withColumn("_tm", F.lit(True))),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left",
+        )
+        .withColumn("true_match", F.col("_tm").isNotNull())
+    )
+    return (
+        flagged.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("bloom_pass"), 1)).alias("bloom_kept"),
+            F.count(F.when(F.col("true_match"), 1)).alias("true_matches"),
+            F.count(F.when(F.col("bloom_pass") & ~F.col("true_match"), 1)).alias(
+                "false_positives"
+            ),
+        )
+    )
+
+
+_BLOOM_POS_SQL = (
+    lambda salt, col: f"(CAST('0x' || substr(md5('{salt}:' || CAST({col} AS VARCHAR)), 1, 15)"
+    f" AS BIGINT) % {BLOOM_BITS})"
+)
+
+register(
+    "bloom_prefilter_join",
+    oracle=f"""
+WITH build AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{BLOOM_NATION}'
+),
+bits AS (
+  SELECT list(DISTINCT p ORDER BY p) AS bitset FROM (
+    SELECT {_BLOOM_POS_SQL('b0', 's_suppkey')} AS p FROM build
+    UNION ALL
+    SELECT {_BLOOM_POS_SQL('b1', 's_suppkey')} FROM build)
+),
+probe AS (
+  SELECT l_returnflag,
+         list_contains(bits.bitset, {_BLOOM_POS_SQL('b0', 'l_suppkey')})
+           AND list_contains(bits.bitset, {_BLOOM_POS_SQL('b1', 'l_suppkey')}) AS bloom_pass,
+         l_suppkey IN (SELECT s_suppkey FROM build) AS true_match
+  FROM lineitem CROSS JOIN bits
+)
+SELECT l_returnflag,
+       count(*) FILTER (bloom_pass) AS bloom_kept,
+       count(*) FILTER (true_match) AS true_matches,
+       count(*) FILTER (bloom_pass AND NOT true_match) AS false_positives
+FROM probe GROUP BY l_returnflag
+""",
+    tags=("join", "runtime-filter", "bloom", "bench"),
+)(bloom_prefilter_join)

@@ -294,9 +294,10 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "scd2_dimension",
-    oracle="""
+#: full-recompute SCD2 oracle — shared by ``scd2_dimension`` and by
+#: ``scd2_cdc_apply``, whose whole claim is that the incremental apply
+#: equals this full recompute.
+_SCD2_FULL_SQL = """
 WITH ordered AS (
   SELECT user_id, event_type AS state, event_id,
          CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
@@ -318,7 +319,11 @@ SELECT user_id,
        lead(ts_sec, 1) OVER w IS NULL AS is_current
 FROM changes
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
-""",
+"""
+
+register(
+    "scd2_dimension",
+    oracle=_SCD2_FULL_SQL,
     tags=("timeseries", "scd2", "cdc"),
 )(scd2_dimension)
 
@@ -1198,3 +1203,92 @@ FROM conv
 """,
     tags=("timeseries", "funnel", "latency"),
 )(funnel_time_to_convert)
+
+
+#: CDC split point for ``scd2_cdc_apply``: the first 80% of the event
+#: time range is the "already materialized" base dimension, the last 20%
+#: is the incoming change batch.
+_CDC_SPLIT_FRACTION = 0.8
+
+
+def scd2_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: apply a CDC batch (the last 20% of
+    the event time range) to an SCD2 dimension materialized from the
+    first 80%, and prove the merged result equals a full recompute —
+    the oracle IS the full-data SCD2 derivation.
+
+    The MERGE-free apply: the base dimension's change-point rows (which
+    retain their original event ordering) are unioned with the raw delta
+    events, and the same lag-collapse/versioning pass runs over the
+    union. A delta event equal to its user's current state collapses
+    away exactly as in the full recompute, because the user's last base
+    change-point carries that state. Scale shape: the delta is tiny
+    relative to the dimension, both sides hash-partition on user_id, and
+    only users present in the delta produce new versions — the same
+    single-exchange window plan as ``scd2_dimension``, never a rescan of
+    the raw history (the base here is derived from events only because
+    the fixture has no materialized dimension table).
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    bounds = ev.agg(
+        F.min(sec).alias("mn"),
+        F.max(sec).alias("mx"),
+    ).select(
+        (
+            F.col("mn")
+            + F.floor((F.col("mx") - F.col("mn")) * _CDC_SPLIT_FRACTION)
+        ).cast("long").alias("cutoff")
+    )
+    evc = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        sec.alias("ts_sec"),
+        "event_id",
+    ).crossJoin(F.broadcast(bounds))
+    base = evc.where(F.col("ts_sec") < F.col("cutoff"))
+    delta = evc.where(F.col("ts_sec") >= F.col("cutoff")).select(
+        "user_id", "state", "ts_sec", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_sec").asc(), F.col("event_id").asc()
+    )
+    base_cp = (
+        base.select(
+            "user_id",
+            "state",
+            "ts_sec",
+            "event_id",
+            F.lag("state", 1).over(w).alias("prev_state"),
+        )
+        .where(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+        .select("user_id", "state", "ts_sec", "event_id")
+    )
+    merged = base_cp.unionByName(delta)
+    remarked = merged.select(
+        "user_id",
+        "state",
+        "ts_sec",
+        "event_id",
+        F.lag("state", 1).over(w).alias("prev_state"),
+    )
+    changes = remarked.where(
+        F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state"))
+    )
+    return changes.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        "state",
+        F.col("ts_sec").alias("valid_from"),
+        F.lead("ts_sec", 1).over(w).alias("valid_to"),
+        F.lead("ts_sec", 1).over(w).isNull().alias("is_current"),
+    )
+
+
+register(
+    "scd2_cdc_apply",
+    # the oracle is the FULL-data SCD2 recompute: passing means the
+    # incremental CDC apply is exactly equivalent to rebuilding.
+    oracle=_SCD2_FULL_SQL,
+    tags=("timeseries", "scd2", "cdc", "incremental"),
+)(scd2_cdc_apply)

@@ -416,3 +416,70 @@ GROUP BY cohort_day, activity_day
 """,
     tags=("window", "cohort", "retention", "bench"),
 )(cohort_retention)
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (2-D skyline)
+# --------------------------------------------------------------------------
+
+
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline over ``part``: the Pareto frontier of (minimize
+    p_retailprice, maximize p_size) — parts not dominated by any
+    strictly cheaper part of equal-or-larger size.
+
+    The classic skyline query, computed WITHOUT the naive all-pairs
+    anti-join: sort by price and keep a row iff its size exceeds the
+    running max size over all strictly cheaper rows. Strictness is
+    expressed as a RANGE frame ending 1 cent before the current price
+    (price is exact in cents), so equal-priced rows never dominate each
+    other. Cost is one sort + one window pass, O(n log n); at 100 TB
+    the order-by becomes a range-partitioned sort and the running max
+    carries one scalar per partition boundary — no join at any scale.
+    """
+    part = load(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        "p_retailprice",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
+    m = p.select("*", F.max("p_size").over(w).alias("best_cheaper_size"))
+    return (
+        m.where(
+            F.col("best_cheaper_size").isNull()
+            | (F.col("p_size") > F.col("best_cheaper_size"))
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_size",
+            rnd("p_retailprice", 2).alias("p_retailprice"),
+        )
+    )
+
+
+register(
+    "pareto_frontier",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_name, p_size, p_retailprice,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+),
+m AS (
+  SELECT *,
+         max(p_size) OVER (ORDER BY cents
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_cheaper_size
+  FROM p
+)
+SELECT p_partkey, p_name, p_size,
+       round(p_retailprice + 1e-6, 2) AS p_retailprice
+FROM m
+WHERE best_cheaper_size IS NULL OR p_size > best_cheaper_size
+""",
+    tags=("window", "skyline", "frontier"),
+)(pareto_frontier)

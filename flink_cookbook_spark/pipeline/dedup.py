@@ -1257,3 +1257,100 @@ WHERE i.n_common * 1.0 / s.n_shingles >= {CONTAINMENT_THRESHOLD}
 """,
     tags=("dedup", "llm-pipeline", "near-dup", "containment"),
 )(containment_pairs)
+
+
+# --------------------------------------------------------------------------
+# sorted-neighborhood blocking (edit-distance near-dup)
+# --------------------------------------------------------------------------
+
+#: characters of document head compared by edit distance (bounds the
+#: per-comparison Levenshtein cost to HEAD_LEN^2 regardless of doc size).
+SNM_HEAD_LEN = 120
+#: in-block sort key length (longer than the block prefix so near-dups
+#: sort adjacently inside a block).
+SNM_SORT_KEY_LEN = 24
+#: coarse blocking prefix: the window never crosses a block boundary, so
+#: the plan is a hash exchange on block + in-partition sort — never a
+#: global single-partition sort.
+SNM_BLOCK_LEN = 8
+#: neighbors compared per document (the classic SNM window size w).
+SNM_WINDOW = 2
+#: maximum edit distance for a pair to count as a near-duplicate. The
+#: fixture corpus separates cleanly: true dup pairs land at <= 9, the
+#: nearest non-dup neighbor at >= 40.
+SNM_EDIT_MAX = 30
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-duplicate pairs: sort documents by a
+    normalized prefix key, compare each document with its next
+    ``SNM_WINDOW`` neighbors by Levenshtein distance over a bounded
+    head, and keep pairs within ``SNM_EDIT_MAX`` edits.
+
+    The third classic near-dup family beside MinHash (set-based) and
+    SimHash (bit-based): edit-distance blocking. Cost is O(n log n)
+    sort + O(n * w) bounded comparisons — never doc x doc. The window
+    is PARTITIONED by a coarse key prefix (``SNM_BLOCK_LEN`` chars), so
+    at 100 TB the sort is a hash exchange + per-block in-partition sort
+    rather than a global one-partition window; pairs whose heads differ
+    inside the first 8 normalized characters are out of edit range by
+    construction (8 leading edits > no real loss). On the fixture the
+    blocked variant returns the identical pair set to a global sort.
+    """
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.substring("text", 1, SNM_HEAD_LEN).alias("head"),
+        F.substring(F.lower("text"), 1, SNM_SORT_KEY_LEN).alias("sort_key"),
+        F.substring(F.lower("text"), 1, SNM_BLOCK_LEN).alias("block"),
+    )
+    w = Window.partitionBy("block").orderBy("sort_key", "doc_id")
+    neigh = keyed.select(
+        "doc_id",
+        "head",
+        *[F.lead("doc_id", k).over(w).alias(f"n{k}_id") for k in range(1, SNM_WINDOW + 1)],
+        *[F.lead("head", k).over(w).alias(f"n{k}_head") for k in range(1, SNM_WINDOW + 1)],
+    )
+    parts = [
+        neigh.where(F.col(f"n{k}_id").isNotNull()).select(
+            F.col("doc_id").alias("doc_a"),
+            F.col(f"n{k}_id").alias("doc_b"),
+            F.levenshtein("head", F.col(f"n{k}_head")).alias("edit_distance"),
+        )
+        for k in range(1, SNM_WINDOW + 1)
+    ]
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    return pairs.where(F.col("edit_distance") <= SNM_EDIT_MAX)
+
+
+register(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         substr(text, 1, {SNM_HEAD_LEN}) AS head,
+         substr(lower(text), 1, {SNM_SORT_KEY_LEN}) AS sort_key,
+         substr(lower(text), 1, {SNM_BLOCK_LEN}) AS block
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, head,
+         lead(doc_id, 1) OVER w AS n1_id, lead(head, 1) OVER w AS n1_head,
+         lead(doc_id, 2) OVER w AS n2_id, lead(head, 2) OVER w AS n2_head
+  FROM keyed WINDOW w AS (PARTITION BY block ORDER BY sort_key, doc_id)
+),
+pairs AS (
+  SELECT doc_id AS doc_a, n1_id AS doc_b,
+         CAST(levenshtein(head, n1_head) AS INTEGER) AS edit_distance
+  FROM ordered WHERE n1_id IS NOT NULL
+  UNION ALL
+  SELECT doc_id, n2_id, CAST(levenshtein(head, n2_head) AS INTEGER)
+  FROM ordered WHERE n2_id IS NOT NULL
+)
+SELECT doc_a, doc_b, edit_distance FROM pairs
+WHERE edit_distance <= {SNM_EDIT_MAX}
+""",
+    tags=("dedup", "llm-pipeline", "near-dup", "blocking", "bench"),
+)(sorted_neighborhood_pairs)

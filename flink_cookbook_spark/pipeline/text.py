@@ -934,3 +934,98 @@ GROUP BY lang
 """,
     tags=("text", "llm-pipeline", "tokenizer"),
 )(tokenizer_fertility)
+
+
+# --------------------------------------------------------------------------
+# vocabulary growth (Heaps'-law curve)
+# --------------------------------------------------------------------------
+
+#: documents per growth checkpoint bucket.
+VOCAB_BUCKET_DOCS = 50
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve over the corpus in document
+    order: cumulative distinct bigram types and cumulative bigram tokens
+    at every ``VOCAB_BUCKET_DOCS``-document checkpoint.
+
+    The corpus-health diagnostic behind tokenizer sizing and dedup QA: a
+    curve that flattens early signals a boilerplate-heavy (or heavily
+    duplicated) corpus; type growth that tracks Heaps' V ~ k*N^beta is
+    healthy. Bigram types are used because the fixture's unigram
+    vocabulary saturates in the first bucket.
+
+    Scale shape: 'first occurrence' is a map-side-combinable MIN per
+    type (one hash aggregate over the memoized bigram stream shared
+    with ``bigram_logprob_score``/``collocation_pmi``); checkpoint
+    counts are a second tiny aggregate; the cumulative window runs over
+    n_docs/bucket rows, never over the corpus.
+    """
+    from flink_cookbook_spark.pipeline._cache import memo_persist
+
+    def build_exploded() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        bi = (
+            docs.select("doc_id", F.split("text", " ").alias("ts"))
+            .select(
+                "doc_id",
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> concat_ws(' ', ts[i - 1], ts[i]))"
+                ).alias("bigrams"),
+            )
+            .where(F.size("bigrams") >= 1)
+        )
+        return bi.select("doc_id", F.explode("bigrams").alias("bigram"))
+
+    exploded = memo_persist(spark, "bigram_tokens", sf_dir, build_exploded)
+    bucket = lambda c: F.floor(F.col(c) / VOCAB_BUCKET_DOCS).cast("long")  # noqa: E731
+    firsts = exploded.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    new_types = firsts.groupBy(bucket("first_doc").alias("bucket")).agg(
+        F.count("*").alias("new_types")
+    )
+    counts = exploded.groupBy(bucket("doc_id").alias("bucket")).agg(
+        F.count("*").alias("n_bigrams")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        counts.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum(F.coalesce("new_types", F.lit(0))).over(w).alias("vocab_size"),
+            F.sum("n_bigrams").over(w).alias("cum_bigrams"),
+        )
+    )
+
+
+register(
+    "vocab_growth",
+    oracle=f"""
+WITH bi AS (
+  SELECT doc_id,
+         list_transform(range(1, len(string_split(text, ' '))),
+                        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])
+           AS bigrams
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+exploded AS (SELECT doc_id, unnest(bigrams) AS bigram FROM bi),
+firsts AS (SELECT bigram, min(doc_id) AS first_doc FROM exploded GROUP BY bigram),
+new_types AS (
+  SELECT CAST(floor(first_doc / {VOCAB_BUCKET_DOCS}) AS BIGINT) AS bucket,
+         count(*) AS new_types
+  FROM firsts GROUP BY 1
+),
+counts AS (
+  SELECT CAST(floor(doc_id / {VOCAB_BUCKET_DOCS}) AS BIGINT) AS bucket,
+         count(*) AS n_bigrams
+  FROM exploded GROUP BY 1
+)
+SELECT c.bucket,
+       CAST(sum(coalesce(n.new_types, 0)) OVER w AS BIGINT) AS vocab_size,
+       CAST(sum(c.n_bigrams) OVER w AS BIGINT) AS cum_bigrams
+FROM counts c LEFT JOIN new_types n USING (bucket)
+WINDOW w AS (ORDER BY c.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("text", "llm-pipeline", "vocabulary"),
+)(vocab_growth)

@@ -329,3 +329,98 @@ def test_pagerank_mass_and_dangling(spark, sf_dir):
     for r in iso:
         assert abs(r.pr_norm - (1 - PR_DAMPING)) < 1e-4, r
     df.unpersist()
+
+
+def test_scd2_cdc_apply_equals_full_recompute(spark, sf_dir):
+    """The incremental CDC apply must produce byte-identical SCD2 rows
+    to the full recompute (the registered oracle asserts this against
+    DuckDB; this asserts it Spark-vs-Spark, so a divergence points at
+    the apply logic rather than engine differences)."""
+    from flink_cookbook_spark.operators.timeseries import (
+        scd2_cdc_apply,
+        scd2_dimension,
+    )
+
+    inc = scd2_cdc_apply(spark, sf_dir)
+    full = scd2_dimension(spark, sf_dir)
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+
+
+def test_bloom_prefilter_superset_contract(spark, sf_dir):
+    """Bloom filters never produce false negatives: every true match
+    must pass the filter, so bloom_kept = true_matches + false_positives
+    in every group."""
+    from flink_cookbook_spark.operators.relational import bloom_prefilter_join
+
+    rows = bloom_prefilter_join(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bloom_kept == r.true_matches + r.false_positives
+        assert r.bloom_kept >= r.true_matches
+
+
+def test_sorted_neighborhood_matches_global_sort(spark, sf_dir):
+    """The blocked (distributed) SNM must find the same close pairs as
+    a single global sorted pass — i.e. blocking loses nothing on this
+    corpus."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.dedup import (
+        SNM_EDIT_MAX,
+        SNM_HEAD_LEN,
+        SNM_SORT_KEY_LEN,
+        SNM_WINDOW,
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.substring("text", 1, SNM_HEAD_LEN).alias("head"),
+        F.substring(F.lower("text"), 1, SNM_SORT_KEY_LEN).alias("sort_key"),
+    )
+    w = Window.orderBy("sort_key", "doc_id")
+    neigh = keyed.select(
+        "doc_id",
+        "head",
+        *[F.lead("doc_id", k).over(w).alias(f"n{k}_id") for k in range(1, SNM_WINDOW + 1)],
+        *[F.lead("head", k).over(w).alias(f"n{k}_head") for k in range(1, SNM_WINDOW + 1)],
+    )
+    global_pairs = set()
+    for k in range(1, SNM_WINDOW + 1):
+        for r in (
+            neigh.where(F.col(f"n{k}_id").isNotNull())
+            .select(
+                "doc_id",
+                F.col(f"n{k}_id").alias("nb"),
+                F.levenshtein("head", F.col(f"n{k}_head")).alias("d"),
+            )
+            .where(F.col("d") <= SNM_EDIT_MAX)
+            .collect()
+        ):
+            global_pairs.add((r.doc_id, r.nb))
+    blocked_pairs = {
+        (r.doc_a, r.doc_b) for r in sorted_neighborhood_pairs(spark, sf_dir).collect()
+    }
+    assert blocked_pairs == global_pairs
+    assert blocked_pairs  # fixture has known near-dups
+
+
+def test_vocab_growth_monotone(spark, sf_dir):
+    """Cumulative type and token counts must be non-decreasing in
+    bucket order, and the final vocab_size must equal the corpus's
+    distinct bigram count."""
+    from pyspark.sql import functions as F
+
+    from flink_cookbook_spark.pipeline.text import vocab_growth
+
+    rows = sorted(
+        vocab_growth(spark, sf_dir).collect(), key=lambda r: r.bucket
+    )
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert b.vocab_size >= a.vocab_size
+        assert b.cum_bigrams > a.cum_bigrams

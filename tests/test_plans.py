@@ -404,3 +404,45 @@ def test_round5_exchange_budgets(spark, sf_dir):
     assert count_exchanges(psi_value_drift(spark, sf_dir)) <= 2
     assert count_exchanges(seasonal_decompose(spark, sf_dir)) <= 2
     assert count_exchanges(source_kl_divergence(spark, sf_dir)) <= 2
+
+
+def test_bloom_prefilter_no_shuffle_join(spark, sf_dir):
+    """The Bloom prefilter's whole point: the fact side joins only
+    against broadcast sides (the 1-row bitset and the tiny build key
+    set) — a SortMergeJoin on lineitem would defeat the runtime-filter
+    pattern."""
+    from flink_cookbook_spark.operators.relational import bloom_prefilter_join
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    df = bloom_prefilter_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert has_broadcast_join(df)
+    # two exchanges, neither over the fact table: the ~2k-row bitset
+    # position aggregate (build side) and the final 3-group rollup on
+    # l_returnflag (post-filter partial agg)
+    assert count_exchanges(df) <= 2
+
+
+def test_sorted_neighborhood_no_cartesian_single_exchange(spark, sf_dir):
+    """SNM is blocking-based: one hash exchange on the block prefix for
+    the window sort; never an all-pairs join."""
+    from flink_cookbook_spark.pipeline.dedup import sorted_neighborhood_pairs
+
+    df = sorted_neighborhood_pairs(spark, sf_dir)
+    assert not has_cartesian(df)
+    # one exchange per window branch (Spark runs the union's two
+    # branches over the same shuffled input; allow AQE to reuse)
+    assert count_exchanges(df) <= 2
+
+
+def test_pareto_frontier_no_join(spark, sf_dir):
+    """The skyline is computed by one sort + running max — the naive
+    dominance anti-join (all-pairs) must never appear."""
+    from flink_cookbook_spark.operators.windows import pareto_frontier
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    df = pareto_frontier(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert not has_cartesian(df)
