@@ -1292,3 +1292,194 @@ register(
     oracle=_SCD2_FULL_SQL,
     tags=("timeseries", "scd2", "cdc", "incremental"),
 )(scd2_cdc_apply)
+
+
+def temporal_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each purchase fact is joined to
+    the SCD2 state version that was valid AT its timestamp — the
+    version whose [valid_from, valid_to) interval contains the fact's
+    time. The dimension is the SCD2 history of each user's NON-purchase
+    behavior; the facts are the purchase events.
+
+    The warehouse query every SCD2 dimension exists for ("what was the
+    customer's state when they bought?"), and a reproducibility
+    primitive for training pipelines (join features as-of the label
+    time, never leaking the future). Executed WITHOUT an interval/range
+    join: the interval-containment lookup against well-formed SCD2
+    intervals is exactly a backward as-of join on valid_from, so it
+    reuses the single-shuffle union + sorted-sweep plan (one exchange
+    on user_id, no per-key cross product) — the oracle states the same
+    query as the naive BETWEEN join to prove the equivalence.
+    """
+    from flink_cookbook_spark.operators.metrics import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    base = ev.where(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_sec").asc(), F.col("event_id").asc()
+    )
+    cp = (
+        base.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            sec.alias("ts_sec"),
+            "event_id",
+        )
+        .select(
+            "*",
+            F.lag("state", 1).over(w).alias("prev_state"),
+        )
+        .where(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+    )
+    versions = cp.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        "state",
+        F.col("ts_sec").alias("valid_from"),
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", sec.alias("purchase_ts"), "event_id"
+    )
+    return asof_join(
+        facts,
+        versions,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="valid_from",
+        value_cols=["version", "state"],
+        how="inner",
+    )
+
+
+register(
+    "temporal_dimension_join",
+    # the oracle is the NAIVE interval-containment join; passing proves
+    # the as-of sweep computes identical point-in-time semantics.
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type AS state, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         lag(event_type, 1)
+           OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC)
+           AS prev_state
+  FROM events WHERE event_type <> 'purchase'
+),
+changes AS (
+  SELECT user_id, state, ts_sec, event_id FROM ordered
+  WHERE prev_state IS NULL OR state <> prev_state
+),
+versions AS (
+  SELECT user_id,
+         CAST(row_number() OVER w AS INTEGER) AS version,
+         state,
+         ts_sec AS valid_from,
+         lead(ts_sec, 1) OVER w AS valid_to
+  FROM changes
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)
+),
+facts AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts, event_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.user_id, f.purchase_ts, f.event_id,
+       v.version AS version_asof, v.state AS state_asof,
+       v.valid_from AS valid_from_asof
+FROM facts f JOIN versions v
+  ON f.user_id = v.user_id
+ AND v.valid_from <= f.purchase_ts
+ AND (v.valid_to IS NULL OR f.purchase_ts < v.valid_to)
+""",
+    tags=("timeseries", "scd2", "temporal-join", "point-in-time"),
+)(temporal_dimension_join)
+
+
+#: half-life of the time-decay attribution weight (1 day).
+_DECAY_HALF_LIFE_S = 86400
+
+
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch TIME-DECAY attribution: every view/click touch within
+    the 7-day lookback of a user's next purchase shares that
+    conversion's credit, weighted by 0.5^(hours_to_purchase / 24h) and
+    normalized so each purchase distributes exactly 1.0 credit.
+
+    The fractional-credit complement of ``purchase_attribution``
+    (last-touch winner-take-all). Same scale shape: ONE exchange on
+    user_id — the next-purchase lookup is a conditional MIN over a
+    following frame on the ordered event stream (no join), the
+    normalization is a second window over the same partitioning, and
+    the report is a 2-row hash aggregate by touch type.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    base = ev.select("user_id", "event_id", "event_type", sec.alias("t"))
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("t"))
+    ).over(w_next)
+    touches = (
+        base.withColumn("purchase_t", next_purchase)
+        .where(F.col("event_type").isin("view", "click"))
+        .where(
+            F.col("purchase_t").isNotNull()
+            & (F.col("purchase_t") - F.col("t") <= ATTR_WINDOW_S)
+        )
+        .withColumn(
+            "weight",
+            F.pow(
+                F.lit(0.5),
+                (F.col("purchase_t") - F.col("t")) / F.lit(float(_DECAY_HALF_LIFE_S)),
+            ),
+        )
+    )
+    w_conv = Window.partitionBy("user_id", "purchase_t")
+    shared = touches.withColumn(
+        "credit", F.col("weight") / F.sum("weight").over(w_conv)
+    )
+    return shared.groupBy("event_type").agg(
+        F.count("*").alias("n_touches"),
+        rnd(F.sum("credit"), 4).alias("total_credit"),
+        rnd(F.avg("weight"), 4).alias("avg_decay_weight"),
+    )
+
+
+register(
+    "multi_touch_attribution",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+),
+nexted AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'purchase' THEN t END)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS purchase_t
+  FROM base
+),
+touches AS (
+  SELECT *, power(0.5, (purchase_t - t) / {float(_DECAY_HALF_LIFE_S)}) AS weight
+  FROM nexted
+  WHERE event_type IN ('view', 'click')
+    AND purchase_t IS NOT NULL AND purchase_t - t <= {ATTR_WINDOW_S}
+),
+shared AS (
+  SELECT event_type, weight,
+         weight / sum(weight) OVER (PARTITION BY user_id, purchase_t) AS credit
+  FROM touches
+)
+SELECT event_type, count(*) AS n_touches,
+       round(sum(credit) + 1e-6, 4) AS total_credit,
+       round(avg(weight) + 1e-6, 4) AS avg_decay_weight
+FROM shared GROUP BY event_type
+""",
+    tags=("timeseries", "attribution", "multi-touch"),
+)(multi_touch_attribution)

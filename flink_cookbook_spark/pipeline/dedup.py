@@ -182,9 +182,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "ngram_jaccard_pairs",
-    oracle="WITH "
+#: exact-Jaccard-pairs oracle — shared by ``ngram_jaccard_pairs`` and by
+#: ``prefix_filter_jaccard_pairs``, whose claim is precisely that prefix
+#: filtering returns the identical pair set as the unfiltered index.
+_JACCARD_PAIRS_ORACLE = (
+    "WITH "
     + _SHINGLES_CTE
     + f""",
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
@@ -200,7 +202,12 @@ FROM inter
 JOIN sizes sa ON doc1 = sa.doc_id
 JOIN sizes sb ON doc2 = sb.doc_id
 WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
-""",
+"""
+)
+
+register(
+    "ngram_jaccard_pairs",
+    oracle=_JACCARD_PAIRS_ORACLE,
     tags=("dedup", "llm-pipeline", "near-dup", "bench"),
 )(ngram_jaccard_pairs)
 
@@ -361,9 +368,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("doc1", "doc2", rnd("jaccard_raw", 4).alias("jaccard"))
 
 
-register(
-    "minhash_lsh_pairs",
-    oracle="WITH "
+#: LSH candidate + exact-verify pipeline as oracle CTEs, ending in a
+#: ``verified`` relation (doc1, doc2, jaccard_raw >= threshold) — shared
+#: by ``minhash_lsh_pairs`` and ``incremental_dedup_new_batch``.
+_LSH_VERIFIED_SQL = (
+    "WITH "
     + _SHINGLES_CTE
     + f""",
 sigs AS (
@@ -392,12 +401,22 @@ inter AS (
   JOIN shingles s2 ON s2.doc_id = c.doc2 AND s1.shingle = s2.shingle
   GROUP BY 1, 2
 )
-SELECT i.doc1, i.doc2,
-       round(n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) + 1e-6, 4) AS jaccard
-FROM inter i
-JOIN sizes sa ON i.doc1 = sa.doc_id
-JOIN sizes sb ON i.doc2 = sb.doc_id
-WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+, verified AS (
+  SELECT i.doc1, i.doc2,
+         n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard_raw
+  FROM inter i
+  JOIN sizes sa ON i.doc1 = sa.doc_id
+  JOIN sizes sb ON i.doc2 = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+)
+"""
+)
+
+register(
+    "minhash_lsh_pairs",
+    oracle=_LSH_VERIFIED_SQL
+    + """
+SELECT doc1, doc2, round(jaccard_raw + 1e-6, 4) AS jaccard FROM verified
 """,
     tags=("dedup", "llm-pipeline", "minhash", "lsh"),
 )(minhash_lsh_pairs)
@@ -1354,3 +1373,167 @@ WHERE edit_distance <= {SNM_EDIT_MAX}
 """,
     tags=("dedup", "llm-pipeline", "near-dup", "blocking", "bench"),
 )(sorted_neighborhood_pairs)
+
+
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs via PREFIX FILTERING (the PPJoin
+    family): order every document's shingles by a global rarity order
+    (document frequency asc, shingle asc), index only each document's
+    first floor((1-t)*|d|)+1 shingles, generate candidates from that
+    prefix index, and verify candidates exactly.
+
+    The prefix principle: two sets with Jaccard >= t MUST share at
+    least one token inside those prefixes under any one global total
+    order — so the candidate join touches (1-t)+eps of the index
+    instead of all of it, and candidates concentrate on genuinely
+    similar pairs (rare tokens first). At t=0.5 the joined index
+    halves; at t=0.9 it shrinks 10x — the standard scale path for
+    exact-threshold set-similarity joins when MinHash's approximation
+    is not acceptable. The oracle is the UNFILTERED exact-Jaccard
+    query: passing proves the filter loses no pair.
+    """
+    sh = _shingles(spark, sf_dir)
+    w_df = Window.partitionBy("shingle")
+    w_doc = Window.partitionBy("doc_id")
+    ranked = sh.select(
+        "doc_id",
+        "shingle",
+        F.count("*").over(w_df).alias("df"),
+    ).select(
+        "doc_id",
+        "shingle",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("df", "shingle"))
+        .alias("rank"),
+        F.count("*").over(w_doc).alias("n_shingles"),
+    )
+    prefix = ranked.where(
+        F.col("rank")
+        <= F.floor((1 - JACCARD_THRESHOLD) * F.col("n_shingles")) + 1
+    ).select("doc_id", "shingle")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sh1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    sh2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    inter = (
+        cands.join(sh1, "doc1")
+        .join(sh2, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2"))
+    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc1")
+        .join(sb, "doc2")
+        .withColumn("jaccard_raw", jac)
+        .where(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", rnd("jaccard_raw", 4).alias("jaccard"))
+    )
+
+
+register(
+    "prefix_filter_jaccard_pairs",
+    # completeness proof: the oracle is the UNfiltered exact-Jaccard join.
+    oracle=_JACCARD_PAIRS_ORACLE,
+    tags=("dedup", "llm-pipeline", "near-dup", "prefix-filter"),
+)(prefix_filter_jaccard_pairs)
+
+
+# --------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus
+# --------------------------------------------------------------------------
+
+#: batch membership: doc_id % 10 >= 8 is the "incoming crawl increment",
+#: the rest is the already-indexed corpus.
+_BATCH_MOD = 10
+_BATCH_MIN = 8
+
+
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup verdicts for a new ingest batch against the
+    existing corpus: each incoming document (doc_id % 10 >= 8) is
+    classified ``exact_dup`` (byte-identical text already in the
+    corpus), ``near_dup`` (verified LSH pair with a corpus doc), or
+    ``unique``.
+
+    The shape every recurring crawl pipeline needs: the corpus is NOT
+    re-deduped against itself on each increment — the batch probes the
+    corpus's fingerprint set (hash equi-join) and its LSH band index
+    (the memoized verified-pair list, candidates ∝ true near-dups).
+    At 100 TB the corpus side of both probes is the pre-built index,
+    so incremental cost scales with the batch, not the corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % _BATCH_MOD) >= _BATCH_MIN
+    batch = docs.where(is_batch).select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    corpus_fp = (
+        docs.where(~is_batch).select(F.md5("text").alias("fp")).distinct()
+        .withColumn("_exact", F.lit(True))
+    )
+    pairs = _lsh_verified_pairs_df(spark, sf_dir)
+    side = lambda c: (F.col(c) % _BATCH_MOD) >= _BATCH_MIN  # noqa: E731
+    near_docs = (
+        pairs.where(side("doc1") & ~side("doc2")).select(F.col("doc1").alias("doc_id"))
+        .unionByName(
+            pairs.where(side("doc2") & ~side("doc1")).select(
+                F.col("doc2").alias("doc_id")
+            )
+        )
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    return (
+        batch.join(corpus_fp, "fp", "left")
+        .join(near_docs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("_exact").isNotNull(), "exact_dup")
+            .when(F.col("_near").isNotNull(), "near_dup")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+    )
+
+
+register(
+    "incremental_dedup_new_batch",
+    oracle=_LSH_VERIFIED_SQL
+    + f"""
+, batch AS (
+  SELECT doc_id, source, md5(text) AS fp FROM documents
+  WHERE doc_id % {_BATCH_MOD} >= {_BATCH_MIN}
+),
+corpus_fp AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents
+  WHERE doc_id % {_BATCH_MOD} < {_BATCH_MIN}
+),
+near_docs AS (
+  SELECT doc1 AS doc_id FROM verified
+  WHERE doc1 % {_BATCH_MOD} >= {_BATCH_MIN} AND doc2 % {_BATCH_MOD} < {_BATCH_MIN}
+  UNION
+  SELECT doc2 FROM verified
+  WHERE doc2 % {_BATCH_MOD} >= {_BATCH_MIN} AND doc1 % {_BATCH_MOD} < {_BATCH_MIN}
+)
+SELECT b.doc_id, b.source,
+       CASE WHEN b.fp IN (SELECT fp FROM corpus_fp) THEN 'exact_dup'
+            WHEN b.doc_id IN (SELECT doc_id FROM near_docs) THEN 'near_dup'
+            ELSE 'unique' END AS verdict
+FROM batch b
+""",
+    tags=("dedup", "llm-pipeline", "incremental"),
+)(incremental_dedup_new_batch)

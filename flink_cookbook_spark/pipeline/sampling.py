@@ -215,3 +215,70 @@ FROM scored WHERE coin < keep_prob
 """,
     tags=("sampling", "llm-pipeline", "quality"),
 )(quality_weighted_sample)
+
+
+#: docs kept per source by the weighted without-replacement sampler.
+WSR_K = 10
+
+
+def weighted_sample_without_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling WITHOUT replacement: exactly
+    ``WSR_K`` documents per source, selected with probability
+    proportional to document length, deterministically.
+
+    The exponential-race formulation: each doc draws an md5 coin
+    u in (0, 1] and gets key = -ln(u) / weight (an Exp(weight) variate);
+    the K smallest keys per source are the sample. This is the standard
+    distributed one-pass weighted reservoir — keys are computed map-side
+    and the per-source top-K is a WindowGroupLimit (never a global
+    sort), so a 100 TB corpus pays one bounded exchange on source.
+    Unlike ``quality_weighted_sample`` (independent Bernoulli coins,
+    random sample SIZE), this guarantees the exact per-source quota.
+
+    Keys are rounded to 6 dp on BOTH engines before ranking, with
+    doc_id as the tie-break, so the selected set can never depend on a
+    last-ulp ln()/division difference between Spark and DuckDB.
+    """
+    docs = load(spark, sf_dir, "documents")
+    # (h % M + 1)/M lies in (0, 1] — never ln(0)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsr:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h % COIN_MOD + 1).cast("double") / COIN_MOD
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        rnd(-F.log(u) / F.col("n_chars"), 6).alias("race_key"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("race_key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= WSR_K)
+    )
+
+
+register(
+    "weighted_sample_without_replacement",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         round(-ln(((CAST('0x' || substr(md5('wsr:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     % {COIN_MOD}) + 1) * 1.0 / {COIN_MOD}) / n_chars + 1e-6, 6)
+           AS race_key
+  FROM documents
+)
+SELECT doc_id, source, n_chars, race_key,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY race_key ASC, doc_id ASC) AS INTEGER) AS rank
+FROM keyed
+QUALIFY rank <= {WSR_K}
+""",
+    tags=("sampling", "llm-pipeline", "weighted", "without-replacement"),
+)(weighted_sample_without_replacement)

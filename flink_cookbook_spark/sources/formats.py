@@ -355,3 +355,135 @@ FROM merged GROUP BY 1
 """,
     tags=("file-format", "parquet", "schema-evolution", "source"),
 )(schema_evolution_scan)
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering layout profile
+# --------------------------------------------------------------------------
+
+#: bits per dimension of the Z-curve (4 bits -> 16x16 grid, 8-bit z).
+_Z_BITS = 4
+#: files/buckets the z-ordered layout is split into (top 4 z bits).
+_Z_BUCKETS = 16
+#: probe rectangle in grid coordinates: xb in [4,7], yb in [8,11].
+_Z_PROBE = (4, 7, 8, 11)
+
+
+def zorder_layout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering profile over lineitem on
+    (l_extendedprice, l_quantity): interleave the bits of the two
+    16-cell grid coordinates into a z-value, split the table into 16
+    z-buckets (the files a z-ordered rewrite would produce), and report
+    each bucket's bounding box plus whether a fixed rectangular probe
+    query would have to scan it.
+
+    The lakehouse data-layout primitive (Delta/Iceberg ``ZORDER BY``):
+    min/max file statistics only prune multi-dimensional predicates if
+    the layout keeps both dimensions locally dense, which linear
+    ordering by either column alone cannot. Everything here is exact
+    integer arithmetic (cents / whole units, integer div), so both
+    engines compute identical buckets: the z-key is a map-only
+    expression, the re-layout would be one range-repartition by z, and
+    the profile itself is a 16-group hash aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    bounds = li.agg(
+        F.min(cents).alias("mn_c"),
+        F.max(cents).alias("mx_c"),
+        F.min(qty).alias("mn_q"),
+        F.max(qty).alias("mx_q"),
+    )
+    grid = 1 << _Z_BITS
+    cells = (
+        li.select(cents.alias("cents"), qty.alias("qty"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "cents",
+            "qty",
+            F.expr(f"(cents - mn_c) * {grid} div (mx_c - mn_c + 1)").alias("xb"),
+            F.expr(f"(qty - mn_q) * {grid} div (mx_q - mn_q + 1)").alias("yb"),
+        )
+    )
+    z = None
+    for i in range(_Z_BITS):
+        for name, shift in (("xb", 2 * i), ("yb", 2 * i + 1)):
+            bit = F.expr(f"shiftleft(shiftright({name}, {i}) & 1, {shift})")
+            z = bit if z is None else z + bit
+    x_lo, x_hi, y_lo, y_hi = _Z_PROBE
+    return (
+        cells.select(
+            "cents",
+            "qty",
+            "xb",
+            "yb",
+            # z in [0, 255] and the divisor is a power of two, so the
+            # double-division + truncating cast equals integer division
+            (z / ((grid * grid) // _Z_BUCKETS)).cast("long").alias("z_bucket"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.min("qty").alias("min_qty"),
+            F.max("qty").alias("max_qty"),
+            F.min("xb").alias("min_xb"),
+            F.max("xb").alias("max_xb"),
+            F.min("yb").alias("min_yb"),
+            F.max("yb").alias("max_yb"),
+        )
+        .select(
+            "*",
+            (
+                ~(
+                    (F.col("max_xb") < x_lo)
+                    | (F.col("min_xb") > x_hi)
+                    | (F.col("max_yb") < y_lo)
+                    | (F.col("min_yb") > y_hi)
+                )
+            ).alias("probe_must_scan"),
+        )
+    )
+
+
+_Z_SQL = " + ".join(
+    f"(((({name} >> {i}) & 1)) << {shift})"
+    for i in range(_Z_BITS)
+    for name, shift in (("xb", 2 * i), ("yb", 2 * i + 1))
+)
+
+register(
+    "zorder_layout_profile",
+    oracle=f"""
+WITH bounds AS (
+  SELECT min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS mn_c,
+         max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS mx_c,
+         min(CAST(round(l_quantity) AS BIGINT)) AS mn_q,
+         max(CAST(round(l_quantity) AS BIGINT)) AS mx_q
+  FROM lineitem
+),
+cells AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         (CAST(round(l_extendedprice * 100) AS BIGINT) - mn_c) * {1 << _Z_BITS}
+           // (mx_c - mn_c + 1) AS xb,
+         (CAST(round(l_quantity) AS BIGINT) - mn_q) * {1 << _Z_BITS}
+           // (mx_q - mn_q + 1) AS yb
+  FROM lineitem CROSS JOIN bounds
+),
+zed AS (
+  SELECT *, ({_Z_SQL}) // {((1 << _Z_BITS) ** 2) // _Z_BUCKETS} AS z_bucket FROM cells
+)
+SELECT z_bucket, count(*) AS n_rows,
+       min(cents) AS min_cents, max(cents) AS max_cents,
+       min(qty) AS min_qty, max(qty) AS max_qty,
+       min(xb) AS min_xb, max(xb) AS max_xb,
+       min(yb) AS min_yb, max(yb) AS max_yb,
+       NOT (max(xb) < {_Z_PROBE[0]} OR min(xb) > {_Z_PROBE[1]}
+            OR max(yb) < {_Z_PROBE[2]} OR min(yb) > {_Z_PROBE[3]}) AS probe_must_scan
+FROM zed GROUP BY z_bucket
+""",
+    tags=("file-format", "layout", "zorder", "pruning"),
+)(zorder_layout_profile)

@@ -446,3 +446,24 @@ def test_pareto_frontier_no_join(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Join" not in plan, plan
     assert not has_cartesian(df)
+
+
+def test_temporal_join_is_sweep_not_range_join(spark, sf_dir):
+    """Point-in-time join must run as the single-shuffle as-of sweep:
+    no nested-loop/cartesian interval join, bounded exchanges (change
+    -point window + sweep window share the user_id partitioning)."""
+    from flink_cookbook_spark.operators.timeseries import temporal_dimension_join
+
+    df = temporal_dimension_join(spark, sf_dir)
+    assert not has_cartesian(df)
+    assert count_exchanges(df) <= 2
+
+
+def test_zorder_profile_bounded_exchanges(spark, sf_dir):
+    """Z-key assignment is map-only over a broadcast 1-row bounds agg;
+    the profile is one 16-group aggregate. Only small-side exchanges
+    (bounds + final rollup) may appear."""
+    from flink_cookbook_spark.sources.formats import zorder_layout_profile
+
+    df = zorder_layout_profile(spark, sf_dir)
+    assert count_exchanges(df) <= 4
