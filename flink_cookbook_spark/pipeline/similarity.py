@@ -308,7 +308,19 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     emb = _emb_double(load(spark, sf_dir, "embeddings")).select("vec_id", "emb")
     n = emb.count()
     mod = max(1, n // MAX_TRAIN_VECTORS)
-    rows = emb.where(F.pmod(F.hash("vec_id"), F.lit(mod)) == 0).collect()
+    # md5-PRF sample, not F.hash: the engine-portable coin lets the IVF
+    # oracle reproduce the exact training set (and therefore the exact
+    # centroids) in DuckDB — see _ivf_oracle.
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ivfsample:"), F.col("vec_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rows = emb.where(coin % mod == 0).collect()
     rows.sort(key=lambda r: r.vec_id)
     X = np.array([r.emb for r in rows], dtype=np.float64)
     k = min(N_CENTROIDS, len(X))
@@ -355,7 +367,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible); recall vs brute force is pinned in
     tests/test_pipeline.py."""
     centroids, cells = _ivf_index(spark, sf_dir)
-    queries = cells.where(F.col("vec_id") < N_QUERIES).select("vec_id", "emb")
+    queries = cells.where(F.col("vec_id") < N_QUERIES).select("vec_id", "emb")  # noqa: E501  (body continues below)
     probes = _probe_cells(queries, centroids, NPROBE).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), "cid"
     )
