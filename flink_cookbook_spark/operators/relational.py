@@ -907,8 +907,11 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-order pair expansion is an equi self-join on the order key —
     candidate pairs are per-basket combinations (baskets are small),
-    never part². Singleton counts and the order total are broadcast-side
-    aggregates; lift = P(p1,p2) / (P(p1) * P(p2)) over order-incidence
+    never part². The singleton-count joins are deliberately UNHINTED:
+    their cardinality is the part catalog, which at sf1e4 no longer fits
+    a forced broadcast — a plain equi-join lets AQE broadcast when small
+    and shuffle when not. Only the 1-row order total is broadcast;
+    lift = P(p1,p2) / (P(p1) * P(p2)) over order-incidence
     probabilities.
     """
     from flink_cookbook_spark.pipeline._cache import memo_persist
@@ -939,8 +942,8 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = singles.select(F.col("l_partkey").alias("p2"), F.col("n_orders_part").alias("c2"))
     lift = (F.col("n_co") * F.col("n_orders")) / (F.col("c1") * F.col("c2"))
     return (
-        co.join(F.broadcast(s1), "p1")
-        .join(F.broadcast(s2), "p2")
+        co.join(s1, "p1")
+        .join(s2, "p2")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "p1",

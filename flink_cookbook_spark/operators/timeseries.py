@@ -934,8 +934,8 @@ terms AS (
   FROM counts
 )
 SELECT event_type,
-       max(n_ref) AS n_ref,
-       max(n_cmp) AS n_cmp,
+       CAST(max(n_ref) AS BIGINT) AS n_ref,
+       CAST(max(n_cmp) AS BIGINT) AS n_cmp,
        round(sum((p - q) * ln(p / q)) + 1e-6, 6) AS psi
 FROM terms
 GROUP BY event_type
@@ -988,8 +988,8 @@ tagged AS (
 )
 SELECT day_start,
        count(*) AS active_users,
-       sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS new_users,
-       sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS returning_users
+       CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS returning_users
 FROM tagged
 GROUP BY day_start
 """,
@@ -1047,7 +1047,7 @@ probs AS (
   FROM counts
 )
 SELECT user_id,
-       max(n_events) AS n_events,
+       CAST(max(n_events) AS BIGINT) AS n_events,
        round(-sum(p * log2(p)) + 1e-6, 4) AS entropy_bits,
        max(CASE WHEN rk = 1 THEN event_type END) AS top_type,
        round(max(CASE WHEN rk = 1 THEN p END) + 1e-6, 4) AS top_share
@@ -1122,8 +1122,8 @@ marked AS (
 )
 SELECT user_id,
        count(*) AS n_purchases,
-       sum(CASE WHEN last_view_t IS NOT NULL AND t - last_view_t <= {ATTR_WINDOW_S}
-                THEN 1 ELSE 0 END) AS n_attributed,
+       CAST(sum(CASE WHEN last_view_t IS NOT NULL AND t - last_view_t <= {ATTR_WINDOW_S}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
        round(avg(CASE WHEN last_view_t IS NOT NULL AND t - last_view_t <= {ATTR_WINDOW_S}
                       THEN (t - last_view_t) / 3600.0 END) + 1e-6, 4)
          AS avg_hours_to_convert

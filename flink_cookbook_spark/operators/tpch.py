@@ -508,7 +508,10 @@ FROM per_cust GROUP BY c_count
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-style: revenue of lineitems below 50% of their part's
     average quantity — aggregate-correlated predicate via a joined
-    per-part aggregate (broadcast: one row per part)."""
+    per-part aggregate. The per-part-average join is UNHINTED: its
+    cardinality is the part catalog (1e8+ keys at high SF), too big to
+    force-broadcast; both sides hash on l_partkey, and AQE still
+    broadcasts when the filtered side is genuinely small."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     avg_qty = (
@@ -517,7 +520,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(part.where(F.col("p_brand") == "Brand#1"), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("pk"))
+        .join(avg_qty, F.col("l_partkey") == F.col("pk"))
         .where(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
             rnd(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),

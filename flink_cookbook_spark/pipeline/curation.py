@@ -734,7 +734,7 @@ spans AS (
                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
         FROM hits)
 )
-SELECT doc_id, span_id,
+SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
        min(pos) AS start_tok,
        max(pos) + {DECON_N} AS end_tok,
        count(*) AS n_matched_grams

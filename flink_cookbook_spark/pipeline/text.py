@@ -209,8 +209,10 @@ GROUP BY token ORDER BY n_occurrences DESC, token ASC LIMIT 20
 
 def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per (document, token) for the first 50 documents:
-    tf = count in doc / doc length; idf = ln(N / df). The df table is a
-    small broadcast join at any corpus size (vocabulary << corpus)."""
+    tf = count in doc / doc length; idf = ln(N / df). The df join is
+    UNHINTED: at web scale the token vocabulary is 1e8-1e9 distinct
+    strings, too big to force-broadcast — a shuffled join on `token`
+    is corpus-independent, and AQE still broadcasts when small."""
     docs = load(spark, sf_dir, "documents")
     n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -222,7 +224,7 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tbl = toks.distinct().groupBy("token").agg(F.count("*").alias("df"))
     return (
         tf.where(F.col("doc_id") < 50)
-        .join(F.broadcast(df_tbl), "token")
+        .join(df_tbl, "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -484,6 +486,41 @@ GROUP BY 1
 )(doc_length_histogram)
 
 
+def _bigram_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per adjacent-token bigram, (doc_id, bigram) — the shared
+    fact stream behind ``bigram_logprob_score``, ``collocation_pmi`` and
+    ``vocab_growth`` (single memoized build; previously three copies
+    shared the memo key, a drift hazard).
+
+    Documents with fewer than two tokens contribute no bigrams — the
+    ``size(ts) >= 2`` guard matches the oracles' ``len(tokens) >= 2``
+    filter (a 1-token doc must not emit a spurious single-token
+    'bigram' via null-skipping concat).
+
+    Tokenizes ONCE into a column: split() inlined in the transform
+    lambda re-tokenizes the document per bigram element (the ~10x trap
+    fixed in pipeline/curation._grams).
+    """
+    from flink_cookbook_spark.pipeline._cache import memo_persist
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        bi = (
+            docs.select("doc_id", F.split("text", " ").alias("ts"))
+            .where(F.size("ts") >= 2)
+            .select(
+                "doc_id",
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+                ).alias("bigrams"),
+            )
+        )
+        return bi.select("doc_id", F.explode("bigrams").alias("bigram"))
+
+    return memo_persist(spark, "bigram_tokens", sf_dir, build)
+
+
 def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean bigram log-probability under the corpus's own
     bigram MLE model — the cheap statistical-LM fluency score (a
@@ -494,35 +531,16 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     training.
 
     Scale shape: bigram extraction stays array-side (transform over
-    sequence — no explode until counting); the two count tables are
-    vocabulary-sized (<< corpus) and broadcast into the per-bigram
-    probability join; the only corpus-sized shuffles are the two
+    sequence — no explode until counting); the two count tables join
+    UNHINTED (the bigram vocabulary at web scale is larger than the
+    unigram one — a forced broadcast would OOM; AQE broadcasts when
+    genuinely small); the only corpus-sized shuffles are the two
     map-side-combinable count aggregates and the final per-doc average —
     the same explode -> groupBy shape as tf_idf.
     """
-    from flink_cookbook_spark.pipeline._cache import memo_persist
-
-    def build_exploded() -> DataFrame:
-        docs = load(spark, sf_dir, "documents")
-        # tokenize ONCE into a column — split() inlined in the transform
-        # lambda re-tokenizes the document per bigram element (the same
-        # ~10x trap fixed in pipeline/curation._grams)
-        bi = (
-            docs.select("doc_id", F.split("text", " ").alias("ts"))
-            .select(
-                "doc_id",
-                F.expr(
-                    "transform(sequence(1, size(ts) - 1), "
-                    "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
-                ).alias("bigrams"),
-            )
-            .where(F.size("bigrams") >= 1)
-        )
-        return bi.select("doc_id", F.explode("bigrams").alias("bigram"))
-
     # three consumers (bigram counts, start counts, the scoring join) —
     # materialized once per session like the shingle/minhash indexes
-    exploded = memo_persist(spark, "bigram_tokens", sf_dir, build_exploded)
+    exploded = _bigram_exploded(spark, sf_dir)
     big_counts = exploded.groupBy("bigram").agg(F.count("*").alias("c_bigram"))
     start_counts = (
         exploded.select(F.split_part("bigram", F.lit(" "), F.lit(1)).alias("w1"))
@@ -530,9 +548,9 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c_start"))
     )
     scored = (
-        exploded.join(F.broadcast(big_counts), "bigram")
+        exploded.join(big_counts, "bigram")
         .withColumn("w1", F.split_part("bigram", F.lit(" "), F.lit(1)))
-        .join(F.broadcast(start_counts), "w1")
+        .join(start_counts, "w1")
         .withColumn("lp", F.log(F.col("c_bigram").cast("double") / F.col("c_start")))
     )
     return scored.groupBy("doc_id").agg(
@@ -779,7 +797,7 @@ terms AS (
   FROM c
 )
 SELECT source,
-       max(n_docs) AS n_docs,
+       CAST(max(n_docs) AS BIGINT) AS n_docs,
        round(sum(p * ln(p / q)) + 1e-6, 6) AS kl
 FROM terms
 GROUP BY source
@@ -797,31 +815,17 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the classic phrase-mining pass (multi-word entities, boilerplate
     idioms) that feeds tokenizer vocab decisions and boilerplate lists.
 
-    PMI = ln( (c_xy / N_bi) / ((c_x / N_uni) * (c_y / N_uni)) ), floored
+    PMI = ln( (c_xy / N_bi) / ((c_x / N_uni) * (c_y / N_uni) ) ), floored
     to bigrams seen >= PMI_MIN_COUNT times. Reuses the memoized exploded
-    bigram stream (shared with ``bigram_logprob_score``); unigram counts
-    are vocabulary-sized and broadcast; the two corpus totals ride along
-    as broadcast 1-row aggregates — the fact stream is joined only
-    against broadcast sides.
+    bigram stream (shared with ``bigram_logprob_score``). The unigram
+    joins are deliberately UNHINTED: at web scale the whitespace
+    vocabulary is 1e8-1e9 distinct strings (URLs, numbers, typos) — a
+    forced broadcast would OOM every executor — while the probe side is
+    already post-aggregate (surviving bigrams), so a shuffled hash join
+    is corpus-independent; AQE still picks broadcast when the vocab is
+    genuinely small. Only the two 1-row totals are broadcast.
     """
-    from flink_cookbook_spark.pipeline._cache import memo_persist
-
-    def build_exploded() -> DataFrame:
-        docs = load(spark, sf_dir, "documents")
-        bi = (
-            docs.select("doc_id", F.split("text", " ").alias("ts"))
-            .select(
-                "doc_id",
-                F.expr(
-                    "transform(sequence(1, size(ts) - 1),"
-                    " i -> concat_ws(' ', ts[i - 1], ts[i]))"
-                ).alias("bigrams"),
-            )
-            .where(F.size("bigrams") >= 1)
-        )
-        return bi.select("doc_id", F.explode("bigrams").alias("bigram"))
-
-    exploded = memo_persist(spark, "bigram_tokens", sf_dir, build_exploded)
+    exploded = _bigram_exploded(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     uni = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
@@ -844,11 +848,13 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         / ((F.col("c_w1") / F.col("n_uni")) * (F.col("c_w2") / F.col("n_uni")))
     )
     return (
-        bc.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        bc.join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(n_uni))
         .crossJoin(F.broadcast(n_bi))
-        .select("w1", "w2", "c_bigram", rnd(pmi, 4).alias("pmi"))
+        # + 0.0 normalizes IEEE negative zero (DuckDB round() preserves
+        # the sign of zero; Spark's doesn't — hash-relevant)
+        .select("w1", "w2", "c_bigram", (rnd(pmi, 4) + F.lit(0.0)).alias("pmi"))
     )
 
 
@@ -882,7 +888,7 @@ bc AS (
 )
 SELECT b.w1, b.w2, b.c_bigram,
        round(ln((b.c_bigram * 1.0 / t.n_bi)
-                / ((u1.c_uni * 1.0 / t.n_uni) * (u2.c_uni * 1.0 / t.n_uni))) + 1e-6, 4) AS pmi
+                / ((u1.c_uni * 1.0 / t.n_uni) * (u2.c_uni * 1.0 / t.n_uni))) + 1e-6, 4) + 0.0 AS pmi
 FROM bc b
 JOIN uni u1 ON b.w1 = u1.tok
 JOIN uni u2 ON b.w2 = u2.tok
@@ -925,8 +931,8 @@ register(
     oracle=rf"""
 SELECT lang,
        count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_words,
-       sum(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS total_bpe_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+       CAST(sum(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT) AS total_bpe_tokens,
        round(sum(len(regexp_extract_all(text, '{_BPE_SQL}'))) * 1.0
              / sum(len(string_split(text, ' '))) + 1e-6, 4) AS fertility
 FROM documents
@@ -961,24 +967,7 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are a second tiny aggregate; the cumulative window runs over
     n_docs/bucket rows, never over the corpus.
     """
-    from flink_cookbook_spark.pipeline._cache import memo_persist
-
-    def build_exploded() -> DataFrame:
-        docs = load(spark, sf_dir, "documents")
-        bi = (
-            docs.select("doc_id", F.split("text", " ").alias("ts"))
-            .select(
-                "doc_id",
-                F.expr(
-                    "transform(sequence(1, size(ts) - 1),"
-                    " i -> concat_ws(' ', ts[i - 1], ts[i]))"
-                ).alias("bigrams"),
-            )
-            .where(F.size("bigrams") >= 1)
-        )
-        return bi.select("doc_id", F.explode("bigrams").alias("bigram"))
-
-    exploded = memo_persist(spark, "bigram_tokens", sf_dir, build_exploded)
+    exploded = _bigram_exploded(spark, sf_dir)
     bucket = lambda c: F.floor(F.col(c) / VOCAB_BUCKET_DOCS).cast("long")  # noqa: E731
     firsts = exploded.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
     new_types = firsts.groupBy(bucket("first_doc").alias("bucket")).agg(

@@ -13,7 +13,19 @@ from __future__ import annotations
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
+
+
+def _signbit(col: pd.Series) -> pd.Series:
+    return np.signbit(col.fillna(1.0).to_numpy(dtype="float64"))
+
+
+def _is_date_col(col: pd.Series) -> bool:
+    import datetime
+
+    vals = col.dropna()
+    return len(vals) > 0 and isinstance(vals.iloc[0], (datetime.date, datetime.datetime))
 
 from flink_cookbook_spark.catalog import TABLES
 
@@ -41,6 +53,22 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+#: pandas dtypes the driver's type-sensitive hash treats as equal.
+#: Everything else differing (int64 vs float64 — the DuckDB HUGEINT trap)
+#: is a real driver hash-fail even when values match.
+_DTYPE_EQUIV = {
+    "int32": "int64",  # width-only; the driver hashes python ints
+    "int8": "int64",
+    "int16": "int64",
+    "uint64": "int64",
+    "float32": "float64",
+}
+
+
+def _canon_dtype(dt: str) -> str:
+    return _DTYPE_EQUIV.get(dt, dt)
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     problems: list[str] = []
@@ -48,6 +76,34 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str) -> li
     want = con.execute(sql).fetchdf()
     if sorted(got.columns) != sorted(want.columns):
         problems.append(f"{name}: columns differ spark={sorted(got.columns)} oracle={sorted(want.columns)}")
+        return problems
+    # driver-hash replica: a numeric column whose KIND differs between the
+    # engines (int vs float — e.g. a DuckDB HUGEINT sum fetched as float64
+    # against Spark's BIGINT) flips the driver's type-sensitive value hash
+    # even when every value matches. Catch it here so it can't reach CI.
+    for c in got.columns:
+        g, w = _canon_dtype(str(got[c].dtype)), _canon_dtype(str(want[c].dtype))
+        if g == "object" and w.startswith("datetime64") and _is_date_col(got[c]):
+            continue  # Spark DATE fetches as object-of-date; driver-equal
+        if g != w and not (g == w == "object"):
+            problems.append(
+                f"{name}.{c}: dtype kind differs spark={got[c].dtype} "
+                f"oracle={want[c].dtype} (driver hash is type-sensitive; "
+                f"CAST the oracle — HUGEINT sums need CAST(... AS BIGINT))"
+            )
+    # -0.0 vs 0.0 also flips the driver hash (DuckDB round() preserves the
+    # sign of zero, Spark's doesn't); _normalize erases it for sorting, so
+    # count signed zeros per side first.
+    for c in got.columns:
+        if str(got[c].dtype).startswith("float") and str(want[c].dtype).startswith("float"):
+            gz = int(((got[c] == 0) & _signbit(got[c])).sum())
+            wz = int(((want[c] == 0) & _signbit(want[c])).sum())
+            if gz != wz:
+                problems.append(
+                    f"{name}.{c}: negative-zero count differs spark={gz} "
+                    f"oracle={wz} (normalize with + 0.0 after round on both sides)"
+                )
+    if problems:
         return problems
     if len(got) != len(want):
         problems.append(f"{name}: row count spark={len(got)} oracle={len(want)}")

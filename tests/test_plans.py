@@ -467,3 +467,103 @@ def test_zorder_profile_bounded_exchanges(spark, sf_dir):
 
     df = zorder_layout_profile(spark, sf_dir)
     assert count_exchanges(df) <= 4
+
+
+def _broadcast_hint_subtrees(df):
+    """Extract the analyzed-plan subtree lines under each
+    ``ResolvedHint (strategy=broadcast)`` node (indentation-based)."""
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+
+    def indent(s):
+        i = 0
+        while i < len(s) and s[i] in ": +-":
+            i += 1
+        return i
+
+    subtrees = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint (strategy=broadcast)" not in ln:
+            continue
+        d = indent(ln)
+        sub = []
+        for nxt in lines[i + 1:]:
+            if indent(nxt) <= d:
+                break
+            sub.append(nxt)
+        subtrees.append(sub)
+    return subtrees
+
+
+#: fact/corpus tables whose cardinality scales with the data volume — a
+#: grouped aggregate keyed on a column OF one of these (vocab counts,
+#: per-part counts) is unbounded and must never be force-broadcast.
+_FACT_TABLES = ("documents", "events", "lineitem", "orders", "embeddings")
+
+#: queries whose grouped-aggregate broadcast key domain is bounded BY
+#: CONSTRUCTION — each entry must carry its justification; anything not
+#: listed that force-broadcasts a grouped fact aggregate fails the test.
+_BOUNDED_BY_CONSTRUCTION = {
+    # sketch cells: depth x width is a compile-time constant
+    "count_min_heavy_hitters",
+    # key domain = event_type x hour-of-day (x24), data-independent
+    "hourly_seasonal_profile",
+    # key domain = event_type (enum-small), percentile cutpoints only
+    "winsorized_stats",
+    # benchmark gram set drawn from doc_id < DECON_MAX_DOC_ID — a fixed-
+    # size slice, bounded regardless of corpus growth
+    "benchmark_decontamination",
+    "decontamination_spans",
+    "training_data_manifest",
+}
+
+
+def _hint_is_bounded(sub):
+    """A forced broadcast side is scale-safe unless it contains a GROUPED
+    aggregate (or Deduplicate) over a fact-table scan: its key domain
+    (vocabulary, part keys, ...) then grows with the data and the hint
+    bypasses Spark's size check. Global (1-row) aggregates, limits,
+    samples, and filtered dim scans stay safe."""
+    import re
+
+    grouped = any(
+        re.search(r"Aggregate \[[^\]]*\], \[", ln) or "Deduplicate [" in ln
+        for ln in sub
+    )
+    if not grouped:
+        return True
+    return not any(
+        any(f"{t}.parquet" in ln for t in _FACT_TABLES) for ln in sub
+    )
+
+
+def test_no_forced_broadcast_of_unbounded_aggregate(spark, sf_dir):
+    """Round-5 verdict ask #3: a forced ``F.broadcast`` whose side is a
+    corpus-derived grouped aggregate (vocabulary counts, per-part counts)
+    OOMs executors at 100 TB — the hint bypasses Spark's size check. Scan
+    every registered query whose source calls F.broadcast and assert each
+    hinted subtree is bounded (1-row agg, limit/sample, dim scan, or a
+    justified bounded-key-domain aggregate). `collocation_pmi`,
+    `part_affinity`, `bigram_logprob_score`, `tf_idf` and `q17` carried
+    this defect through round 5; this pins the fix registry-wide."""
+    import inspect
+
+    import __spark_entry__  # noqa: F401
+
+    from flink_cookbook_spark.registry import all_specs
+
+    offenders = []
+    for name, spec in sorted(all_specs().items()):
+        if name in _BOUNDED_BY_CONSTRUCTION:
+            continue
+        try:
+            src = inspect.getsource(spec.fn)
+        except (OSError, TypeError):
+            continue
+        if "F.broadcast(" not in src:
+            continue
+        df = spec.fn(spark, sf_dir)
+        for sub in _broadcast_hint_subtrees(df):
+            if not _hint_is_bounded(sub):
+                offenders.append(f"{name}: forced broadcast of unbounded side:\n  "
+                                 + "\n  ".join(ln.strip()[:120] for ln in sub[:6]))
+    assert not offenders, "\n".join(offenders)

@@ -317,3 +317,32 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         )
         mism = (got["bval_asof"].fillna(-1) != want["bval"].fillna(-1)).sum()
         assert mism == 0, f"{direction}: {mism} mismatches"
+
+
+def test_oracle_lint_no_hugeint_outputs(sf_dir):
+    """Registry-level oracle lint (round-5 verdict ask): a DuckDB oracle
+    whose output schema contains HUGEINT flips the driver's
+    type-sensitive value hash (Spark has no 128-bit int — its sums are
+    BIGINT), even when every value matches. This failure class shipped
+    8 hash-fails in round 5 (bare ``sum(CASE ...)`` / ``sum(len(...))``
+    without ``CAST(... AS BIGINT)``); DESCRIBE-ing every oracle makes it
+    unregisterable. Binding only — no oracle is executed."""
+    import __spark_entry__  # noqa: F401 — registers all queries
+
+    from flink_cookbook_spark.registry import all_specs
+    from tests.oracle_harness import duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    offenders = []
+    for name, spec in sorted(all_specs().items()):
+        if spec.oracle is None:
+            continue
+        desc = con.execute("DESCRIBE " + spec.oracle).fetchall()
+        for col, typ, *_ in desc:
+            if "HUGEINT" in typ.upper():
+                offenders.append(f"{name}.{col}: {typ}")
+    con.close()
+    assert not offenders, (
+        "oracles with HUGEINT output columns (wrap count-valued sums in "
+        "CAST(... AS BIGINT)):\n" + "\n".join(offenders)
+    )
