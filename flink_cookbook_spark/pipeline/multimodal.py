@@ -5,12 +5,15 @@ plus a metadata struct; decode / feature-extract / resize / frame-sample
 run as Arrow-batched pandas iterators (``mapInPandas``) so each Python
 worker sees whole record batches, never single rows.
 
-The container has no codec libraries, so the decode step is STUBBED: a
-clearly-marked deterministic fake (byte statistics standing in for pixel
-statistics) behind ``decode_stub``; the real decoder raises
-``NotImplementedError``. Everything Spark-side — schema, partitioning,
-UDF signature, Arrow batch shape — is real and tested
-(tests/test_pipeline.py).
+The container has no codec libraries, so decode is two-tier: BMP
+payloads (a codec-free public format) go through ``decode_real``, a
+vendored pure-Python BITMAPFILEHEADER/BITMAPINFOHEADER parser that
+handles bottom-up row order and 4-byte row padding; every other format
+falls back to ``decode_stub``, a clearly-marked deterministic fake
+(byte statistics standing in for pixel statistics) — PIL/ffmpeg-class
+codecs still raise ``NotImplementedError``. Everything Spark-side —
+schema, partitioning, UDF signature, Arrow batch shape — is real and
+tested (tests/test_pipeline.py).
 
 The fixture has no binary table, so ``documents.text`` is encoded to
 UTF-8 bytes as the stand-in payload; a production table would read
@@ -87,13 +90,83 @@ FEATURE_SCHEMA = (
 )
 
 
+#: BMP fixture geometry: every BMP_EVERY-th doc carries a real BMP
+#: payload; pixel value at logical (x, y) is PIXEL(doc_id, x, y) below.
+BMP_EVERY = 8
+BMP_W, BMP_H = 4, 4
+
+
+def bmp_pixel(doc_id: int, x: int, y: int) -> int:
+    """Deterministic grayscale fixture pixel (asymmetric in x/y so a
+    decoder that forgets BMP's bottom-up row order fails the oracle)."""
+    return (doc_id * 7 + x * 13 + y * 31) % 256
+
+
+def encode_bmp(width: int, height: int, pixels: list[list[int]]) -> bytes:
+    """Minimal 24-bpp uncompressed BMP writer (public format:
+    BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows padded to 4
+    bytes; all three channels carry the grayscale value). Pure Python —
+    no codec libraries."""
+    import struct
+
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    pixel_bytes = (row_raw + pad) * height
+    offset = 14 + 40
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", offset + pixel_bytes, 0, 0, offset)
+    out += struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       pixel_bytes, 2835, 2835, 0, 0)
+    for y in range(height - 1, -1, -1):  # bottom-up
+        for x in range(width):
+            v = pixels[y][x]
+            out += bytes((v, v, v))  # B, G, R
+        out += b"\x00" * pad
+    return bytes(out)
+
+
 def decode_real(payload: bytes) -> dict:
-    """The real codec path — requires image/audio libraries not present
-    in this container."""
-    raise NotImplementedError(
-        "codec libraries (PIL/ffmpeg/soundfile) are not installed; "
-        "use decode_stub for the deterministic fake"
-    )
+    """REAL decode for the codec-free BMP path: parses the public BMP
+    format (magic, pixel-data offset, BITMAPINFOHEADER dims/bpp/
+    compression, bottom-up padded rows) in pure Python and emits pixel
+    statistics — rows stand in for video frames. Non-BMP payloads still
+    raise: real image/audio codecs (PIL/ffmpeg/soundfile) are not
+    installed in this container."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError(
+            "not a BMP payload; codec libraries (PIL/ffmpeg/soundfile) are "
+            "not installed — use decode_stub for the deterministic fake"
+        )
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) // 4 * 4
+    if len(payload) < offset + row_stride * height:
+        raise ValueError("truncated BMP pixel data")
+    rows = []
+    for r in range(height):
+        base = offset + r * row_stride
+        # blue channel only — the fixture writes equal B=G=R
+        rows.append([payload[base + 3 * x] for x in range(width)])
+    if bottom_up:
+        rows.reverse()  # stored bottom-up -> logical top-down
+    flat = [v for row in rows for v in row]
+    mean = sum(flat) / len(flat)
+    return {
+        "n_bytes": len(payload),
+        "mean_byte": mean,
+        "max_byte": max(flat),
+        "n_frames": height,  # rows as frames
+        "feature": [mean / 255.0, max(flat) / 255.0, rows[0][0] / 255.0,
+                    height / 64.0],
+    }
 
 
 def decode_stub(payload: bytes) -> dict:
@@ -117,25 +190,52 @@ def decode_stub(payload: bytes) -> dict:
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: Arrow batch in -> decoded feature batch out."""
+    """mapInPandas worker: Arrow batch in -> decoded feature batch out.
+    Content sniffing routes each payload: BMP magic -> the REAL decoder
+    (vendored pure-Python parser), anything else -> the byte-stats stub
+    (codec libraries absent)."""
     for pdf in batches:
-        decoded = [decode_stub(p) for p in pdf["payload"]]
+        decoded = [
+            decode_real(p) if p[:2] == b"BM" else decode_stub(p)
+            for p in pdf["payload"]
+        ]
         out = pd.DataFrame(decoded)
         out.insert(0, "doc_id", pdf["doc_id"].values)
         yield out
+
+
+def _payload_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fixture payload synthesis: every BMP_EVERY-th doc carries a real
+    deterministic BMP image (pixels = bmp_pixel(doc_id, x, y)); the rest
+    carry the UTF-8 text bytes. In production this stage IS the parquet
+    binary column — here it manufactures one deterministically so the
+    decode path has real image bytes to parse."""
+    for pdf in batches:
+        payloads = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if doc_id % BMP_EVERY == 0:
+                px = [[bmp_pixel(int(doc_id), x, y) for x in range(BMP_W)]
+                      for y in range(BMP_H)]
+                payloads.append(encode_bmp(BMP_W, BMP_H, px))
+            else:
+                payloads.append(text.encode("utf-8"))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
 def multimodal_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas
     (Arrow-batched) — the internal form, keeping ``feature`` as
     ``array<double>`` for downstream vector consumers (similarity search,
-    training pipelines)."""
+    training pipelines). BMP payloads go through the real vendored
+    decoder; opaque payloads through the stub."""
     docs = load(spark, sf_dir, "documents")
-    payload = with_payload(docs).select("doc_id", "payload")
     # spread decode work evenly regardless of upstream file layout
-    return payload.repartition(F.col("doc_id")).mapInPandas(
-        _extract_batches, schema=FEATURE_SCHEMA
+    payload = (
+        docs.select("doc_id", "text")
+        .repartition(F.col("doc_id"))
+        .mapInPandas(_payload_batches, schema="doc_id long, payload binary")
     )
+    return payload.mapInPandas(_extract_batches, schema=FEATURE_SCHEMA)
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,15 +259,34 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: total BMP file size for the fixture geometry (header + padded rows).
+_BMP_NBYTES = 54 + ((BMP_W * 3 + 3) // 4 * 4) * BMP_H
+
 register(
     "multimodal_features",
-    oracle="""
--- The decode stub is deterministic byte math (mean/max/first byte,
--- 64-byte 'frames'), so DuckDB can recompute it exactly: the corpus is
--- ASCII (verified), so unicode(char) == byte value and the integer sum
--- followed by one double division matches Python's sum(payload)/n
--- bit-for-bit.
-WITH b AS (
+    oracle=f"""
+-- Two branches mirroring the worker's content sniffing. BMP rows
+-- (doc_id % {BMP_EVERY} = 0): the REAL decoder's pixel statistics,
+-- recomputable because the fixture pixel is the pure function
+-- (doc_id*7 + x*13 + y*31) % 256 over a {BMP_W}x{BMP_H} grid. Stub rows:
+-- deterministic byte math over the ASCII corpus (unicode(char) == byte),
+-- integer sum then one double division == Python's sum(payload)/n.
+WITH bmp AS (
+  SELECT doc_id,
+         [(doc_id*7 + (i % {BMP_W})*13 + (i // {BMP_W})*31) % 256
+          for i in range(0, {BMP_W * BMP_H})] AS px
+  FROM documents WHERE doc_id % {BMP_EVERY} = 0
+),
+b AS (
+  SELECT doc_id,
+         {_BMP_NBYTES} AS nb,
+         CAST(list_sum(px) AS DOUBLE) / {BMP_W * BMP_H} AS mb,
+         list_max(px) AS xb,
+         px[1] AS fb,
+         {BMP_H} AS nf,
+         CAST({BMP_H} AS DOUBLE) / 64.0 AS f3raw
+  FROM bmp
+  UNION ALL
   SELECT doc_id,
          octet_length(encode(text)) AS nb,
          CAST(list_sum([unicode(substring(text, i, 1))
@@ -176,9 +295,11 @@ WITH b AS (
          list_max([unicode(substring(text, i, 1))
                    for i in range(1, length(text)+1)]) AS xb,
          unicode(substring(text, 1, 1)) AS fb,
-         (octet_length(encode(text)) - 1) // 64 + 1 AS nf
+         (octet_length(encode(text)) - 1) // 64 + 1 AS nf,
+         CAST((octet_length(encode(text)) - 1) // 64 + 1 AS DOUBLE) / 64.0
+           AS f3raw
   FROM documents
-  WHERE length(text) > 0
+  WHERE length(text) > 0 AND doc_id % {BMP_EVERY} <> 0
 )
 SELECT doc_id,
        CAST(nb AS INTEGER) AS n_bytes,
@@ -188,7 +309,7 @@ SELECT doc_id,
        round(mb / 255.0 + 0.000001, 6) AS f0,
        round(xb / 255.0 + 0.000001, 6) AS f1,
        round(fb / 255.0 + 0.000001, 6) AS f2,
-       round(nf / 64.0 + 0.000001, 6) AS f3
+       round(f3raw + 0.000001, 6) AS f3
 FROM b
 """,
     tags=("multimodal", "llm-pipeline"),

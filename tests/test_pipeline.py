@@ -41,32 +41,64 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
         assert r.exact_orders == exact[r.l_returnflag], r
 
 
-def test_multimodal_decode_stub_matches_python(spark, sf_dir):
+def test_multimodal_decode_matches_python(spark, sf_dir):
     """The Arrow-batched decode must equal plain-Python decode of the same
-    payload bytes — verifies the mapInPandas plumbing end-to-end."""
+    payload bytes — verifies the mapInPandas plumbing end-to-end, BOTH
+    branches: BMP docs (doc_id % BMP_EVERY == 0) through the real
+    vendored parser, the rest through the byte-stats stub."""
     from flink_cookbook_spark.catalog import load
-    from flink_cookbook_spark.pipeline.multimodal import decode_stub, multimodal_features_df
+    from flink_cookbook_spark.pipeline.multimodal import (
+        BMP_EVERY, BMP_H, BMP_W, bmp_pixel, decode_real, decode_stub,
+        encode_bmp, multimodal_features_df,
+    )
 
     docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").limit(50).collect()}
     feats = {r.doc_id: r for r in multimodal_features_df(spark, sf_dir).collect()}
-    checked = 0
+    checked_bmp = checked_stub = 0
     for doc_id, text in docs.items():
-        want = decode_stub(text.encode("utf-8"))
+        if doc_id % BMP_EVERY == 0:
+            px = [[bmp_pixel(doc_id, x, y) for x in range(BMP_W)] for y in range(BMP_H)]
+            want = decode_real(encode_bmp(BMP_W, BMP_H, px))
+            checked_bmp += 1
+        else:
+            want = decode_stub(text.encode("utf-8"))
+            checked_stub += 1
         got = feats[doc_id]
         assert got.n_bytes == want["n_bytes"]
         assert got.max_byte == want["max_byte"]
         assert got.n_frames == want["n_frames"]
         assert abs(got.mean_byte - want["mean_byte"]) < 1e-9
         assert all(abs(a - b) < 1e-9 for a, b in zip(got.feature, want["feature"]))
-        checked += 1
-    assert checked == 50
+    assert checked_bmp > 0 and checked_stub > 0
+    assert checked_bmp + checked_stub == 50
 
 
-def test_multimodal_real_decoder_is_stubbed():
-    from flink_cookbook_spark.pipeline.multimodal import decode_real
+def test_bmp_roundtrip_recovers_pixels():
+    """encode_bmp -> decode_real must recover the logical top-down pixel
+    grid exactly, including the bottom-up row flip and 4-byte row padding
+    (width=5 -> 15-byte raw rows padded to 16)."""
+    from flink_cookbook_spark.pipeline.multimodal import decode_real, encode_bmp
+
+    for w, h in [(4, 4), (5, 3), (1, 1), (7, 2)]:
+        px = [[(x * 53 + y * 17) % 256 for x in range(w)] for y in range(h)]
+        out = decode_real(encode_bmp(w, h, px))
+        flat = [v for row in px for v in row]
+        assert out["n_frames"] == h
+        assert out["max_byte"] == max(flat)
+        assert abs(out["mean_byte"] - sum(flat) / len(flat)) < 1e-12
+        # f2 = logical top-left pixel: fails if the decoder forgets that
+        # BMP stores rows bottom-up
+        assert abs(out["feature"][2] - px[0][0] / 255.0) < 1e-12
+
+
+def test_bmp_decoder_rejects_bad_payloads():
+    from flink_cookbook_spark.pipeline.multimodal import decode_real, encode_bmp
 
     with pytest.raises(NotImplementedError):
-        decode_real(b"payload")
+        decode_real(b"payload")  # non-BMP -> codec libs absent
+    good = encode_bmp(4, 4, [[0] * 4 for _ in range(4)])
+    with pytest.raises(ValueError):
+        decode_real(good[:60])  # truncated pixel data
 
 
 def test_lsh_buckets_group_similar_vectors(spark, sf_dir):
