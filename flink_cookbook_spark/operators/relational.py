@@ -1287,15 +1287,14 @@ WITH build AS (
   WHERE n_name = '{BLOOM_NATION}'
 ),
 bits AS (
+  -- position terms generated from range(BLOOM_HASHES) like the Spark
+  -- side, so changing BLOOM_HASHES can never desynchronize the two
   SELECT list(DISTINCT p ORDER BY p) AS bitset FROM (
-    SELECT {_BLOOM_POS_SQL('b0', 's_suppkey')} AS p FROM build
-    UNION ALL
-    SELECT {_BLOOM_POS_SQL('b1', 's_suppkey')} FROM build)
+    {" UNION ALL ".join(f"SELECT {_BLOOM_POS_SQL(f'b{i}', 's_suppkey')} AS p FROM build" for i in range(BLOOM_HASHES))})
 ),
 probe AS (
   SELECT l_returnflag,
-         list_contains(bits.bitset, {_BLOOM_POS_SQL('b0', 'l_suppkey')})
-           AND list_contains(bits.bitset, {_BLOOM_POS_SQL('b1', 'l_suppkey')}) AS bloom_pass,
+         {" AND ".join(f"list_contains(bits.bitset, {_BLOOM_POS_SQL(f'b{i}', 'l_suppkey')})" for i in range(BLOOM_HASHES))} AS bloom_pass,
          l_suppkey IN (SELECT s_suppkey FROM build) AS true_match
   FROM lineitem CROSS JOIN bits
 )

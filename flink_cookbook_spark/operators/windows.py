@@ -423,19 +423,28 @@ GROUP BY cohort_day, activity_day
 # --------------------------------------------------------------------------
 
 
+#: fixed price-band width (in cents) for the two-phase skyline — value-
+#: based range partitioning, data-independent, no sampling pass needed.
+PARETO_BAND_CENTS = 1000
+
+
 def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline over ``part``: the Pareto frontier of (minimize
     p_retailprice, maximize p_size) — parts not dominated by any
     strictly cheaper part of equal-or-larger size.
 
     The classic skyline query, computed WITHOUT the naive all-pairs
-    anti-join: sort by price and keep a row iff its size exceeds the
-    running max size over all strictly cheaper rows. Strictness is
-    expressed as a RANGE frame ending 1 cent before the current price
-    (price is exact in cents), so equal-priced rows never dominate each
-    other. Cost is one sort + one window pass, O(n log n); at 100 TB
-    the order-by becomes a range-partitioned sort and the running max
-    carries one scalar per partition boundary — no join at any scale.
+    anti-join AND without a single-partition global window (an
+    unpartitioned ``Window.orderBy`` moves the whole table to one task):
+    two-phase running max. Phase 1 hash-partitions rows into fixed-width
+    price bands and takes the in-band running max over strictly cheaper
+    rows (RANGE frame ending 1 cent early, so equal-priced rows never
+    dominate each other) — fully parallel. Phase 2 computes each band's
+    max size (one tiny combinable aggregate, #bands rows), prefix-maxes
+    it over earlier bands (window over #bands rows only), and broadcasts
+    the result back; a row's dominating size is then
+    greatest(in-band, earlier-bands). One keyed exchange over the data,
+    never a global sort — the same answer at any scale.
     """
     part = load(spark, sf_dir, "part")
     p = part.select(
@@ -444,14 +453,22 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         "p_retailprice",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    ).withColumn("band", F.floor(F.col("cents") / PARETO_BAND_CENTS))
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
-    w = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
-    m = p.select("*", F.max("p_size").over(w).alias("best_cheaper_size"))
+    local = p.select("*", F.max("p_size").over(w_in).alias("in_band_best"))
+    band_max = p.groupBy("band").agg(F.max("p_size").alias("band_best"))
+    w_pre = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = band_max.select(
+        "band", F.max("band_best").over(w_pre).alias("earlier_best")
+    )
+    best = F.greatest("in_band_best", "earlier_best")  # null-skipping
     return (
-        m.where(
-            F.col("best_cheaper_size").isNull()
-            | (F.col("p_size") > F.col("best_cheaper_size"))
-        )
+        local.join(F.broadcast(prefix), "band")
+        .where(best.isNull() | (F.col("p_size") > best))
         .select(
             "p_partkey",
             "p_name",

@@ -308,9 +308,10 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     emb = _emb_double(load(spark, sf_dir, "embeddings")).select("vec_id", "emb")
     n = emb.count()
     mod = max(1, n // MAX_TRAIN_VECTORS)
-    # md5-PRF sample, not F.hash: the engine-portable coin lets the IVF
-    # oracle reproduce the exact training set (and therefore the exact
-    # centroids) in DuckDB — see _ivf_oracle.
+    # md5-PRF sample, not F.hash: an engine-portable coin, so an external
+    # checker (or a future DuckDB oracle — none registered yet; ivf_topk
+    # is deliberately rows-only + recall-pytested) CAN reproduce the
+    # exact training set. F.hash is Spark-private murmur3 and could not.
     coin = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("ivfsample:"), F.col("vec_id").cast("string"))),

@@ -436,16 +436,22 @@ def test_sorted_neighborhood_no_cartesian_single_exchange(spark, sf_dir):
     assert count_exchanges(df) <= 2
 
 
-def test_pareto_frontier_no_join(spark, sf_dir):
-    """The skyline is computed by one sort + running max — the naive
-    dominance anti-join (all-pairs) must never appear."""
+def test_pareto_frontier_two_phase(spark, sf_dir):
+    """The skyline is two-phase: per-price-band running max (the
+    full-table window MUST be hash-partitioned on band, never a
+    single-partition global sort) + a broadcast join of the tiny
+    prefix-of-band-maxima table. The naive dominance anti-join
+    (all-pairs/cartesian) must never appear."""
     from flink_cookbook_spark.operators.windows import pareto_frontier
     from flink_cookbook_spark.plans.explain import formatted_plan
 
     df = pareto_frontier(spark, sf_dir)
     plan = formatted_plan(df)
-    assert "Join" not in plan, plan
     assert not has_cartesian(df)
+    assert has_broadcast_join(df)  # prefix maxima ship broadcast
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the data-sized window is partitioned by band
+    assert "hashpartitioning(band" in plan, plan
 
 
 def test_temporal_join_is_sweep_not_range_join(spark, sf_dir):

@@ -157,12 +157,16 @@ def test_rotation_staleness_is_bounded():
     (pending assumed empty — worst case for staleness). With the
     least-recently-proved-first key, no green query's latest record may
     age past ceil(N / WINDOW) + 1 rounds — the bound md5-only rotation
-    could not give."""
+    could not give. N is the LIVE registry size (round-5 verdict ask:
+    the bound must track registry growth, not a stale snapshot — at 189
+    queries and a 40-slot window the proven-set re-proof gap bound is
+    ceil(189/40) + 1 = 6 rounds)."""
     import math
 
-    from flink_cookbook_spark.registry import proven_sort_key
+    from flink_cookbook_spark.registry import all_specs, proven_sort_key
 
-    n_queries, window, sim_rounds = 146, 40, 60
+    n_queries, window, sim_rounds = len(all_specs()), 40, 60
+    assert n_queries >= 189  # live size, not a snapshot
     names = [f"q{i:03d}" for i in range(n_queries)]
     # adversarial start: everything proven in round 1
     last_round = {n: 1 for n in names}
