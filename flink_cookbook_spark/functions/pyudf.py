@@ -127,3 +127,97 @@ GROUP BY user_id
 """,
     tags=("udf", "udaf", "pandas", "python"),
 )(pandas_udaf_geomean)
+
+
+def cogroup_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` — the remaining Arrow-batched pandas
+    surface (after scalar/UDAF/UDTF/mapInPandas/applyInPandasWithState):
+    ``df.groupby(k).cogroup(other.groupby(k)).applyInPandas(merge)``.
+    Each purchase event is enriched with the user's latest prior view
+    (backward as-of) via ``pandas.merge_asof`` per user — the pandas-
+    native expression of the engine's J1 as-of machinery, useful when
+    the per-key merge logic outgrows what a window expression can say.
+
+    Scale shape: ONE hash exchange per side (both co-partition on
+    user_id, same as the built-in as-of join), then Arrow hands each
+    key's two frames to one Python worker — per-key state is the key's
+    own rows, never the corpus. The hash-green result is cross-checked
+    against DuckDB's native ASOF JOIN.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", sec.alias("t"), "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", sec.alias("vt"), F.col("value").alias("view_value")
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values(["t", "event_id"]).reset_index(drop=True)
+        right = (
+            right.sort_values(["vt", "view_value"])
+            # ties on vt: keep the LAST (max view_value) like MAX_BY
+            .drop_duplicates(subset=["vt"], keep="last")
+            .reset_index(drop=True)
+        )
+        if right.empty:
+            out = left.copy()
+            out["view_t"] = pd.array([None] * len(left), dtype="Int64")
+            out["view_value"] = float("nan")
+            return out[["user_id", "event_id", "t", "value", "view_t", "view_value"]]
+        merged = pd.merge_asof(
+            left,
+            right.rename(columns={"vt": "view_t"})[["view_t", "view_value"]],
+            left_on="t",
+            right_on="view_t",
+            direction="backward",
+            allow_exact_matches=False,  # strictly BEFORE the purchase
+        )
+        merged["view_t"] = merged["view_t"].astype("Int64")
+        return merged[["user_id", "event_id", "t", "value", "view_t", "view_value"]]
+
+    out_schema = (
+        "user_id long, event_id long, t long, value double, "
+        "view_t long, view_value double"
+    )
+    enriched = (
+        purchases.groupby("user_id")
+        .cogroup(views.groupby("user_id"))
+        .applyInPandas(merge, schema=out_schema)
+    )
+    return enriched.select(
+        "user_id",
+        "event_id",
+        "t",
+        rnd("value", 4).alias("value"),
+        "view_t",
+        rnd("view_value", 4).alias("view_value"),
+    )
+
+
+register(
+    "cogroup_asof_enrich",
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  -- dedupe exact-tie view timestamps keeping max value (MAX_BY), the
+  -- same rule the pandas merge applies before the as-of
+  SELECT user_id, vt, max(view_value) AS view_value FROM (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS vt,
+           value AS view_value
+    FROM events WHERE event_type = 'view'
+  ) GROUP BY user_id, vt
+)
+SELECT p.user_id, p.event_id, p.t,
+       round(p.value + 1e-6, 4) AS value,
+       v.vt AS view_t,
+       round(v.view_value + 1e-6, 4) AS view_value
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND p.t > v.vt
+""",
+    tags=("pyudf", "cogroup", "asof", "arrow"),
+)(cogroup_asof_enrich)

@@ -393,3 +393,59 @@ GROUP BY key
 """,
     tags=("json", "profiling", "schema"),
 )(json_keys_profile)
+
+
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe (``try_``) function family: the null-on-error
+    arithmetic/cast surface a pipeline needs once ANSI mode is on
+    (Spark 4 default) — a bad row yields NULL instead of killing a
+    100 TB job. Exercised: try_divide (div-by-zero), try_cast (malformed
+    string -> numeric), try_element_at (out-of-bounds), plus the
+    aggregate null-accounting a data-quality report would run.
+
+    Zero-shuffle map + one combinable aggregate; DuckDB twin uses
+    TRY_CAST / NULLIF / guarded list indexing (same semantics by
+    construction).
+    """
+    ev = load(spark, sf_dir, "events")
+    row = ev.select(
+        "event_type",
+        "value",
+        F.expr("try_divide(value, cast(event_id % 3 as double))").alias("div3"),
+        F.expr("try_cast(event_type AS DOUBLE)").alias("bad_num"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS INT)").alias("k_int"),
+        F.expr("try_element_at(split(event_type, '_'), 5)").alias("oob"),
+    )
+    return row.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("div3").isNull().cast("long")).alias("n_div_null"),
+        rnd(F.sum("div3"), 4).alias("sum_div3"),
+        F.sum(F.col("bad_num").isNull().cast("long")).alias("n_bad_num"),
+        F.sum("k_int").alias("sum_k"),
+        F.sum(F.col("oob").isNull().cast("long")).alias("n_oob_null"),
+    )
+
+
+register(
+    "try_funcs",
+    oracle="""
+WITH row_vals AS (
+  SELECT event_type, value,
+         value / nullif(CAST(event_id % 3 AS DOUBLE), 0.0) AS div3,
+         TRY_CAST(event_type AS DOUBLE) AS bad_num,
+         TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+         string_split(event_type, '_')[5] AS oob
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN div3 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+       round(sum(div3) + 1e-6, 4) AS sum_div3,
+       CAST(sum(CASE WHEN bad_num IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_num,
+       CAST(sum(k_int) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN oob IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oob_null
+FROM row_vals
+GROUP BY event_type
+""",
+    tags=("functions", "ansi", "try"),
+)(try_funcs)

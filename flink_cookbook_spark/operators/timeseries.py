@@ -1483,3 +1483,195 @@ FROM shared GROUP BY event_type
 """,
     tags=("timeseries", "attribution", "multi-touch"),
 )(multi_touch_attribution)
+
+
+# --------------------------------------------------------------------------
+# robust outlier detection: median / MAD control limits
+# --------------------------------------------------------------------------
+
+#: standard consistency constant: MAD * 1.4826 estimates sigma for
+#: normal data; 3 of those is the robust analogue of the 3-sigma rule.
+MAD_SIGMA_K = 3.0 * 1.4826
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier screen: median + MAD (median
+    absolute deviation) control limits instead of mean/stddev — the
+    robust twin of the reference's z-score flags (A2,
+    flinkarima.py:200-215): one wild spike inflates a stddev threshold
+    and masks later spikes; the median/MAD limits don't move.
+
+    Per event type: median, MAD, the implied robust sigma
+    (1.4826 * MAD), and how many observations fall outside
+    median +/- 3 robust sigmas.
+
+    Scale shape: two exact-percentile aggregates over the same keyed
+    exchange (event_type cardinality is enum-small, so per-key exact
+    median is a bounded sort — at open-ended key domains swap
+    percentile_approx), then one combinable conditional count; the
+    per-type limits join back UNHINTED (post-aggregate, enum-small —
+    AQE broadcasts).
+    """
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"),  # constant within the group
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+        F.count("*").alias("n_events"),
+    )
+    flagged = (
+        dev.drop("med")
+        .join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med_"),
+            F.max("mad").alias("mad_"),
+            F.max("n_events").alias("n_events"),
+            F.sum((F.col("adev") > MAD_SIGMA_K * F.col("mad")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+    )
+    return flagged.select(
+        "event_type",
+        "n_events",
+        rnd("med_", 4).alias("median_value"),
+        rnd("mad_", 4).alias("mad"),
+        rnd(F.col("med_") - MAD_SIGMA_K * F.col("mad_"), 4).alias("lo_limit"),
+        rnd(F.col("med_") + MAD_SIGMA_K * F.col("mad_"), 4).alias("hi_limit"),
+        "n_outliers",
+    )
+
+
+register(
+    "mad_outliers",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, max(med) AS med, median(adev) AS mad,
+         count(*) AS n_events
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(max(m.n_events) AS BIGINT) AS n_events,
+       round(max(m.med) + 1e-6, 4) AS median_value,
+       round(max(m.mad) + 1e-6, 4) AS mad,
+       round(max(m.med) - {MAD_SIGMA_K} * max(m.mad) + 1e-6, 4) AS lo_limit,
+       round(max(m.med) + {MAD_SIGMA_K} * max(m.mad) + 1e-6, 4) AS hi_limit,
+       CAST(sum(CASE WHEN d.adev > {MAD_SIGMA_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
+    tags=("timeseries", "outliers", "robust"),
+)(mad_outliers)
+
+
+# --------------------------------------------------------------------------
+# Holt double-exponential (level + trend) smoothing per key
+# --------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.5  # level smoothing
+HOLT_BETA = 0.3  # trend smoothing
+
+
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over each event
+    type's hourly mean-value series: level + trend state folded across
+    the ordered series, one-step forecast = level + trend. The
+    trend-aware sibling of the engine's EWMA machinery (A5 fallback) —
+    EWMA alone lags a drifting series by a constant offset; Holt's
+    trend term closes exactly that gap.
+
+    Recurrence (init l=x0, b=0):
+      l_t = a*x_t + (1-a)*(l_{{t-1}} + b_{{t-1}})
+      b_t = B*(l_t - l_{{t-1}}) + (1-B)*b_{{t-1}}
+
+    Scale shape: one combinable hash aggregate to (event_type, hour)
+    means; the per-key series is collected bounded (hours-per-key, the
+    same bounded-state contract as the reference's history buffer A3)
+    and folded by a codegen'd ``aggregate`` expression with a struct
+    accumulator. The DuckDB twin replays the identical left-fold with a
+    RECURSIVE CTE — deliberately NOT ``list_reduce``: DuckDB 1.0.0's
+    struct-accumulator list_reduce updates fields IN PLACE sequentially
+    (the 'b' expression observes the freshly computed 'l'), silently
+    corrupting any coupled recurrence.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    hourly = (
+        ev.select("event_type", (F.floor(sec / 3600) * 3600).alias("h"), "value")
+        .groupBy("event_type", "h")
+        .agg(F.avg("value").alias("v"))
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "v"))).alias("sv")
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    fold = (
+        "aggregate(slice(vals, 2, size(vals) - 1), "
+        "named_struct('l', element_at(vals, 1), 'b', 0.0D), "
+        f"(acc, x) -> named_struct("
+        f"'l', {a}D * x + {1 - a}D * (acc.l + acc.b), "
+        f"'b', {b}D * (({a}D * x + {1 - a}D * (acc.l + acc.b)) - acc.l) "
+        f"+ {1 - b}D * acc.b))"
+    )
+    return (
+        series.withColumn("vals", F.expr("transform(sv, s -> s.v)"))
+        .withColumn("st", F.expr(fold))
+        .select(
+            "event_type",
+            F.size("vals").alias("n_points"),
+            rnd(F.col("st.l"), 4).alias("level"),
+            rnd(F.col("st.b"), 4).alias("trend"),
+            rnd(F.col("st.l") + F.col("st.b"), 4).alias("forecast_next"),
+        )
+    )
+
+
+register(
+    "holt_linear_forecast",
+    oracle=f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS h,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type, list(v ORDER BY h) AS vals
+  FROM hourly GROUP BY event_type
+),
+-- left-fold as a recursive CTE (NOT list_reduce: DuckDB 1.0.0 updates
+-- struct-accumulator fields in place, corrupting coupled recurrences)
+steps AS (
+  SELECT event_type, vals, 1 AS i,
+         CAST(vals[1] AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM series
+  UNION ALL
+  SELECT event_type, vals, i + 1,
+         {HOLT_ALPHA} * vals[i + 1] + {1 - HOLT_ALPHA} * (l + b),
+         {HOLT_BETA} * (({HOLT_ALPHA} * vals[i + 1] + {1 - HOLT_ALPHA} * (l + b)) - l)
+           + {1 - HOLT_BETA} * b
+  FROM steps WHERE i < len(vals)
+)
+SELECT event_type,
+       CAST(len(vals) AS INTEGER) AS n_points,
+       round(l + 1e-6, 4) AS level,
+       round(b + 1e-6, 4) AS trend,
+       round(l + b + 1e-6, 4) AS forecast_next
+FROM steps WHERE i = len(vals)
+""",
+    tags=("timeseries", "forecast", "holt"),
+)(holt_linear_forecast)

@@ -1537,3 +1537,102 @@ FROM batch b
 """,
     tags=("dedup", "llm-pipeline", "incremental"),
 )(incremental_dedup_new_batch)
+
+
+# --------------------------------------------------------------------------
+# paragraph-level (segment) duplicate filter — the MassiveText recipe
+# --------------------------------------------------------------------------
+
+#: tokens per paragraph segment (fixture docs are single-line token
+#: streams, so 'paragraph' = disjoint PARA_TOKENS-token window).
+PARA_TOKENS = 20
+#: docs whose duplicated-segment share exceeds this are dropped.
+PARA_DUP_SHARE = 0.5
+
+
+def duplicate_paragraph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level duplicate filtering (the MassiveText / Gopher
+    quality rule "fraction of text in duplicated paragraphs"): split
+    each document into disjoint PARA_TOKENS-token segments, hash each,
+    count how many DISTINCT documents contain each segment corpus-wide,
+    and per document report total segments, segments that also appear in
+    at least one other document, their share, and the keep/drop verdict
+    (share > PARA_DUP_SHARE). Catches template pages and mirrored
+    articles that whole-document fingerprints miss.
+
+    Scale shape: segment fan-out is a zero-shuffle map (array slice, no
+    per-token explode before hashing); the corpus segment-frequency
+    table is one map-side-combinable hash aggregate (approx_count-
+    distinct-able at extreme scale); the count join back to the per-doc
+    segment stream is an UNHINTED equi-join on the segment hash —
+    segment vocabulary grows with the corpus, so it must never be
+    force-broadcast (AQE broadcasts when small). Final per-doc rollup is
+    combinable. Reference scope: engine-level dedup family
+    (/root/reference has no LLM-pipeline ops; SURVEY.md north-star set).
+    """
+    docs = load(spark, sf_dir, "documents")
+    segs = (
+        docs.select("doc_id", F.split("text", " ").alias("ts"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, int(floor((size(ts) - 1) / {PARA_TOKENS}))),"
+                    f" i -> md5(concat_ws(' ', slice(ts, i * {PARA_TOKENS} + 1, {PARA_TOKENS}))))"
+                )
+            ).alias("seg_hash"),
+        )
+    )
+    seg_docs = segs.distinct()  # a segment repeated WITHIN a doc counts once
+    freq = seg_docs.groupBy("seg_hash").agg(F.count("*").alias("n_docs_with"))
+    per_doc = (
+        segs.join(freq, "seg_hash")  # unhinted: segment vocab scales with corpus
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum((F.col("n_docs_with") >= 2).cast("long")).alias("n_dup_segments"),
+        )
+    )
+    share = F.col("n_dup_segments") / F.col("n_segments")
+    return per_doc.select(
+        "doc_id",
+        "n_segments",
+        "n_dup_segments",
+        rnd(share, 4).alias("dup_share"),
+        F.when(share > PARA_DUP_SHARE, F.lit("drop")).otherwise(F.lit("keep")).alias("verdict"),
+    )
+
+
+register(
+    "duplicate_paragraph_filter",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+s AS (SELECT doc_id, ts,
+             unnest(range(0, len(ts), {PARA_TOKENS})) AS start
+      FROM t),
+segs AS (
+  SELECT doc_id,
+         md5(array_to_string(ts[start + 1 : start + {PARA_TOKENS}], ' ')) AS seg_hash
+  FROM s
+),
+freq AS (
+  SELECT seg_hash, count(*) AS n_docs_with
+  FROM (SELECT DISTINCT doc_id, seg_hash FROM segs)
+  GROUP BY seg_hash
+),
+per_doc AS (
+  SELECT s.doc_id,
+         count(*) AS n_segments,
+         CAST(sum(CASE WHEN f.n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_segments
+  FROM segs s JOIN freq f USING (seg_hash)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_segments, n_dup_segments,
+       round(n_dup_segments * 1.0 / n_segments + 1e-6, 4) AS dup_share,
+       CASE WHEN n_dup_segments * 1.0 / n_segments > {PARA_DUP_SHARE}
+            THEN 'drop' ELSE 'keep' END AS verdict
+FROM per_doc
+""",
+    tags=("dedup", "llm-pipeline", "paragraph", "massivetext", "bench"),
+)(duplicate_paragraph_filter)

@@ -11,7 +11,9 @@ token — at corpus scale that is the dominant shuffle, so everything
 that can stay per-document (quality score, fingerprint, token counts via
 array functions) does, and only frequency/TF-IDF computations explode.
 The explode -> groupBy pattern is map-side combinable; df (document
-frequency) joins are broadcast (vocabulary is small relative to corpus).
+frequency) and other vocabulary-cardinality joins are UNHINTED — the
+whitespace vocabulary of web text is 1e8-1e9 distinct strings, so a
+forced broadcast would OOM at scale; AQE broadcasts when genuinely small.
 """
 
 from __future__ import annotations
@@ -1018,3 +1020,112 @@ WINDOW w AS (ORDER BY c.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
     tags=("text", "llm-pipeline", "vocabulary"),
 )(vocab_growth)
+
+
+# --------------------------------------------------------------------------
+# within-document repetition signals (Gopher/MassiveText "rep" rules)
+# --------------------------------------------------------------------------
+
+
+def repeated_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document n-gram repetition signals — the Gopher quality
+    rules "fraction of duplicate n-grams" and "fraction covered by the
+    most frequent n-gram": per document, the duplicate-bigram and
+    duplicate-trigram fractions (1 - distinct/total) plus the share of
+    bigram slots taken by the doc's single most repeated bigram.
+    Template spam and keyword-stuffed pages spike all three while
+    per-token stats look normal.
+
+    Scale shape: trigram dup-frac stays entirely array-side
+    (array_distinct in codegen — zero shuffle for that signal); the
+    bigram signals ride the shared memoized bigram stream through ONE
+    combinable two-level aggregate (doc x bigram counts -> per-doc
+    max/sum) — no window, no join, no Python.
+    """
+    exploded = _bigram_exploded(spark, sf_dir)
+    bi_stats = (
+        exploded.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count("*").alias("n_distinct_bigrams"),
+            F.max("c").alias("top_bigram_count"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents")
+    tri = (
+        docs.select("doc_id", F.split("text", " ").alias("ts"))
+        .where(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(ts) - 2), "
+                "i -> concat(ts[i - 1], ' ', ts[i], ' ', ts[i + 1]))"
+            ).alias("tg"),
+        )
+        .select(
+            "doc_id",
+            F.size("tg").alias("n_trigrams"),
+            F.size(F.array_distinct("tg")).alias("n_distinct_trigrams"),
+        )
+    )
+    return bi_stats.join(tri, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        rnd(F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 4).alias(
+            "dup_bigram_frac"
+        ),
+        rnd(
+            F.lit(1.0) - F.col("n_distinct_trigrams") / F.col("n_trigrams"), 4
+        ).alias("dup_trigram_frac"),
+        rnd(F.col("top_bigram_count") / F.col("n_bigrams"), 4).alias(
+            "top_bigram_share"
+        ),
+    )
+
+
+register(
+    "repeated_ngram_ratio",
+    oracle="""
+WITH bi AS (
+  SELECT doc_id,
+         list_transform(range(1, len(string_split(text, ' '))),
+                        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])
+           AS bigrams
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+bc AS (
+  SELECT doc_id, bigram, count(*) AS c
+  FROM (SELECT doc_id, unnest(bigrams) AS bigram FROM bi)
+  GROUP BY doc_id, bigram
+),
+bi_stats AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_bigrams,
+         count(*) AS n_distinct_bigrams,
+         max(c) AS top_bigram_count
+  FROM bc GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id,
+         len(tg) AS n_trigrams,
+         len(list_distinct(tg)) AS n_distinct_trigrams
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, len(string_split(text, ' ')) - 1),
+                          i -> string_split(text, ' ')[i] || ' ' ||
+                               string_split(text, ' ')[i + 1] || ' ' ||
+                               string_split(text, ' ')[i + 2]) AS tg
+    FROM documents WHERE len(string_split(text, ' ')) >= 3
+  )
+)
+SELECT b.doc_id,
+       b.n_bigrams,
+       round(1.0 - b.n_distinct_bigrams * 1.0 / b.n_bigrams + 1e-6, 4) AS dup_bigram_frac,
+       round(1.0 - t.n_distinct_trigrams * 1.0 / t.n_trigrams + 1e-6, 4) AS dup_trigram_frac,
+       round(b.top_bigram_count * 1.0 / b.n_bigrams + 1e-6, 4) AS top_bigram_share
+FROM bi_stats b JOIN tri t USING (doc_id)
+""",
+    tags=("text", "llm-pipeline", "quality", "repetition"),
+)(repeated_ngram_ratio)

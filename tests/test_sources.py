@@ -233,3 +233,38 @@ def test_python_datasource_zero_rows_is_empty(spark):
     from flink_cookbook_spark.sources.pydatasource import NodeMetricsGridReader
 
     assert NodeMetricsGridReader({"n_rows": 0}).partitions() == []
+
+
+def test_observation_metrics_surface(spark, sf_dir):
+    """Engine surface: ``df.observe(Observation, ...)`` — accumulator-
+    style metrics collected DURING an action with no extra scan (the
+    row-count/validity counters a 100 TB ingest job attaches to its
+    write). The observed aggregates must equal a separate aggregation
+    of the same data."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from flink_cookbook_spark.catalog import load
+
+    ev = load(spark, sf_dir, "events")
+    obs = Observation("ingest_stats")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    n_written = observed.where(F.col("value") >= 0).count()  # the 'job'
+    got = obs.get
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ).collect()[0]
+    assert got["n_rows"] == want.n_rows
+    assert got["n_null_value"] == want.n_null_value
+    assert got["min_value"] == want.min_value
+    assert got["max_value"] == want.max_value
+    assert n_written <= got["n_rows"]
