@@ -1306,3 +1306,39 @@ FROM probe GROUP BY l_returnflag
 """,
     tags=("join", "runtime-filter", "bloom", "bench"),
 )(bloom_prefilter_join)
+
+
+def parameterized_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (``spark.sql(query, args={...})``) — the
+    injection-safe templating surface for productionized queries: the
+    priority band and price floor arrive as BOUND PARAMETERS (typed
+    literals in the plan), never string-concatenated. Catalyst constant-
+    folds them exactly like inline literals, so pushdown/pruning are
+    unaffected. The oracle inlines the same values.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_fcs_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice) + 1e-6, 2) AS sum_price
+        FROM _fcs_param_orders
+        WHERE o_orderpriority <= :prio AND o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"prio": "3-MEDIUM", "floor": 1000.0},
+    )
+
+
+register(
+    "parameterized_sql_query",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice) + 1e-6, 2) AS sum_price
+FROM orders
+WHERE o_orderpriority <= '3-MEDIUM' AND o_totalprice >= 1000.0
+GROUP BY o_orderpriority
+""",
+    tags=("sql", "parameterized", "surface"),
+)(parameterized_sql_query)

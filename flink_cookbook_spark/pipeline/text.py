@@ -1129,3 +1129,60 @@ FROM bi_stats b JOIN tri t USING (doc_id)
 """,
     tags=("text", "llm-pipeline", "quality", "repetition"),
 )(repeated_ngram_ratio)
+
+
+# --------------------------------------------------------------------------
+# tokenizer-training prep: BPE first-merge candidates
+# --------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 32
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge candidates: corpus-wide frequencies of
+    adjacent CHARACTER pairs inside tokens — exactly the statistic the
+    first iteration of BPE tokenizer training maximizes (the most
+    frequent pair becomes the first merge rule). Top BPE_TOP_PAIRS
+    pairs, count-desc, pair-asc tie-break. The character-level
+    counterpart of ``collocation_pmi`` (word-level) and the feeder for
+    ``bpe_token_count``'s tokenizer.
+
+    Scale shape: pair extraction is a zero-join map (token explode +
+    array-side substring transform); counting is one map-side-combinable
+    hash aggregate over a bounded key domain (alphabet², not corpus);
+    the top-k is a TakeOrderedAndProject over that tiny aggregate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+register(
+    "bpe_merge_candidates",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(tok)), i -> substring(tok, i, 2))) AS pair
+  FROM toks WHERE length(tok) >= 2
+)
+SELECT pair, count(*) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT {BPE_TOP_PAIRS}
+""",
+    tags=("text", "llm-pipeline", "tokenizer", "bpe"),
+)(bpe_merge_candidates)

@@ -487,3 +487,63 @@ FROM zed GROUP BY z_bucket
 """,
     tags=("file-format", "layout", "zorder", "pruning"),
 )(zorder_layout_profile)
+
+
+def text_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented ``text`` source round-trip: serialize documents to
+    one delimited line each, write with the text writer, scan back as
+    raw ``value`` lines, and re-parse — the whole-line reader used for
+    raw corpora (WET/plain-text dumps) before any schema exists. The
+    aggregate re-derives per-source counts, total text bytes, and a
+    portable md5-based line checksum, so a hash match certifies the
+    text writer/reader pair byte-for-byte; the oracle rebuilds the same
+    lines from parquet directly.
+
+    Scale shape: text scan is splittable by line; parse is zero-shuffle
+    codegen (split_part), one combinable aggregate after.
+    """
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        # '|' never appears in the fixture text (token vocab is [a-z ])
+        return docs.select(
+            F.concat_ws(
+                "|", F.col("doc_id").cast("string"), "source", "text"
+            ).alias("value")
+        )
+
+    back = _materialized(spark, sf_dir, "documents_text", "text", build)
+    # modular hash-sum: raw 60-bit hash sums overflow BIGINT under ANSI
+    line_hash = (
+        F.conv(F.substring(F.md5("value"), 1, 15), 16, 10).cast("long")
+        % 1_000_000_007
+    )
+    parsed = back.select(
+        F.split_part("value", F.lit("|"), F.lit(2)).alias("source"),
+        F.length(F.split_part("value", F.lit("|"), F.lit(3))).alias("text_len"),
+        line_hash.alias("lh"),
+    )
+    return parsed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("text_len").alias("total_text_chars"),
+        F.sum("lh").alias("line_checksum"),
+    )
+
+
+register(
+    "text_scan_roundtrip",
+    oracle="""
+WITH lines AS (
+  SELECT source,
+         CAST(doc_id AS VARCHAR) || '|' || source || '|' || text AS line,
+         length(text) AS text_len
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(text_len) AS BIGINT) AS total_text_chars,
+       CAST(sum(CAST('0x' || substr(md5(line), 1, 15) AS BIGINT) % 1000000007) AS BIGINT)
+         AS line_checksum
+FROM lines GROUP BY source
+""",
+    tags=("file-format", "text", "source"),
+)(text_scan_roundtrip)

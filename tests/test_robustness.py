@@ -350,3 +350,65 @@ def test_oracle_lint_no_hugeint_outputs(sf_dir):
         "oracles with HUGEINT output columns (wrap count-valued sums in "
         "CAST(... AS BIGINT)):\n" + "\n".join(offenders)
     )
+
+
+def test_holt_fold_matches_python_reference(spark):
+    """The codegen'd struct-accumulator Holt fold must equal a plain
+    Python implementation of the recurrence on random series (seeded),
+    including 1- and 2-element edge cases."""
+    import random
+
+    from flink_cookbook_spark.operators.timeseries import HOLT_ALPHA, HOLT_BETA
+
+    a, b = HOLT_ALPHA, HOLT_BETA
+    rng = random.Random(31)
+    cases = [[rng.uniform(-50, 150) for _ in range(n)] for n in (1, 2, 3, 10, 57)]
+
+    def py_holt(vals):
+        l, t = vals[0], 0.0
+        for x in vals[1:]:
+            nl = a * x + (1 - a) * (l + t)
+            t = b * (nl - l) + (1 - b) * t
+            l = nl
+        return l, t
+
+    fold = (
+        "aggregate(slice(vals, 2, size(vals) - 1), "
+        "named_struct('l', element_at(vals, 1), 'b', 0.0D), "
+        f"(acc, x) -> named_struct("
+        f"'l', {a}D * x + {1 - a}D * (acc.l + acc.b), "
+        f"'b', {b}D * (({a}D * x + {1 - a}D * (acc.l + acc.b)) - acc.l) "
+        f"+ {1 - b}D * acc.b))"
+    )
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(cases)], "i int, vals array<double>")
+    got = {r.i: (r.st.l, r.st.b) for r in df.selectExpr("i", f"{fold} AS st").collect()}
+    for i, vals in enumerate(cases):
+        wl, wt = py_holt(vals)
+        assert got[i][0] == pytest.approx(wl, abs=1e-9), f"case {i} level"
+        assert got[i][1] == pytest.approx(wt, abs=1e-9), f"case {i} trend"
+
+
+def test_mad_outliers_matches_numpy(spark, sf_dir):
+    """mad_outliers' per-type median/MAD/outlier counts equal a direct
+    numpy computation over the same fixture rows."""
+    import numpy as np
+
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.operators.timeseries import MAD_SIGMA_K, mad_outliers
+
+    rows = load(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    got = {r.event_type: r for r in mad_outliers(spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    for et, vals in by_type.items():
+        v = np.array(vals)
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        n_out = int((np.abs(v - med) > MAD_SIGMA_K * mad).sum())
+        g = got[et]
+        assert g.n_events == len(vals)
+        assert g.median_value == pytest.approx(med, abs=1e-3)
+        assert g.mad == pytest.approx(mad, abs=1e-3)
+        assert g.n_outliers == n_out, et
