@@ -1342,3 +1342,95 @@ GROUP BY o_orderpriority
 """,
     tags=("sql", "parameterized", "surface"),
 )(parameterized_sql_query)
+
+
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bitmap partials — the
+    precise sibling of ``hll_mergeable_rollup``: hourly (event_type,
+    bitmap-bucket) bitmaps of user ids (``bitmap_construct_agg``) OR-
+    merge (``bitmap_or_agg``) into exact per-type daily distinct counts.
+    The pattern materialized views use when approximate is not
+    acceptable: partials combine associatively, so daily = OR of hourly
+    with NO rescan of raw data.
+
+    Scale shape: one combinable aggregate to hourly bitmap partials
+    (state per group = 4 KB bitmap), one tiny merge aggregate over
+    partial rows; user ids bucket at 32768/bitmap so the state is
+    bounded per (key, bucket) regardless of user count.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.floor(sec / 3600) * 3600).alias("h"),
+            (F.floor(sec / 86400) * 86400).alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "day", "h", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    daily = (
+        hourly.groupBy("event_type", "day", "bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("event_type", "day")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("exact_distinct_users"))
+    )
+    return daily.select("event_type", "day", "exact_distinct_users")
+
+
+register(
+    "bitmap_distinct_rollup",
+    oracle="""
+SELECT event_type,
+       (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("aggregation", "bitmap", "mergeable", "distinct"),
+)(bitmap_distinct_rollup)
+
+
+def exact_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete vs continuous percentiles side by side: per event type,
+    p25/p50/p75 as ``percentile_disc`` (an actual observed value — what
+    SLO reporting wants) and ``percentile`` (interpolated — what trend
+    math wants). Both are exact per-key sorts over the same single
+    exchange; at open key domains swap for approx_percentile.
+    """
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_fcs_pd_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               round(percentile_disc(0.25) WITHIN GROUP (ORDER BY value) + 1e-6, 4) AS p25_disc,
+               round(percentile_disc(0.50) WITHIN GROUP (ORDER BY value) + 1e-6, 4) AS p50_disc,
+               round(percentile_disc(0.75) WITHIN GROUP (ORDER BY value) + 1e-6, 4) AS p75_disc,
+               round(percentile(value, 0.25) + 1e-6, 4) AS p25_cont,
+               round(percentile(value, 0.50) + 1e-6, 4) AS p50_cont,
+               round(percentile(value, 0.75) + 1e-6, 4) AS p75_cont
+        FROM _fcs_pd_events
+        GROUP BY event_type
+        """
+    )
+
+
+register(
+    "exact_percentile_disc",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_disc(value, 0.25) + 1e-6, 4) AS p25_disc,
+       round(quantile_disc(value, 0.50) + 1e-6, 4) AS p50_disc,
+       round(quantile_disc(value, 0.75) + 1e-6, 4) AS p75_disc,
+       round(quantile_cont(value, 0.25) + 1e-6, 4) AS p25_cont,
+       round(quantile_cont(value, 0.50) + 1e-6, 4) AS p50_cont,
+       round(quantile_cont(value, 0.75) + 1e-6, 4) AS p75_cont
+FROM events
+GROUP BY event_type
+""",
+    tags=("aggregation", "percentile", "exact"),
+)(exact_percentile_disc)

@@ -154,3 +154,80 @@ FROM t
 """,
     tags=("skew", "profiling", "diagnostics"),
 )(hot_key_profile)
+
+
+def two_stage_skew_agg(spark, sf_dir: str) -> DataFrame:
+    """Two-stage (salted) aggregation for hot grouping keys: stage 1
+    aggregates on (key, salt) so a hot key's rows spread over SALTS
+    reducers; stage 2 merges the SALTS partials per key. For algebraic
+    aggregates (count/sum/min/max — avg via sum/count) the result is
+    IDENTICAL to the direct groupBy; what changes is that no single
+    reducer ever sees a whole hot key. The aggregation-side counterpart
+    of ``salted_join`` (joins get AQE skew splitting; a skewed
+    ``groupBy`` does not — partial aggregation usually saves it, but
+    not for high-cardinality-state aggregates like collect/distinct,
+    which is when this shape becomes mandatory).
+
+    The salt is a deterministic md5 coin (engine-portable), so the
+    oracle can reproduce stage 1 exactly — the registered output is the
+    stage-2 result, which also equals the plain single-stage oracle by
+    algebra; the DuckDB twin computes BOTH and joins them, so a hash
+    match proves the equivalence, not just the final numbers.
+    """
+    salts = 8
+    ev = load(spark, sf_dir, "events")
+    salt = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % salts
+    )
+    stage1 = (
+        ev.select("event_type", "value", salt.alias("salt"))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    stage2 = stage1.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_salt_partials"),
+        rnd(F.sum("s") / F.sum("c"), 4).alias("avg_value"),
+        rnd(F.min("mn"), 4).alias("min_value"),
+        rnd(F.max("mx"), 4).alias("max_value"),
+    )
+    return stage2
+
+
+register(
+    "two_stage_skew_agg",
+    oracle="""
+WITH staged AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 8
+           AS salt,
+         count(*) AS c, sum(value) AS s, min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY 1, 2
+),
+two_stage AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         count(*) AS n_salt_partials,
+         round(sum(s) / sum(c) + 1e-6, 4) AS avg_value,
+         round(min(mn) + 1e-6, 4) AS min_value,
+         round(max(mx) + 1e-6, 4) AS max_value
+  FROM staged GROUP BY event_type
+),
+direct AS (
+  SELECT event_type, count(*) AS n_events
+  FROM events GROUP BY event_type
+)
+-- joining on BOTH columns proves two-stage == single-stage, row by row
+SELECT t.event_type, t.n_events, t.n_salt_partials,
+       t.avg_value, t.min_value, t.max_value
+FROM two_stage t JOIN direct d
+  ON t.event_type = d.event_type AND t.n_events = d.n_events
+""",
+    tags=("skew", "aggregation", "salting"),
+)(two_stage_skew_agg)

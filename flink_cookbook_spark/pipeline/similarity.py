@@ -790,3 +790,94 @@ WHERE list_dot_product(a.v, b.v)
 """,
     tags=("similarity", "llm-pipeline", "near-dup", "semdedup", "kmeans"),
 )(semantic_cluster_dups)
+
+
+# --------------------------------------------------------------------------
+# near-dup threshold calibration curve
+# --------------------------------------------------------------------------
+
+#: cosine thresholds swept by the calibration curve.
+SIM_CURVE_THRESHOLDS = (0.70, 0.80, 0.90, 0.95, 0.99)
+#: deterministic md5-coin sample modulus: calibration runs on a sample,
+#: never on all corpus pairs (all-pairs is quadratic — fixture-scale
+#: only; at 100 TB the SAME query runs on the capped sample).
+SIM_CURVE_MOD = 2
+
+
+def similarity_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup THRESHOLD CALIBRATION: before committing to a
+    SemDeDup/near-dup cosine cutoff, sweep candidate thresholds over a
+    deterministic sample and report how many pairs (and what share)
+    each would merge — the elbow of this curve is where operators set
+    the production threshold.
+
+    Scale shape: the sample is an engine-portable md5-coin subset (the
+    IVF training-sample pattern, similarity.py:323), so pair count is
+    (n/MOD)²/2 — bounded by the sample, not the corpus; per-pair cosine
+    is the same codegen'd fold the brute-force path uses; the sweep is
+    an explode over a constant 5-element array + one combinable count.
+    """
+    emb = _emb_double(load(spark, sf_dir, "embeddings"))
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("simcurve:"), F.col("vec_id").cast("string"))),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    sample = emb.where(coin % SIM_CURVE_MOD == 0).select("vec_id", "emb")
+    a = sample.select(F.col("vec_id").alias("ida"), F.col("emb").alias("ea"))
+    b = sample.select(F.col("vec_id").alias("idb"), F.col("emb").alias("eb"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("ida") < F.col("idb"))
+        .select(
+            (
+                _dot(F.col("ea"), F.col("eb"))
+                / (_norm(F.col("ea")) * _norm(F.col("eb")))
+            ).alias("cos")
+        )
+    )
+    n_pairs = pairs.count()  # scalar, sample-bounded
+    th = F.explode(
+        F.array(*[F.lit(t) for t in SIM_CURVE_THRESHOLDS])
+    ).alias("threshold")
+    swept = pairs.select("cos", th).where(F.col("cos") >= F.col("threshold"))
+    return (
+        swept.groupBy("threshold")
+        .agg(F.count("*").alias("n_pairs_merged"))
+        .select(
+            rnd("threshold", 2).alias("threshold"),
+            "n_pairs_merged",
+            F.lit(n_pairs).alias("n_sample_pairs"),
+            rnd(F.col("n_pairs_merged") / F.lit(n_pairs), 6).alias("merge_share"),
+        )
+    )
+
+
+register(
+    "similarity_threshold_curve",
+    oracle=f"""
+WITH sample AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE CAST('0x' || substr(md5('simcurve:' || CAST(vec_id AS VARCHAR)), 1, 15)
+             AS BIGINT) % {SIM_CURVE_MOD} = 0
+),
+pairs AS (
+  SELECT list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           AS cos
+  FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+),
+total AS (SELECT count(*) AS n_sample_pairs FROM pairs),
+th AS (SELECT unnest([{", ".join(str(t) for t in SIM_CURVE_THRESHOLDS)}]) AS threshold)
+SELECT round(th.threshold + 1e-6, 2) AS threshold,
+       count(*) AS n_pairs_merged,
+       CAST(max(t.n_sample_pairs) AS BIGINT) AS n_sample_pairs,
+       round(count(*) * 1.0 / max(t.n_sample_pairs) + 1e-6, 6) AS merge_share
+FROM pairs p
+JOIN th ON p.cos >= th.threshold
+CROSS JOIN total t
+GROUP BY th.threshold
+""",
+    tags=("similarity", "llm-pipeline", "calibration"),
+)(similarity_threshold_curve)
