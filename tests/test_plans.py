@@ -573,3 +573,49 @@ def test_no_forced_broadcast_of_unbounded_aggregate(spark, sf_dir):
                 offenders.append(f"{name}: forced broadcast of unbounded side:\n  "
                                  + "\n  ".join(ln.strip()[:120] for ln in sub[:6]))
     assert not offenders, "\n".join(offenders)
+
+
+def test_duplicate_paragraph_filter_shape(spark, sf_dir):
+    """Segment fan-out is map-only before the count aggregate; the
+    segment-frequency join must NOT be a forced broadcast (segment
+    vocabulary scales with the corpus) and must never plan a cartesian."""
+    from flink_cookbook_spark.pipeline.dedup import duplicate_paragraph_filter
+
+    df = duplicate_paragraph_filter(spark, sf_dir)
+    assert not has_cartesian(df)
+    assert not _broadcast_hint_subtrees(df)  # no forced hints at all
+
+
+def test_bitmap_rollup_is_two_level_merge(spark, sf_dir):
+    """Daily exact distincts must re-aggregate the hourly bitmap
+    partials: exchanges stay constant (partial -> merge -> final), and
+    no plan node re-reads raw events for the daily level."""
+    from flink_cookbook_spark.operators.relational import bitmap_distinct_rollup
+
+    df = bitmap_distinct_rollup(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1  # one raw scan feeds both levels
+    assert count_exchanges(df) <= 3
+
+
+def test_holt_single_exchange(spark, sf_dir):
+    """Holt's per-key fold rides ONE keyed exchange beyond the hourly
+    pre-aggregation: hourly partials hash to event_type, the series
+    collect + fold are in-partition."""
+    from flink_cookbook_spark.operators.timeseries import holt_linear_forecast
+
+    df = holt_linear_forecast(spark, sf_dir)
+    assert count_exchanges(df) <= 2
+    assert not has_cartesian(df)
+
+
+def test_two_stage_skew_agg_spreads_hot_keys(spark, sf_dir):
+    """Stage 1 must aggregate on (key, salt) BEFORE any per-key merge:
+    the plan contains two aggregate levels and the first one's grouping
+    includes the salt (no single reducer sees a whole hot key)."""
+    from flink_cookbook_spark.operators.skew import two_stage_skew_agg
+
+    df = two_stage_skew_agg(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "salt" in plan
+    assert plan.count("Aggregate") >= 2
