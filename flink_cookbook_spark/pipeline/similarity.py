@@ -308,10 +308,9 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     emb = _emb_double(load(spark, sf_dir, "embeddings")).select("vec_id", "emb")
     n = emb.count()
     mod = max(1, n // MAX_TRAIN_VECTORS)
-    # md5-PRF sample, not F.hash: an engine-portable coin, so an external
-    # checker (or a future DuckDB oracle — none registered yet; ivf_topk
-    # is deliberately rows-only + recall-pytested) CAN reproduce the
-    # exact training set. F.hash is Spark-private murmur3 and could not.
+    # md5-PRF sample, not F.hash: an engine-portable coin, so the DuckDB
+    # oracle (_ivf_oracle, registered on ivf_topk) reproduces the exact
+    # training set. F.hash is Spark-private murmur3 and could not.
     coin = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("ivfsample:"), F.col("vec_id").cast("string"))),
@@ -364,8 +363,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100 TB shape: centroid assignment is a map-only pass, candidate
     search is an equi-join on cell id — corpus never cross-joins, and
     probing more cells multiplies only the broadcast query side, never
-    the corpus scan. Rows-only check (k-means is iterative, not
-    SQL-expressible); recall vs brute force is pinned in
+    the corpus scan. Hash-checked since round 6 against a full unrolled
+    DuckDB replay (``_ivf_oracle``: sample -> Lloyd -> assignment ->
+    probes -> top-k); recall vs brute force additionally pinned in
     tests/test_pipeline.py."""
     centroids, cells = _ivf_index(spark, sf_dir)
     queries = cells.where(F.col("vec_id") < N_QUERIES).select("vec_id", "emb")  # noqa: E501  (body continues below)
@@ -392,7 +392,103 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("ivf_topk", oracle=None, tags=("similarity", "llm-pipeline", "ivf", "ann", "bench"))(ivf_topk)
+def _ivf_oracle() -> str:
+    """Full IVF replay as unrolled CTEs: the md5-coin training sample
+    (modulus derived in-SQL from the corpus count, exactly like
+    ``_kmeans_centroids``), seeds = first k sample vectors by vec_id,
+    KMEANS_ITERS Lloyd rounds WITH numpy's empty-cluster carry
+    (coalesce keeps the old centroid), full-corpus nearest-centroid
+    assignment, NPROBE probe cells per query, and the within-cell
+    cosine top-k. Upgrades ivf_topk from rows-only+recall-pytest to a
+    value-hash-checked query; cross-engine float drift (numpy pairwise
+    summation vs sequential SQL sums) only matters at exact ties, which
+    the (dist, cid) / (cosine, cand_id) tie-breaks make irrelevant."""
+    dims, k = DIM, N_CENTROIDS
+
+    def assign(i: int, src: str) -> str:
+        return f"""
+d{i} AS (
+  SELECT e.vec_id, e.v, c.cid,
+         list_sum(list_transform(range(1, {dims + 1}),
+                  i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS sqd
+  FROM {src} e CROSS JOIN c{i} c
+),
+a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cid) AS rk
+    FROM d{i})
+  WHERE rk = 1
+)"""
+
+    def update(i: int) -> str:
+        return f"""
+c{i + 1} AS (
+  SELECT c.cid, coalesce(u.c, c.c) AS c
+  FROM c{i} c LEFT JOIN (
+    SELECT cid, list(m ORDER BY i) AS c
+    FROM (SELECT cid, g.i AS i, avg(v[g.i]) AS m
+          FROM a{i} CROSS JOIN generate_series(1, {dims}) AS g(i)
+          GROUP BY cid, g.i)
+    GROUP BY cid
+  ) u ON c.cid = u.cid
+)"""
+
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        f"""s AS (
+  SELECT vec_id, v FROM e
+  WHERE CAST('0x' || substr(md5('ivfsample:' || CAST(vec_id AS VARCHAR)), 1, 15)
+             AS BIGINT)
+        % (SELECT greatest(1, count(*) // {MAX_TRAIN_VECTORS}) FROM e) = 0
+),
+c0 AS (
+  SELECT cid, v AS c FROM (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+    FROM s)
+  WHERE cid < {k}
+)""",
+    ]
+    for i in range(KMEANS_ITERS):
+        parts.append("," + assign(i, "s"))
+        parts.append("," + update(i))
+    fin = KMEANS_ITERS
+    parts.append("," + assign(fin, "e"))  # full-corpus assignment
+    parts.append(f""",
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_sum(list_transform(range(1, {dims + 1}),
+                                       i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))),
+                                       c.cid) AS prk
+    FROM (SELECT vec_id, v FROM a{fin} WHERE vec_id < {N_QUERIES}) q
+    CROSS JOIN c{fin} c)
+  WHERE prk <= {NPROBE}
+),
+scored AS (
+  SELECT p.query_id, cand.vec_id AS cand_id,
+         list_dot_product(q.v, cand.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(cand.v, cand.v)))
+           AS cosine_raw
+  FROM probes p
+  JOIN a{fin} cand ON cand.cid = p.cid AND cand.vec_id != p.query_id
+  JOIN e q ON q.vec_id = p.query_id
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
+       round(cosine_raw + 1e-6, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_raw DESC, cand_id ASC) AS rk
+      FROM scored)
+WHERE rk <= {TOP_K}""")
+    return "\n".join(parts)
+
+
+register(
+    "ivf_topk",
+    oracle=_ivf_oracle(),
+    tags=("similarity", "llm-pipeline", "ivf", "ann", "bench"),
+)(ivf_topk)
 
 
 def embedding_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,7 +933,10 @@ def similarity_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos")
         )
     )
-    n_pairs = pairs.count()  # scalar, sample-bounded
+    # n*(n-1)/2 from ONE scalar count of the sample — not a count of the
+    # quadratic pair set (which would execute the cross join twice)
+    n_sample = sample.count()
+    n_pairs = n_sample * (n_sample - 1) // 2
     th = F.explode(
         F.array(*[F.lit(t) for t in SIM_CURVE_THRESHOLDS])
     ).alias("threshold")
