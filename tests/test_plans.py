@@ -619,3 +619,28 @@ def test_two_stage_skew_agg_spreads_hot_keys(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "salt" in plan
     assert plan.count("Aggregate") >= 2
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """Joining the hive-partitioned layout on its partition key against a
+    filtered build side must inject a dynamicpruning subquery into the
+    fact scan (DPP) — at 100 TB this is what keeps a star-join from
+    scanning every partition when the filter arrives via the dim table."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.sources.formats import _materialized
+
+    back = _materialized(
+        spark, sf_dir, "orders_part", "parquet",
+        lambda: load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        ),
+        partition_by=["o_orderpriority"],
+    )
+    dim = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority").distinct()
+        .where(F.col("o_orderpriority") < "2")
+    )
+    j = back.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
