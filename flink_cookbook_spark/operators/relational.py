@@ -1434,3 +1434,51 @@ GROUP BY event_type
 """,
     tags=("aggregation", "percentile", "exact"),
 )(exact_percentile_disc)
+
+
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``eqNullSafe`` / ``<=>``): the join
+    semantics batch upsert pipelines need when the key itself can be
+    NULL — plain ``=`` silently drops every null-keyed row (NULL = NULL
+    is NULL), ``<=>`` matches them. Keys here are user cohorts with one
+    cohort nulled out (nullif), joined against per-cohort aggregates
+    built the same way; the null cohort must survive with its rows
+    intact. Oracle: ``IS NOT DISTINCT FROM``.
+    """
+    ev = load(spark, sf_dir, "events")
+    cohort = F.nullif(F.col("user_id") % 10, F.lit(7))
+    left = ev.select(cohort.alias("cohort"), "value")
+    dims = (
+        ev.select(cohort.alias("cohort"))
+        .groupBy("cohort")
+        .agg(F.count("*").alias("cohort_size"))
+    )
+    joined = left.join(dims, left.cohort.eqNullSafe(dims.cohort)).select(
+        left.cohort.alias("cohort"), "value", "cohort_size"
+    )
+    return joined.groupBy("cohort").agg(
+        F.count("*").alias("n_rows"),
+        F.max("cohort_size").alias("cohort_size"),
+        rnd(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+register(
+    "null_safe_join",
+    oracle="""
+WITH left_side AS (
+  SELECT nullif(user_id % 10, 7) AS cohort, value FROM events
+),
+dims AS (
+  SELECT nullif(user_id % 10, 7) AS cohort, count(*) AS cohort_size
+  FROM events GROUP BY 1
+)
+SELECT l.cohort,
+       count(*) AS n_rows,
+       CAST(max(d.cohort_size) AS BIGINT) AS cohort_size,
+       round(avg(l.value) + 1e-6, 4) AS avg_value
+FROM left_side l JOIN dims d ON l.cohort IS NOT DISTINCT FROM d.cohort
+GROUP BY l.cohort
+""",
+    tags=("join", "null-safe", "surface"),
+)(null_safe_join)

@@ -743,3 +743,70 @@ GROUP BY doc_id, span_id
 """,
     tags=("text", "llm-pipeline", "decontamination", "spans"),
 )(decontamination_spans)
+
+
+# --------------------------------------------------------------------------
+# corpus snapshot diff (dataset-version audit)
+# --------------------------------------------------------------------------
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: given two corpus snapshots, classify every
+    doc_id as added / removed / changed / unchanged by content hash —
+    the audit a training-data release runs before shipping v(N+1)
+    ("what exactly moved since v(N)?"). Snapshots are carved
+    deterministically from the fixture (v_old drops doc_id % 10 == 0
+    and upper-cases doc_id % 7 == 0 texts to simulate edits; v_new
+    drops doc_id % 13 == 0), so every status class is populated.
+
+    Scale shape: one full-outer equi-join on doc_id (both snapshot
+    scans hash on the key), content comparison on md5 fingerprints
+    computed map-side — never on raw text — and a combinable rollup;
+    at 100 TB this is the canonical two-snapshot reconcile with no
+    skew hazard (doc_id is unique per side).
+    """
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 0, F.upper("text")).otherwise(F.col("text"))
+        ).alias("old_hash"),
+    )
+    new = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id", F.md5("text").alias("new_hash")
+    )
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        old.join(new, "doc_id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+register(
+    "corpus_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS old_hash
+  FROM documents WHERE doc_id % 10 != 0
+),
+new AS (
+  SELECT doc_id, md5(text) AS new_hash FROM documents WHERE doc_id % 13 != 0
+)
+SELECT CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash != new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n_docs
+FROM old FULL OUTER JOIN new USING (doc_id)
+GROUP BY 1
+""",
+    tags=("curation", "llm-pipeline", "versioning", "diff"),
+)(corpus_snapshot_diff)

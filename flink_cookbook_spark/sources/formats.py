@@ -547,3 +547,45 @@ FROM lines GROUP BY source
 """,
     tags=("file-format", "text", "source"),
 )(text_scan_roundtrip)
+
+
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: two generations of the documents feed — the
+    old extract (doc_id, text) and the new one (doc_id, lang, source,
+    n_chars) — combined with ``unionByName(allowMissingColumns=True)``,
+    the API that keeps multi-generation ingestion running while columns
+    come and go (missing columns null-fill per side). Rolled up per
+    column-presence so the oracle (DuckDB ``UNION ALL BY NAME``) checks
+    the fill semantics, not just row counts.
+    """
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    v2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return merged.groupBy(F.coalesce("source", F.lit("<missing>")).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("text").isNotNull().cast("long")).alias("n_with_text"),
+        F.sum(F.col("lang").isNotNull().cast("long")).alias("n_with_lang"),
+        F.sum(F.coalesce("n_chars", F.lit(0))).alias("total_chars"),
+    )
+
+
+register(
+    "union_by_name_evolution",
+    oracle="""
+WITH merged AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+  UNION ALL BY NAME
+  SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 2 = 1
+)
+SELECT coalesce(source, '<missing>') AS source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_text,
+       CAST(sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lang,
+       CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS total_chars
+FROM merged GROUP BY 1
+""",
+    tags=("schema-evolution", "union", "surface"),
+)(union_by_name_evolution)

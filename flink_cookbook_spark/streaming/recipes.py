@@ -219,6 +219,40 @@ def stream_stream_enrichment_join(
     )
 
 
+def stream_stream_left_outer_join(
+    raw: DataFrame,
+    baselines: DataFrame,
+    max_lag: str = "15 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: like the inner variant, but a raw
+    metric with NO baseline inside its lag horizon still emits (null
+    baseline columns) — the shape monitoring needs, where "no baseline
+    yet" is itself a signal. Outer emission is watermark-driven: Spark
+    holds an unmatched left row until the watermark proves no matching
+    right row can still arrive, then releases it with nulls — which is
+    why BOTH watermarks and the time-range bound are mandatory here
+    (without them the unmatched state could never be finalized or
+    evicted)."""
+    r = raw.withWatermark("ts", "10 minutes").alias("r")
+    b = baselines.withWatermark("bts", "10 minutes").alias("b")
+    return r.join(
+        b,
+        F.expr(
+            f"""
+            r.node_id = b.node_id AND
+            b.bts BETWEEN r.ts - INTERVAL {max_lag} AND r.ts
+            """
+        ),
+        "left_outer",
+    ).select(
+        F.col("r.node_id").alias("node_id"),
+        F.col("r.ts").alias("ts"),
+        F.col("r.cpu").alias("cpu"),
+        F.col("b.bts").alias("baseline_ts"),
+        F.col("b.baseline").alias("baseline"),
+    )
+
+
 #: cogrouped state-fold output: one 'state' row per key + 'emit' rows
 _FOLD_SCHEMA = (
     "user_id long, kind string, count long, mean double, m2 double, "

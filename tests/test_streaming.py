@@ -607,3 +607,38 @@ def test_streaming_daily_actives_equals_batch(spark, sf_dir, tmp_path):
         )
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_left_outer_join(spark, events_stream_dir):
+    """LEFT OUTER stream-stream join: keys WITH baselines match exactly
+    the inner-join rows; keys WITHOUT baselines (odd user ids here) are
+    released as null-baseline rows once the watermark closes their
+    horizon — never dropped, never matched."""
+    from flink_cookbook_spark.streaming.recipes import stream_stream_left_outer_join
+
+    raw = _metrics_view(_read_stream(spark, events_stream_dir))
+    baselines = (
+        _read_stream(spark, events_stream_dir)
+        .where(F.col("user_id") % 2 == 0)  # odd keys get NO baseline stream
+        .select(
+            F.col("user_id").cast("string").alias("node_id"),
+            F.col("ts").alias("bts"),
+            (F.col("value") / 2).alias("baseline"),
+        )
+    )
+    joined = stream_stream_left_outer_join(raw, baselines)
+    _run_to_memory(joined, "ss_left_join")
+    rows = spark.sql("SELECT * FROM ss_left_join").collect()
+    matched = [r for r in rows if r.baseline is not None]
+    nulls = [r for r in rows if r.baseline is None]
+    # matched rows only ever carry even keys; null rows only odd keys
+    # (an even-key raw row always has its own baseline twin at lag 0)
+    assert matched and all(int(r.node_id) % 2 == 0 for r in matched)
+    assert nulls and all(int(r.node_id) % 2 == 1 for r in nulls)
+
+    static = spark.read.parquet(events_stream_dir)
+    n_odd_raw = static.where(F.col("user_id") % 2 == 1).count()
+    # outer release is watermark-gated: the un-closed tail may withhold
+    # some null rows, but the bulk must be out
+    assert len(nulls) <= n_odd_raw
+    assert len(nulls) >= int(n_odd_raw * 0.5), (len(nulls), n_odd_raw)
