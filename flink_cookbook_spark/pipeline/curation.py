@@ -810,3 +810,92 @@ GROUP BY 1
 """,
     tags=("curation", "llm-pipeline", "versioning", "diff"),
 )(corpus_snapshot_diff)
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the headline numbers a training-data release
+    publishes — corpus size (docs / whitespace tokens / chars), exact
+    duplicate rate, language & source mix entropy, and mean quality-
+    proxy stats. Composes the engine's per-doc signals into a single
+    combinable pass: one map over documents (all array-side), one
+    global aggregate; the dup rate reuses the exact-fingerprint rule of
+    ``exact_dedup`` via a distinct-count — no joins, 100 TB-safe.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars"),
+        F.size(ts).alias("n_tokens"),
+        (1.0 - F.size(F.array_distinct(ts)).cast("double") / F.size(ts)).alias(
+            "rep_ratio"
+        ),
+        F.md5("text").alias("fp"),
+    )
+    mixes = per_doc.groupBy().agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.countDistinct("fp").alias("n_unique_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        rnd(F.avg("rep_ratio"), 4).alias("mean_rep_ratio"),
+    )
+    src_counts = per_doc.groupBy("source").agg(F.count("*").alias("c"))
+    src_entropy = (
+        src_counts.crossJoin(F.broadcast(src_counts.agg(F.sum("c").alias("n"))))
+        .select((F.col("c") / F.col("n")).alias("p"))
+        .agg(rnd(-F.sum(F.col("p") * F.log2("p")), 4).alias("source_mix_entropy_bits"))
+    )
+    return mixes.crossJoin(F.broadcast(src_entropy)).select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        rnd(F.lit(1.0) - F.col("n_unique_docs") / F.col("n_docs"), 4).alias(
+            "exact_dup_rate"
+        ),
+        "n_langs",
+        "n_sources",
+        "source_mix_entropy_bits",
+        "mean_rep_ratio",
+    )
+
+
+register(
+    "corpus_datacard",
+    oracle="""
+WITH per_doc AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS rep_ratio,
+         md5(text) AS fp
+  FROM documents
+),
+mixes AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         count(DISTINCT fp) AS n_unique_docs,
+         count(DISTINCT lang) AS n_langs,
+         count(DISTINCT source) AS n_sources,
+         round(avg(rep_ratio) + 1e-6, 4) AS mean_rep_ratio
+  FROM per_doc
+),
+src_entropy AS (
+  SELECT round(-sum(p * log2(p)) + 1e-6, 4) AS source_mix_entropy_bits
+  FROM (SELECT count(*) * 1.0 / (SELECT count(*) FROM documents) AS p
+        FROM documents GROUP BY source)
+)
+SELECT n_docs, n_tokens, n_chars,
+       round(1.0 - n_unique_docs * 1.0 / n_docs + 1e-6, 4) AS exact_dup_rate,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       source_mix_entropy_bits,
+       mean_rep_ratio
+FROM mixes CROSS JOIN src_entropy
+""",
+    tags=("curation", "llm-pipeline", "datacard", "profiling"),
+)(corpus_datacard)
