@@ -698,8 +698,10 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lagged.groupBy("user_id").agg(
         F.count("x").alias("n_buckets"),
-        rnd(F.corr("x", "x1"), 4).alias("lag1_acf"),
-        rnd(F.corr("x", "x2"), 4).alias("lag2_acf"),
+        # + 0.0 normalizes IEEE negative zero (DuckDB round() preserves
+        # the sign of zero; hash-relevant — bit at sf0.1)
+        (rnd(F.corr("x", "x1"), 4) + F.lit(0.0)).alias("lag1_acf"),
+        (rnd(F.corr("x", "x2"), 4) + F.lit(0.0)).alias("lag2_acf"),
     )
 
 
@@ -720,8 +722,8 @@ lagged AS (
 )
 SELECT user_id,
        count(x) AS n_buckets,
-       round(corr(x, x1) + 1e-6, 4) AS lag1_acf,
-       round(corr(x, x2) + 1e-6, 4) AS lag2_acf
+       round(corr(x, x1) + 1e-6, 4) + 0.0 AS lag1_acf,
+       round(corr(x, x2) + 1e-6, 4) + 0.0 AS lag2_acf
 FROM lagged
 GROUP BY user_id
 """,

@@ -322,6 +322,8 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     ).cast("long")
     rows = emb.where(coin % mod == 0).collect()
     rows.sort(key=lambda r: r.vec_id)
+    if not rows:  # empty corpus: no centroids, every downstream join empty
+        return []
     X = np.array([r.emb for r in rows], dtype=np.float64)
     k = min(N_CENTROIDS, len(X))
     C = X[:k].copy()

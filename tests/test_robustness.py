@@ -244,6 +244,17 @@ def test_queries_survive_empty_tables(spark, tmp_path):
         "minhash_lsh_pairs",
         "kmeans_embeddings",
         "json_keys_profile",
+        "duplicate_paragraph_filter",
+        "repeated_ngram_ratio",
+        "holt_linear_forecast",
+        "mad_outliers",
+        "similarity_threshold_curve",
+        "bitmap_distinct_rollup",
+        "two_stage_skew_agg",
+        "corpus_snapshot_diff",
+        "bpe_merge_candidates",
+        "cogroup_asof_enrich",
+        "ivf_topk",
     ):
         out = get_query(name).fn(spark, str(tmp_path))
         assert out.count() == 0, name
