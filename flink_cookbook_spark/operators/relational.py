@@ -1482,3 +1482,88 @@ GROUP BY l.cohort
 """,
     tags=("join", "null-safe", "surface"),
 )(null_safe_join)
+
+
+#: KMV sketch size (k smallest normalized hashes kept per key).
+KMV_K = 64
+
+
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, fully deterministic
+    and cross-engine verifiable — unlike HLL, whose register layout is
+    engine-private: hash each user to (0,1) via the portable md5-PRF,
+    keep the K smallest per event type, and estimate distinct count as
+    (K-1)/h_K (the classic KMV estimator). Mergeable by construction
+    (union then re-take K smallest), bounded state (K doubles per key).
+    Output includes the exact count and the relative error, so the
+    sketch's accuracy contract itself is hash-checked.
+
+    Scale shape: one keyed exchange; the K-smallest filter compiles to a
+    rank-limited window (WindowGroupLimit); estimator math runs over
+    K rows per key.
+    """
+    ev = load(spark, sf_dir, "events")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("double")
+        / float(16 ** 15)
+    )
+    hashed = ev.select("event_type", F.col("user_id"), h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    kept = hashed.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= KMV_K)
+    sketch = kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("h_k"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")
+    ).otherwise((F.lit(KMV_K - 1)) / F.col("h_k"))
+    return sketch.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        rnd(est, 2).alias("kmv_estimate"),
+        rnd((est - F.col("exact_distinct")) / F.col("exact_distinct"), 4).alias(
+            "rel_error"
+        ),
+    )
+
+
+register(
+    "kmv_distinct_estimate",
+    oracle=f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, user_id,
+         CAST(CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS DOUBLE) / {float(16 ** 15)} AS h
+  FROM events
+),
+kept AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rk
+    FROM hashed)
+  WHERE rk <= {KMV_K}
+),
+sketch AS (
+  SELECT event_type, count(*) AS n_kept, max(h) AS h_k
+  FROM kept GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT s.event_type, e.exact_distinct,
+       round(CASE WHEN s.n_kept < {KMV_K} THEN s.n_kept * 1.0
+                  ELSE {KMV_K - 1} / s.h_k END + 1e-6, 2) AS kmv_estimate,
+       round((CASE WHEN s.n_kept < {KMV_K} THEN s.n_kept * 1.0
+                   ELSE {KMV_K - 1} / s.h_k END - e.exact_distinct)
+             / e.exact_distinct + 1e-6, 4) AS rel_error
+FROM sketch s JOIN exact e USING (event_type)
+""",
+    tags=("aggregation", "sketch", "kmv", "distinct"),
+)(kmv_distinct_estimate)

@@ -500,3 +500,105 @@ WHERE best_cheaper_size IS NULL OR p_size > best_cheaper_size
 """,
     tags=("window", "skyline", "frontier"),
 )(pareto_frontier)
+
+
+#: per-event-type inactivity gaps (seconds): engaged actions hold the
+#: session open longer than passive ones.
+DYNAMIC_GAPS = {"purchase": 3600, "click": 1800, "view": 900}
+DYNAMIC_GAP_DEFAULT = 600
+
+
+def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: the inactivity timeout depends on the
+    PREVIOUS event's type (a purchase holds the session open for an
+    hour; a passive view only 15 minutes) — the batch twin of Spark's
+    ``session_window(ts, <gap expression>)`` dynamic-gap streaming
+    surface. Same lag + boundary-cumsum island shape as ``sessionize``,
+    with the per-row gap joined into the boundary predicate; one
+    exchange on user_id, both window stages reuse it.
+    """
+    ev = load(spark, sf_dir, "events")
+    ts_sec = epoch_seconds("ts")
+    gap_of = F.coalesce(
+        *[
+            F.when(F.col("prev_type") == k, F.lit(v))
+            for k, v in sorted(DYNAMIC_GAPS.items())
+        ],
+        F.lit(DYNAMIC_GAP_DEFAULT),
+    )
+    w = Window.partitionBy("user_id").orderBy(ts_sec.asc(), F.col("event_id").asc())
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_sec.alias("ts_sec"),
+        F.lag(ts_sec, 1).over(w).alias("prev_ts"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        "value",
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((F.col("ts_sec") - F.col("prev_ts")) > gap_of),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("ts_sec").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    sessions = marked.withColumn("session_no", F.sum("new_session").over(w2))
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_sec").alias("session_start"),
+        F.max("ts_sec").alias("session_end"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        rnd(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+_DYN_GAP_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN prev_type = '{k}' THEN {v}" for k, v in sorted(DYNAMIC_GAPS.items())
+    )
+    + f" ELSE {DYNAMIC_GAP_DEFAULT} END"
+)
+
+register(
+    "sessionize_dynamic_gap",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev_ts,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT) ASC, event_id ASC)
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN prev_ts IS NULL
+                   OR ts_sec - prev_ts > ({_DYN_GAP_SQL})
+              THEN 1 ELSE 0 END AS new_session
+  FROM marked
+),
+sessions AS (
+  SELECT *,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts_sec ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM flagged
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events,
+       min(ts_sec) AS session_start,
+       max(ts_sec) AS session_end,
+       count(DISTINCT event_type) AS n_event_types,
+       round(sum(value) + 1e-6, 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_no
+""",
+    tags=("window", "sessionization", "dynamic-gap"),
+)(sessionize_dynamic_gap)
