@@ -89,8 +89,9 @@ def sliding_window_stream(metrics: DataFrame, watermark: str = "10 minutes") -> 
 
 
 def session_window_stream(metrics: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """Session windows with a dynamic gap — batch twin: sessionize in
-    operators/windows.py."""
+    """Session windows with a fixed inactivity gap — batch twin:
+    sessionize in operators/windows.py. For a per-event gap see
+    ``session_window_stream_dynamic``."""
     return (
         metrics.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", gap).alias("w"), "node_id")
@@ -101,6 +102,33 @@ def session_window_stream(metrics: DataFrame, gap: str = "30 minutes") -> DataFr
             epoch_seconds("w.end").alias("session_end"),
             "n_events",
             "avg_value",
+        )
+    )
+
+
+def session_window_stream_dynamic(metrics: DataFrame) -> DataFrame:
+    """Session windows with a DYNAMIC gap expression: hot nodes
+    (cpu > 80) hold their session open for an hour, quiet ones 15
+    minutes — the ``session_window(ts, <Column>)`` surface whose batch
+    twin is ``sessionize_dynamic_gap`` (operators/windows.py). The gap
+    is evaluated per event, so state lifetime adapts to the data while
+    the watermark still bounds it."""
+    gap = F.when(F.col("cpu") > 80, F.lit("60 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    return (
+        metrics.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "node_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("cpu").alias("max_cpu"),
+        )
+        .select(
+            "node_id",
+            epoch_seconds("w.start").alias("session_start"),
+            epoch_seconds("w.end").alias("session_end"),
+            "n_events",
+            "max_cpu",
         )
     )
 

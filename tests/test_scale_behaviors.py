@@ -212,3 +212,48 @@ def test_cusum_drift_constant_user_null_parity(spark, tmp_path):
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
     problems = compare(out, con, get_query("cusum_drift").oracle, "cusum_drift")
     assert not problems, problems
+
+
+def test_two_stage_skew_agg_matches_direct_under_skew(spark, tmp_path):
+    """two_stage_skew_agg on an 80/20 hot-key fixture must equal the
+    direct single-stage aggregation exactly (count/avg/min/max), and the
+    salt stage must actually spread the hot key (every salt bucket
+    populated for it) — the property that keeps any one reducer from
+    seeing a whole hot key at scale."""
+    from flink_cookbook_spark.operators.skew import two_stage_skew_agg
+
+    _write_skewed_events(spark, str(tmp_path / "raw"))
+    # the shared skew fixture has no event_type: derive one with the hot
+    # user as its own (hot) type and cold users spread over 5 types
+    typed = load(spark, str(tmp_path / "raw"), "events").withColumn(
+        "event_type",
+        F.when(F.col("user_id") == 1, F.lit("hot")).otherwise(
+            F.concat(F.lit("cold_"), (F.col("user_id") % 5).cast("string"))
+        ),
+    )
+    typed.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_type: r for r in two_stage_skew_agg(spark, str(tmp_path)).collect()
+    }
+    ev = load(spark, str(tmp_path), "events")
+    want = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.avg("value").alias("avg_value"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for et, g in got.items():
+        w = want[et]
+        assert g.n_events == w.n_events, et
+        assert abs(g.avg_value - round(w.avg_value + 1e-6, 4)) < 1e-9, et
+        assert g.min_value == round(w.mn + 1e-6, 4), et
+        assert g.max_value == round(w.mx + 1e-6, 4), et
+        # the hot key's rows spread across all 8 salt partials
+        if g.n_events > 10_000:
+            assert g.n_salt_partials == 8, et

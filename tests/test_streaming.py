@@ -642,3 +642,31 @@ def test_stream_stream_left_outer_join(spark, events_stream_dir):
     # some null rows, but the bulk must be out
     assert len(nulls) <= n_odd_raw
     assert len(nulls) >= int(n_odd_raw * 0.5), (len(nulls), n_odd_raw)
+
+
+def test_streaming_session_window_dynamic_gap(spark, events_stream_dir):
+    """Dynamic-gap session windows: sessions close, events are conserved,
+    and a session whose peak cpu stayed <= 80 can never outlive the
+    short gap's reach (its end - last event <= 15 min by construction)."""
+    from flink_cookbook_spark.streaming.recipes import session_window_stream_dynamic
+
+    stream = session_window_stream_dynamic(
+        _metrics_view(_read_stream(spark, events_stream_dir))
+    )
+    _run_to_memory(stream, "dyn_sessions")
+    rows = spark.sql("SELECT * FROM dyn_sessions").collect()
+    assert rows
+    n_events_total = sum(r.n_events for r in rows)
+    n_src = spark.read.parquet(events_stream_dir).count()
+    # conservation up to the un-finalized tail: append mode only emits a
+    # session once the watermark proves it closed, so the last session(s)
+    # per node may be withheld at end-of-stream
+    assert n_events_total <= n_src
+    assert n_events_total >= int(n_src * 0.95), (n_events_total, n_src)
+    for r in rows:
+        assert r.session_end > r.session_start
+        span = r.session_end - r.session_start
+        # a session extends at most gap past its last event: cool sessions
+        # are bounded by n_events * 15 min worth of chaining + one gap
+        max_gap = 3600 if r.max_cpu > 80 else 900
+        assert span <= r.n_events * max_gap + max_gap, (span, r)
