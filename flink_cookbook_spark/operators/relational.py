@@ -1567,3 +1567,58 @@ FROM sketch s JOIN exact e USING (event_type)
 """,
     tags=("aggregation", "sketch", "kmv", "distinct"),
 )(kmv_distinct_estimate)
+
+
+def yoy_segment_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per market segment: yearly revenue and
+    order counts joined to customer segments, with YoY deltas computed
+    by lag over the (segment, year) aggregate — the classic
+    period-over-period report shape. Everything after the first
+    aggregate runs at segments x years cardinality; the fact join
+    shuffles once on custkey and the growth window costs nothing at any
+    scale.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    yearly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("yr")
+    prev_rev = F.lag("rev").over(w)
+    return yearly.select(
+        "c_mktsegment",
+        "yr",
+        "n_orders",
+        rnd("rev", 2).alias("revenue"),
+        rnd(prev_rev, 2).alias("prev_revenue"),
+        rnd(
+            F.when(prev_rev > 0, (F.col("rev") - prev_rev) / prev_rev * 100.0), 4
+        ).alias("yoy_growth_pct"),
+    )
+
+
+register(
+    "yoy_segment_growth",
+    oracle="""
+WITH yearly AS (
+  SELECT c_mktsegment, year(o_orderdate) AS yr,
+         count(*) AS n_orders, sum(o_totalprice) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, CAST(yr AS INTEGER) AS yr, n_orders,
+       round(rev + 1e-6, 2) AS revenue,
+       round(lag(rev) OVER w + 1e-6, 2) AS prev_revenue,
+       round(CASE WHEN lag(rev) OVER w > 0
+                  THEN (rev - lag(rev) OVER w) / lag(rev) OVER w * 100.0 END
+             + 1e-6, 4) AS yoy_growth_pct
+FROM yearly
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY yr)
+""",
+    tags=("aggregation", "window", "period-over-period"),
+)(yoy_segment_growth)
