@@ -644,3 +644,14 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     j = back.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_sessionize_dynamic_gap_single_exchange(spark, sf_dir):
+    """Dynamic-gap sessionization must keep the fixed-gap shape: one
+    keyed exchange on user_id reused by both window stages and the
+    session rollup — the per-event gap must not add a join or shuffle."""
+    from flink_cookbook_spark.operators.windows import sessionize_dynamic_gap
+
+    df = sessionize_dynamic_gap(spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert not has_cartesian(df)

@@ -423,3 +423,48 @@ def test_mad_outliers_matches_numpy(spark, sf_dir):
         assert g.median_value == pytest.approx(med, abs=1e-3)
         assert g.mad == pytest.approx(mad, abs=1e-3)
         assert g.n_outliers == n_out, et
+
+
+def test_null_ordering_divergence_is_real_and_pinned(spark):
+    """Cross-engine ORDER BY parity rule: Spark's ASC default is NULLS
+    FIRST, DuckDB's is NULLS LAST — a window ordered by a nullable key
+    with engine defaults silently diverges. This test (a) demonstrates
+    the divergence is real, (b) pins the fix every oracle must use:
+    make the ordering explicit on BOTH sides. Any future query ordering
+    a window by a nullable column must follow it."""
+    import duckdb
+
+    rows = [(1, None), (1, 5.0), (1, 2.0), (2, None), (2, 1.0)]
+    sdf = spark.createDataFrame(rows, "k int, x double")
+    from pyspark.sql import Window
+
+    # engine DEFAULTS: Spark ASC = NULLS FIRST
+    w_default = Window.partitionBy("k").orderBy(F.col("x").asc())
+    spark_default = [
+        (r.k, r.x, r.rn)
+        for r in sdf.select("k", "x", F.row_number().over(w_default).alias("rn"))
+        .orderBy("k", "rn")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck_default = con.execute(
+        "SELECT k, x, row_number() OVER (PARTITION BY k ORDER BY x ASC) AS rn "
+        "FROM t ORDER BY k, rn"
+    ).fetchall()
+    assert spark_default != duck_default  # the trap is real
+
+    # the rule: explicit NULLS FIRST (or LAST) on both sides == identical
+    w_explicit = Window.partitionBy("k").orderBy(F.col("x").asc_nulls_last())
+    spark_explicit = [
+        (r.k, r.x, r.rn)
+        for r in sdf.select("k", "x", F.row_number().over(w_explicit).alias("rn"))
+        .orderBy("k", "rn")
+        .collect()
+    ]
+    duck_explicit = con.execute(
+        "SELECT k, x, row_number() OVER (PARTITION BY k ORDER BY x ASC NULLS LAST) AS rn "
+        "FROM t ORDER BY k, rn"
+    ).fetchall()
+    assert spark_explicit == duck_explicit
