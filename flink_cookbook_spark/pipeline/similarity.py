@@ -982,3 +982,90 @@ GROUP BY th.threshold
 """,
     tags=("similarity", "llm-pipeline", "calibration"),
 )(similarity_threshold_curve)
+
+
+def embedding_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side END-TO-END index manifest — the vector analogue of
+    ``training_data_manifest``: SemDeDup near-duplicate removal (keep
+    the lowest vec_id of each within-cluster dup pair), then for every
+    SURVIVOR the shippable index record: k-means cell, int8
+    quantization scale, and reconstruction MSE — the three fields a
+    production vector store persists per vector. One lazy plan:
+    cluster assignment is the map-only broadcast pass, the drop set is
+    a broadcastable post-aggregate anti-join side, quantization is
+    zero-shuffle array math; the composed DuckDB oracle replays
+    Lloyd + pair-dedup + quantization end to end.
+    """
+    emb, pairs = _kmeans_model(spark, sf_dir)
+    assigned = _assign_with_dist(emb, pairs).select("vec_id", "emb", "cid")
+    a = assigned.select(
+        F.col("vec_id").alias("vec1"), F.col("emb").alias("e1"), F.col("cid").alias("c1")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec2"), F.col("emb").alias("e2"), F.col("cid").alias("c2")
+    )
+    cos = _dot(F.col("e1"), F.col("e2")) / (_norm(F.col("e1")) * _norm(F.col("e2")))
+    drops = (
+        a.join(b, (F.col("c1") == F.col("c2")) & (F.col("vec1") < F.col("vec2")))
+        .where(cos >= SEMDEDUP_COS)
+        .select(F.col("vec2").alias("vec_id"))
+        .distinct()
+    )
+    survivors = assigned.join(drops, "vec_id", "left_anti")
+    scaled = survivors.withColumn(
+        "q_scale",
+        F.greatest(F.array_max(F.transform("emb", F.abs)), F.lit(1e-12)) / F.lit(127.0),
+    )
+    sq_err = F.transform(
+        "emb",
+        lambda x: F.pow(
+            x
+            - F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.floor(x / F.col("q_scale") + F.lit(0.5))),
+            )
+            * F.col("q_scale"),
+            F.lit(2.0),
+        ),
+    )
+    return scaled.select(
+        "vec_id",
+        F.col("cid").alias("cluster"),
+        rnd(F.col("q_scale"), 8).alias("scale"),
+        rnd(
+            F.aggregate(sq_err, F.lit(0.0), lambda acc, x: acc + x) / F.size("emb"),
+            8,
+        ).alias("mse"),
+    )
+
+
+register(
+    "embedding_index_manifest",
+    oracle=_kmeans_cte_prefix()
+    + f""",
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM a{KM_ITERS} a JOIN a{KM_ITERS} b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {SEMDEDUP_COS}
+),
+survivors AS (
+  SELECT vec_id, v, cid FROM a{KM_ITERS}
+  WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+),
+scaled AS (
+  SELECT vec_id, v, cid,
+         greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale
+  FROM survivors
+)
+SELECT vec_id, cid AS cluster,
+       round(scale + 1e-6, 8) AS scale,
+       round(list_sum(list_transform(v,
+               x -> pow(x - greatest(-127.0, least(127.0, floor(x / scale + 0.5))) * scale, 2)))
+             / len(v) + 1e-6, 8) AS mse
+FROM scaled
+""",
+    tags=("similarity", "llm-pipeline", "end-to-end", "manifest"),
+)(embedding_index_manifest)
