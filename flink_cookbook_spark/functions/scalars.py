@@ -449,3 +449,48 @@ GROUP BY event_type
 """,
     tags=("functions", "ansi", "try"),
 )(try_funcs)
+
+
+def bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function pack: scalar shifts/masks/popcount over event
+    ids plus the three bitwise AGGREGATES (bit_and / bit_or / bit_xor)
+    per event type — the flag-field algebra permission systems and
+    bitmap encodings run at scan speed. All codegen'd; one combinable
+    aggregate.
+    """
+    ev = load(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_type",
+        F.col("event_id"),
+        (F.col("event_id") % 256).alias("flags"),
+    )
+    return masked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.bit_count("flags")).alias("total_bits_set"),
+        F.sum(F.shiftleft(F.col("flags") % 8, 2)).alias("sum_shifted"),
+        F.sum((F.col("flags").bitwiseAND(F.lit(0x0F)))).alias("sum_low_nibble"),
+        F.bit_and("flags").alias("flags_and"),
+        F.bit_or("flags").alias("flags_or"),
+        F.bit_xor("flags").alias("flags_xor"),
+    )
+
+
+register(
+    "bit_funcs",
+    oracle="""
+WITH masked AS (
+  SELECT event_type, event_id, event_id % 256 AS flags FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(bit_count(flags)) AS BIGINT) AS total_bits_set,
+       CAST(sum((flags % 8) << 2) AS BIGINT) AS sum_shifted,
+       CAST(sum(flags & 15) AS BIGINT) AS sum_low_nibble,
+       CAST(bit_and(flags) AS BIGINT) AS flags_and,
+       CAST(bit_or(flags) AS BIGINT) AS flags_or,
+       CAST(bit_xor(flags) AS BIGINT) AS flags_xor
+FROM masked
+GROUP BY event_type
+""",
+    tags=("functions", "bitwise"),
+)(bit_funcs)
