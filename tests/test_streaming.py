@@ -670,3 +670,49 @@ def test_streaming_session_window_dynamic_gap(spark, events_stream_dir):
         # are bounded by n_events * 15 min worth of chaining + one gap
         max_gap = 3600 if r.max_cpu > 80 else 900
         assert span <= r.n_events * max_gap + max_gap, (span, r)
+
+
+def test_dynamic_session_stream_equals_batch_twin(spark, sf_dir, events_stream_dir):
+    """session_window(ts, <gap by event_type>) == sessionize_dynamic_gap:
+    an event at t extends its session to t + gap(event); the next event
+    merges iff t' - t <= gap(previous) — exactly the batch twin's
+    boundary rule, so the PARTITION of events into sessions (keyed by
+    user and session start, sized by event count) must be identical.
+    Streaming append mode may withhold the watermark-open tail; every
+    emitted session must match the batch partition exactly."""
+    from flink_cookbook_spark.operators.windows import (
+        DYNAMIC_GAP_DEFAULT,
+        DYNAMIC_GAPS,
+        sessionize_dynamic_gap,
+    )
+
+    gap = F.coalesce(
+        *[
+            F.when(F.col("event_type") == k, F.lit(f"{v} seconds"))
+            for k, v in sorted(DYNAMIC_GAPS.items())
+        ],
+        F.lit(f"{DYNAMIC_GAP_DEFAULT} seconds"),
+    )
+    stream = (
+        _read_stream(spark, events_stream_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+        )
+    )
+    _run_to_memory(stream, "dyn_twin_sessions")
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql("SELECT * FROM dyn_twin_sessions").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in sessionize_dynamic_gap(spark, sf_dir).collect()
+    }
+    assert got, "no sessions emitted"
+    assert got <= want, f"streaming emitted sessions absent from batch: {sorted(got - want)[:5]}"
+    assert len(got) >= int(len(want) * 0.9), (len(got), len(want))
