@@ -899,3 +899,57 @@ FROM mixes CROSS JOIN src_entropy
 """,
     tags=("curation", "llm-pipeline", "datacard", "profiling"),
 )(corpus_datacard)
+
+
+def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY in corpus order: the share of a doc's
+    distinct word 4-grams whose FIRST corpus occurrence is this doc —
+    near-duplicates and boilerplate-heavy pages score near zero, fresh
+    content near one. The per-document face of ``vocab_growth`` (that
+    query tracks the corpus curve; this one attributes novelty to each
+    doc, which is what an ingest-order dedup triage ranks by).
+
+    Scale shape: reuses the distinct-gram expansion (map + one
+    combinable distinct); first-occurrence is a map-side-combinable MIN
+    per gram; the ownership join back to the per-doc gram stream is
+    UNHINTED (gram vocabulary scales with the corpus — never
+    force-broadcast); final rollup combinable.
+    """
+    docs = load(spark, sf_dir, "documents")
+    grams = _grams(docs)  # distinct (doc_id, gram) pairs
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "gram")  # unhinted: vocab-cardinality side
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            rnd(F.col("n_novel") / F.col("n_grams"), 4).alias("novelty"),
+        )
+    )
+
+
+register(
+    "doc_novelty_score",
+    oracle="WITH "
+    + _GRAMS_CTE
+    + """,
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) * 1.0
+             / count(*) + 1e-6, 4) AS novelty
+FROM grams g JOIN firsts f USING (gram)
+GROUP BY g.doc_id
+""",
+    tags=("curation", "llm-pipeline", "novelty", "dedup"),
+)(doc_novelty_score)
