@@ -1622,3 +1622,98 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY yr)
 """,
     tags=("aggregation", "window", "period-over-period"),
 )(yoy_segment_growth)
+
+
+def kmv_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV MERGE proof — the property that makes the sketch useful at
+    scale: hourly partials (each the K smallest user hashes for that
+    hour) union and re-take-K into the daily sketch WITHOUT rescanning
+    raw data, exactly like the HLL and bitmap rollups but with sketch
+    math that both engines can replay bit-for-bit. Output: per
+    (event_type, day) the merged-sketch estimate next to the exact
+    distinct count.
+
+    Scale shape: hourly partial state is K doubles per group (bounded);
+    the daily merge is array flatten + sort + slice over partial rows —
+    post-aggregate cardinality only.
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = epoch_seconds("ts")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("double")
+        / float(16 ** 15)
+    )
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.floor(sec / 3600) * 3600).alias("hr"),
+            (F.floor(sec / 86400) * 86400).alias("day"),
+            h.alias("h"),
+        )
+        .groupBy("event_type", "day", "hr")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("kmin")
+        )
+    )
+    merged = hourly.groupBy("event_type", "day").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmin")))),
+            1,
+            KMV_K,
+        ).alias("kmin")
+    )
+    est = F.when(
+        F.size("kmin") < KMV_K, F.size("kmin").cast("double")
+    ).otherwise(F.lit(KMV_K - 1) / F.element_at("kmin", KMV_K))
+    exact = ev.select(
+        "event_type",
+        (F.floor(sec / 86400) * 86400).alias("day"),
+        "user_id",
+    ).groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return merged.join(exact, ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        "exact_distinct",
+        rnd(est, 2).alias("merged_estimate"),
+    )
+
+
+register(
+    "kmv_merge_rollup",
+    oracle=f"""
+WITH hashed AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hr,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day,
+         user_id,
+         CAST(CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS DOUBLE) / {float(16 ** 15)} AS h
+  FROM events
+),
+hourly AS (
+  SELECT event_type, day, hr,
+         list_sort(list_distinct(list(h)))[1:{KMV_K}] AS kmin
+  FROM hashed GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, day,
+         list_sort(list_distinct(flatten(list(kmin))))[1:{KMV_K}] AS kmin
+  FROM hourly GROUP BY 1, 2
+),
+exact AS (
+  SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day,
+         count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1, 2
+)
+SELECT m.event_type, m.day, e.exact_distinct,
+       round(CASE WHEN len(m.kmin) < {KMV_K} THEN len(m.kmin) * 1.0
+                  ELSE {KMV_K - 1} / m.kmin[{KMV_K}] END + 1e-6, 2) AS merged_estimate
+FROM merged m JOIN exact e USING (event_type, day)
+""",
+    tags=("aggregation", "sketch", "kmv", "mergeable"),
+)(kmv_merge_rollup)
