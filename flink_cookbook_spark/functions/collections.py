@@ -248,3 +248,59 @@ WHERE EXISTS (
 """,
     tags=("subquery",),
 )(correlated_exists)
+
+
+def nested_explode_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-explode semantics pack: ``explode_outer`` / ``posexplode_outer``
+    must emit a NULL row for an empty (or null) collection where plain
+    explode silently DROPS the parent row — the lateral-view corner that
+    loses data when ingest encounters empty arrays. Arrays here are
+    derived so every fourth event has an empty one; the aggregate
+    separates kept-by-outer null rows from element rows, proving the
+    semantics rather than sampling them.
+    """
+    ev = load(spark, sf_dir, "events")
+    arr = F.expr(
+        "CASE WHEN event_id % 4 = 0 THEN CAST(array() AS array<bigint>) "
+        "ELSE sequence(1, event_id % 4) END"
+    )
+    exploded = ev.select(
+        "event_type", F.col("event_id"), F.posexplode_outer(arr).alias("pos", "x")
+    )
+    return exploded.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("x").isNull().cast("long")).alias("n_null_rows"),
+        F.sum(F.coalesce("x", F.lit(0))).alias("sum_elements"),
+        F.sum(F.coalesce("pos", F.lit(-1))).alias("sum_pos"),
+        F.countDistinct("event_id").alias("n_parents"),
+    )
+
+
+register(
+    "nested_explode_funcs",
+    oracle="""
+WITH arr AS (
+  SELECT event_type, event_id,
+         CASE WHEN event_id % 4 = 0 THEN []::BIGINT[]
+              ELSE range(1, event_id % 4 + 1) END AS a
+  FROM events
+),
+-- outer-unnest emulation: an empty array contributes one NULL element
+exploded AS (
+  SELECT event_type, event_id,
+         unnest(CASE WHEN len(a) = 0 THEN [NULL]::BIGINT[] ELSE a END) AS x,
+         unnest(CASE WHEN len(a) = 0 THEN [NULL]::BIGINT[]
+                     ELSE range(0, len(a)) END) AS pos
+  FROM arr
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rows,
+       CAST(sum(coalesce(x, 0)) AS BIGINT) AS sum_elements,
+       CAST(sum(coalesce(pos, -1)) AS BIGINT) AS sum_pos,
+       count(DISTINCT event_id) AS n_parents
+FROM exploded
+GROUP BY event_type
+""",
+    tags=("functions", "explode", "lateral"),
+)(nested_explode_funcs)
