@@ -93,17 +93,37 @@ def _driver_evidence() -> tuple[dict[str, dict], dict[str, int], int]:
     return merged, last_round, len(files)
 
 
+#: queries whose OUTPUT SEMANTICS changed after the driver's last green
+#: record for them: name -> round count at the time of the change. A
+#: green recorded in or before that round no longer describes the
+#: current query, so the entry forces re-pend until the driver records
+#: a LATER result (then the gate self-clears; stale entries are
+#: harmless). Only list queries whose VALUES changed — plan-only or
+#: comment changes keep old greens valid.
+REVERIFY_AFTER: dict[str, int] = {
+    # round 6: every 8th doc now carries a real BMP payload through the
+    # vendored decoder — different stats rows than the all-stub output
+    "multimodal_features": 5,
+    # round 6: + 0.0 signed-zero normalization on the acf columns
+    "autocorrelation": 5,
+}
+
+
 def _verified_names() -> frozenset[str]:
     """Names the driver has verified in their CURRENT form: hash-green,
     or cleanly rows-only-checked for a query that still registers no
-    oracle (upgrading a rows-only query to an oracle re-pends it)."""
+    oracle (upgrading a rows-only query to an oracle re-pends it, and
+    ``REVERIFY_AFTER`` re-pends semantics changes the artifacts cannot
+    see)."""
     _ensure_loaded()
-    evidence, _, _ = _driver_evidence()
+    evidence, last_round, _ = _driver_evidence()
     out = set()
     for name, rec in evidence.items():
         spec = _REGISTRY.get(name)
         if spec is None:
             continue
+        if last_round.get(name, 0) <= REVERIFY_AFTER.get(name, 0):
+            continue  # green predates a semantics change — re-pend
         if rec.get("hash_match"):
             if spec.oracle is not None:
                 out.add(name)

@@ -109,8 +109,13 @@ def test_registry_orders_unverified_first():
         registry, "_driver_evidence", return_value=(evidence, bumped, n_rounds + 1)
     ):
         rotated = list(all_specs())
-    assert [n for n in names if n not in verified] == [
-        n for n in rotated if n not in verified
+    # REVERIFY_AFTER-gated names legitimately move pending -> proven when
+    # the bump simulates a later driver record; compare the rest
+    from flink_cookbook_spark.registry import REVERIFY_AFTER
+
+    gated = set(REVERIFY_AFTER)
+    assert [n for n in names if n not in verified and n not in gated] == [
+        n for n in rotated if n not in verified and n not in gated
     ]
     assert names != rotated, "proven tail must rotate across rounds"
 
@@ -138,6 +143,13 @@ def test_verified_set_derives_from_driver_artifacts():
         if spec is None:
             continue
         if rec.get("hash_match") and spec.oracle is not None:
+            from flink_cookbook_spark.registry import REVERIFY_AFTER
+            from flink_cookbook_spark.registry import _driver_evidence as _de
+
+            _, last_round, _ = _de()
+            if last_round.get(name, 0) <= REVERIFY_AFTER.get(name, 0):
+                assert name not in verified, f"{name!r} green predates a semantics change"
+                continue
             greens += 1
             assert name in verified, f"hash-green {name!r} must be verified"
         elif rec.get("err") not in (None, "no_oracle"):
@@ -468,3 +480,35 @@ def test_null_ordering_divergence_is_real_and_pinned(spark):
         "FROM t ORDER BY k, rn"
     ).fetchall()
     assert spark_explicit == duck_explicit
+
+
+def test_reverify_after_forces_repend():
+    """A REVERIFY_AFTER entry must re-pend a query whose green record
+    predates the recorded semantics change, and must self-clear once
+    the driver records a later result."""
+    import __spark_entry__  # noqa: F401
+
+    from flink_cookbook_spark import registry
+    from flink_cookbook_spark.registry import REVERIFY_AFTER, _verified_names, all_specs
+
+    evidence, last_round, n_rounds = registry._driver_evidence()
+    names = list(all_specs())
+    pending = set(names) - _verified_names()
+    for name, changed_round in REVERIFY_AFTER.items():
+        if name in evidence and last_round[name] <= changed_round:
+            assert name in pending, f"{name} must re-pend (stale green)"
+            assert names.index(name) < 50, f"{name} must sit in the driver window"
+    # self-clear: simulate the driver re-recording in a later round
+    from unittest import mock
+
+    bumped = dict(last_round)
+    for name in REVERIFY_AFTER:
+        if name in bumped:
+            bumped[name] = max(REVERIFY_AFTER[name] + 1, bumped[name])
+    with mock.patch.object(
+        registry, "_driver_evidence", return_value=(evidence, bumped, n_rounds)
+    ):
+        cleared = _verified_names()
+    for name in REVERIFY_AFTER:
+        if name in evidence and evidence[name].get("hash_match"):
+            assert name in cleared, f"{name} must self-clear after re-proof"
