@@ -512,3 +512,73 @@ def test_reverify_after_forces_repend():
     for name in REVERIFY_AFTER:
         if name in evidence and evidence[name].get("hash_match"):
             assert name in cleared, f"{name} must self-clear after re-proof"
+
+
+def test_kmv_estimator_accuracy_bound(spark):
+    """KMV statistical contract: on n >> K distinct keys the estimator's
+    relative error is ~1/sqrt(K-2); with K=64 that is ~12.6%, so a 3x
+    bound (38%) must hold on seeded synthetic data across several
+    disjoint key universes (the md5-PRF acts as the random hash)."""
+    from pyspark.sql import functions as F
+
+    from flink_cookbook_spark.operators.relational import KMV_K
+
+    for base, n in [(0, 2000), (1_000_000, 5000), (9_000_000, 800)]:
+        df = spark.range(base, base + n).select(F.col("id").alias("user_id"))
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("double")
+            / float(16 ** 15)
+        )
+        kth = (
+            df.select(h.alias("h"))
+            .orderBy("h")
+            .limit(KMV_K)
+            .agg(F.max("h").alias("hk"), F.count("*").alias("c"))
+            .collect()[0]
+        )
+        assert kth.c == KMV_K
+        est = (KMV_K - 1) / kth.hk
+        rel = abs(est - n) / n
+        assert rel < 0.38, (n, est, rel)
+
+
+def test_paragraph_filter_boilerplate_heavy_corpus(spark, tmp_path):
+    """Worst-case input: EVERY document shares one boilerplate segment
+    (plus a unique one). The filter must report exactly one duplicated
+    segment per doc (share 0.5, verdict keep at the 0.5 threshold) and
+    complete without candidate blowup — the frequency join is linear in
+    (doc, segment) pairs, never quadratic in docs sharing a segment."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_cookbook_spark.pipeline._cache import clear
+    from flink_cookbook_spark.pipeline.dedup import PARA_TOKENS, duplicate_paragraph_filter
+
+    boiler = " ".join(f"b{i}" for i in range(PARA_TOKENS))
+    texts = [boiler + " " + " ".join(f"u{d}t{i}" for i in range(PARA_TOKENS)) for d in range(300)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(300), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * 300, type=pa.string()),
+                "source": pa.array(["s"] * 300, type=pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    clear()
+    rows = duplicate_paragraph_filter(spark, str(tmp_path)).collect()
+    clear()
+    assert len(rows) == 300
+    for r in rows:
+        assert r.n_segments == 2
+        assert r.n_dup_segments == 1  # only the boilerplate segment
+        assert abs(r.dup_share - 0.5) < 1e-9
+        assert r.verdict == "keep"  # 0.5 is not > PARA_DUP_SHARE
