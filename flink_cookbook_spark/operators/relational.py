@@ -110,11 +110,16 @@ WHERE EXISTS (SELECT 1 FROM orders
 
 
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders at all (NOT EXISTS)."""
+    """Left-anti join: customers with no URGENT order (NOT EXISTS with a
+    pushed-down filter on the probe side). The predicate matters for the
+    correctness gate: every fixture customer has at least one order, so
+    the unfiltered form was a vacuous 0-row == 0-row oracle match — this
+    form anti-joins against a real subset and emits real rows."""
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_acctbal")
 
 
@@ -123,7 +128,8 @@ register(
     oracle="""
 SELECT c_custkey, c_name, c_acctbal
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 """,
     tags=("join",),
 )(join_anti)

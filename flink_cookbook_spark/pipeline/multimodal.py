@@ -191,14 +191,29 @@ def decode_stub(payload: bytes) -> dict:
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: Arrow batch in -> decoded feature batch out.
-    Content sniffing routes each payload: BMP magic -> the REAL decoder
-    (vendored pure-Python parser), anything else -> the byte-stats stub
-    (codec libraries absent)."""
+    BMP magic routes a payload to the REAL decoder (vendored pure-Python
+    parser); anything else — including a payload that merely STARTS with
+    the bytes 'BM' but fails to parse as a BMP — falls back to the
+    byte-stats stub. The fallback keeps the oracle's doc_id-based branch
+    authoritative: a text document beginning with 'BM' raises inside
+    ``decode_real`` (bad header/truncated pixel data) and lands in the
+    stub branch the oracle predicted, instead of crashing the job
+    (round-6 advice #2)."""
+
+    def _route(p: bytes) -> dict:
+        if p[:2] == b"BM":
+            try:
+                return decode_real(p)
+            except (NotImplementedError, ValueError, IndexError,
+                    ZeroDivisionError):
+                # 'BM'-prefixed text: garbage header fields (negative/zero
+                # dims, wrong bpp, truncated pixel area) — the stub is
+                # what the oracle's doc_id-based branch expects
+                return decode_stub(p)
+        return decode_stub(p)
+
     for pdf in batches:
-        decoded = [
-            decode_real(p) if p[:2] == b"BM" else decode_stub(p)
-            for p in pdf["payload"]
-        ]
+        decoded = [_route(p) for p in pdf["payload"]]
         out = pd.DataFrame(decoded)
         out.insert(0, "doc_id", pdf["doc_id"].values)
         yield out

@@ -62,11 +62,11 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def _driver_evidence() -> tuple[dict[str, dict], dict[str, int], int]:
+def _driver_evidence(root: str | None = None) -> tuple[dict[str, dict], dict[str, int], int]:
     """Read the driver's own CORRECTNESS_r*.json artifacts (repo root).
 
-    Returns (latest per-query record, per-query round index of that
-    latest record, number of rounds recorded). Derived from the
+    Returns (latest per-query record, per-query round number of that
+    latest record, highest round number recorded). Derived from the
     artifacts rather than a hand-maintained snapshot so the 'already
     verified' set can never drift from what the driver actually
     observed — a query that regresses in a later round automatically
@@ -75,22 +75,37 @@ def _driver_evidence() -> tuple[dict[str, dict], dict[str, int], int]:
     import glob
     import json
     import os
+    import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # sort by the round number EMBEDDED IN THE FILENAME, not lexically or
+    # positionally: _r10 must sort after _r9, and deleting/regenerating an
+    # early artifact must not shift which round later greens map to (that
+    # would silently change every REVERIFY_AFTER gate).
+    def _round_of(path: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else 0
+
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=_round_of)
     merged: dict[str, dict] = {}
     last_round: dict[str, int] = {}
-    for i, path in enumerate(files, start=1):
+    max_round = 0
+    for path in files:
+        rno = _round_of(path)
+        if rno <= 0:
+            continue
         try:
             with open(path) as fh:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
+        max_round = max(max_round, rno)
         for name, rec in data.items():
             if isinstance(rec, dict):
                 merged[name] = rec
-                last_round[name] = i
-    return merged, last_round, len(files)
+                last_round[name] = rno
+    return merged, last_round, max_round
 
 
 #: queries whose OUTPUT SEMANTICS changed after the driver's last green
@@ -106,6 +121,17 @@ REVERIFY_AFTER: dict[str, int] = {
     "multimodal_features": 5,
     # round 6: + 0.0 signed-zero normalization on the acf columns
     "autocorrelation": 5,
+    # round 7: sample modulus now derived from the corpus count (capped,
+    # scale-safe), thresholds widened to the fixture's cosine range, and
+    # the sweep re-expressed as conditional aggregation so all 5 rows
+    # always emit — the r6 green was a vacuous 0-row == 0-row match
+    "similarity_threshold_curve": 6,
+    # round 7: same vacuous-green class, found by the new >=1-row oracle
+    # lint — anti-join now excludes URGENT-order customers (real rows;
+    # the unfiltered form matched empty sets), and the LSH dup confirm
+    # threshold moved inside the fixture's cosine range (0.95 -> 0.35)
+    "join_anti": 6,
+    "embedding_cosine_dup_pairs": 6,
 }
 
 

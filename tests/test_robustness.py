@@ -163,6 +163,34 @@ def test_verified_set_derives_from_driver_artifacts():
     assert errs >= 0  # may legitimately be zero in an all-green round
 
 
+def test_driver_evidence_rounds_come_from_filenames(tmp_path):
+    """REVERIFY_AFTER gates compare against the round number EMBEDDED IN
+    THE ARTIFACT FILENAME, not a positional index (round-6 advice #3):
+    deleting or regenerating an early CORRECTNESS_r*.json must not shift
+    which round later greens map to — with positional indexing, removing
+    r01 would make a round-6 green look like round 5 and permanently
+    re-pend every gated query. Also covers double-digit rounds (r10 must
+    sort AFTER r9 — lexical sort would interleave them)."""
+    import json
+
+    from flink_cookbook_spark.registry import _driver_evidence
+
+    rec = {"hash_match": True, "spark_rows": 1, "oracle_rows": 1, "err": None}
+    # r01 deliberately ABSENT; r09 and r10 exercise the lexical trap
+    # (lexically "r10" < "r9", so a lexical sort would let r9 win)
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"qa": rec}))
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps({"qa": rec, "qb": rec})
+    )
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps({"qb": {**rec, "hash_match": False}})
+    )
+    merged, last_round, n_rounds = _driver_evidence(root=str(tmp_path))
+    assert n_rounds == 10  # highest round NUMBER, not file count (3)
+    assert last_round == {"qa": 9, "qb": 10}  # filename rounds, no shift
+    assert merged["qb"]["hash_match"] is False  # r10 overrides r9
+
+
 def test_rotation_staleness_is_bounded():
     """Simulate the driver loop over the REAL ordering logic: each round
     the driver re-proves the first WINDOW entries of the proven tail
@@ -170,15 +198,17 @@ def test_rotation_staleness_is_bounded():
     least-recently-proved-first key, no green query's latest record may
     age past ceil(N / WINDOW) + 1 rounds — the bound md5-only rotation
     could not give. N is the LIVE registry size (round-5 verdict ask:
-    the bound must track registry growth, not a stale snapshot — at 189
+    the bound must track registry growth, not a stale snapshot — at 215
     queries and a 40-slot window the proven-set re-proof gap bound is
-    ceil(189/40) + 1 = 6 rounds)."""
+    ceil(215/40) + 1 = 7 rounds). No literal floor on the registry size
+    here: the simulation already runs over the LIVE len(all_specs()),
+    so consolidation/removal of queries cannot break an unrelated
+    staleness test (round-6 advice)."""
     import math
 
     from flink_cookbook_spark.registry import all_specs, proven_sort_key
 
     n_queries, window, sim_rounds = len(all_specs()), 40, 60
-    assert n_queries >= 189  # live size, not a snapshot
     names = [f"q{i:03d}" for i in range(n_queries)]
     # adversarial start: everything proven in round 1
     last_round = {n: 1 for n in names}
@@ -260,7 +290,6 @@ def test_queries_survive_empty_tables(spark, tmp_path):
         "repeated_ngram_ratio",
         "holt_linear_forecast",
         "mad_outliers",
-        "similarity_threshold_curve",
         "bitmap_distinct_rollup",
         "two_stage_skew_agg",
         "corpus_snapshot_diff",
@@ -270,6 +299,12 @@ def test_queries_survive_empty_tables(spark, tmp_path):
     ):
         out = get_query(name).fn(spark, str(tmp_path))
         assert out.count() == 0, name
+    # the calibration curve is the one query that must NOT vanish on an
+    # empty corpus: all 5 threshold rows still emit, with zero counts
+    # (that contract is what makes its oracle non-vacuous — round-7 fix)
+    curve = get_query("similarity_threshold_curve").fn(spark, str(tmp_path)).collect()
+    assert len(curve) == 5
+    assert all(r.n_pairs_merged == 0 and r.n_sample_pairs == 0 for r in curve)
     clear()  # don't leave empty-fixture memos for later tests
 
 
@@ -372,6 +407,54 @@ def test_oracle_lint_no_hugeint_outputs(sf_dir):
     assert not offenders, (
         "oracles with HUGEINT output columns (wrap count-valued sums in "
         "CAST(... AS BIGINT)):\n" + "\n".join(offenders)
+    )
+
+
+#: oracled queries allowed to return 0 rows at the driver's comparison
+#: scale (sf0.01). Empty by design: a 0-row vs 0-row oracle match
+#: verifies NOTHING about the query's logic (round-6 verdict: the
+#: similarity_threshold_curve vacuous green — same failure class as the
+#: r5 HUGEINT trap, one level up). Any future entry must carry a reason
+#: string AND point at a pytest that pins the query's non-empty behavior
+#: on a synthetic fixture.
+VACUOUS_OK: dict[str, str] = {}
+
+
+def test_oracle_lint_no_vacuous_greens():
+    """Registry-level oracle lint (round-6 verdict ask #2): every
+    registered oracle must return >= 1 row at sf0.01 — the scale the
+    driver's correctness gate runs at — unless explicitly whitelisted
+    with a reason. Catches the similarity_threshold_curve /
+    embedding_cosine_dup_pairs / join_anti class, where both engines
+    agreed on the empty set and the hash-green verified nothing.
+    DuckDB-only (the Spark side must match the oracle anyway), so the
+    full 200+-oracle sweep stays cheap."""
+    import os
+
+    import __spark_entry__  # noqa: F401 — registers all queries
+
+    from flink_cookbook_spark.registry import all_specs
+    from tests.oracle_harness import duckdb_connection
+
+    sf01 = os.environ.get("SPARK_GRAFT_LINT_SF_DIR", "/root/testdata/sf0.01")
+    if not os.path.isdir(sf01):
+        import pytest
+
+        pytest.skip(f"driver-scale fixtures absent: {sf01}")
+    con = duckdb_connection(sf01)
+    offenders = []
+    for name, spec in sorted(all_specs().items()):
+        if spec.oracle is None or name in VACUOUS_OK:
+            continue
+        n = con.execute(f"SELECT count(*) FROM ({spec.oracle})").fetchone()[0]
+        if n == 0:
+            offenders.append(name)
+    con.close()
+    assert not offenders, (
+        "oracles returning 0 rows at sf0.01 — a hash-green there is "
+        "vacuous; fix the query/fixture interaction or whitelist in "
+        "VACUOUS_OK with a reason + a planted-fixture pytest:\n"
+        + "\n".join(offenders)
     )
 
 
