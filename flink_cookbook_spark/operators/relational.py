@@ -1723,3 +1723,153 @@ FROM merged m JOIN exact e USING (event_type, day)
 """,
     tags=("aggregation", "sketch", "kmv", "mergeable"),
 )(kmv_merge_rollup)
+
+
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group MODE (most frequent value). Spark ships
+    ``F.mode``, but its tie resolution is nondeterministic — unusable
+    under a value-hash gate and unrepeatable in production reports; the
+    engine form is the classic two-level shape: count per (group, value)
+    — a map-side-combinable hash agg whose cardinality is bounded by the
+    value domain, never the row count — then argmax with a total-order
+    tie-break (highest count, then lexicographically smallest value) via
+    one per-group window over the tiny count table."""
+    orders = load(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+register(
+    "mode_per_group",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count FROM (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY count(*) DESC, o_orderpriority) AS rk
+  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+WHERE rk = 1
+""",
+    tags=("aggregation", "mode", "argmax"),
+)(mode_per_group)
+
+
+#: top-N suppliers concatenated per nation by the ordered string agg.
+LISTAGG_TOP_N = 3
+
+
+def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED string aggregation (LISTAGG ... WITHIN GROUP): per nation,
+    the top-N supplier names by account balance as one CSV field — the
+    report-building primitive warehouses use for 'best items per group'
+    columns. Spark 4 has ``listagg`` but no deterministic WITHIN GROUP
+    ordering guarantee under partial aggregation; the engine form builds
+    it from codegen'd collection ops: collect_list of (sort-key, name)
+    structs -> array_sort (struct field order = ORDER BY) -> slice N ->
+    transform -> array_join. Per-group state is the group's own structs;
+    the N-slice means downstream width is bounded regardless of group
+    size."""
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    agg = sup.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("s_acctbal")).alias("neg_bal"),
+                                F.col("s_name").alias("nm"),
+                            )
+                        )
+                    ),
+                    1,
+                    LISTAGG_TOP_N,
+                ),
+                lambda s: s.getField("nm"),
+            ),
+            ",",
+        ).alias("top_suppliers"),
+    )
+    return agg.join(F.broadcast(nat), agg.s_nationkey == nat.n_nationkey).select(
+        "n_name", "n_suppliers", "top_suppliers"
+    )
+
+
+register(
+    "listagg_ordered",
+    oracle=f"""
+WITH ranked AS (
+  SELECT s_nationkey, s_name, s_acctbal,
+         row_number() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal DESC, s_name) AS rk
+  FROM supplier
+)
+SELECT n.n_name,
+       count(*) AS n_suppliers,
+       string_agg(CASE WHEN r.rk <= {LISTAGG_TOP_N} THEN r.s_name END, ','
+                  ORDER BY r.s_acctbal DESC, r.s_name) AS top_suppliers
+FROM ranked r JOIN nation n ON r.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    tags=("aggregation", "listagg", "ordered"),
+)(listagg_ordered)
+
+
+def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery surface: for each nation, its two
+    largest orders (via the nation's customers) — the SQL-standard
+    LATERAL form of top-N-per-group. Catalyst decorrelates the
+    ORDER BY .. LIMIT lateral into a ranked window join (no per-row
+    re-execution), so the physical plan is the same shape as
+    ``topk_per_group`` — the point of registering both is that the
+    declarative LATERAL spelling and the imperative window spelling
+    land on equivalent distributed plans."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("_fcs_lat_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_fcs_lat_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_fcs_lat_orders")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.o_orderkey, round(t.o_totalprice + 1e-6, 2) AS o_totalprice
+        FROM _fcs_lat_nation n
+        JOIN LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM _fcs_lat_orders o
+          JOIN _fcs_lat_customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 2
+        ) t
+        """
+    )
+
+
+register(
+    "lateral_topn_per_nation",
+    oracle="""
+SELECT n.n_name, t.o_orderkey, round(t.o_totalprice + 1e-6, 2) AS o_totalprice
+FROM nation n
+JOIN LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 2
+) t ON true
+""",
+    tags=("join", "lateral", "correlated", "topk"),
+)(lateral_topn_per_nation)

@@ -1677,3 +1677,95 @@ FROM steps WHERE i = len(vals)
 """,
     tags=("timeseries", "forecast", "holt"),
 )(holt_linear_forecast)
+
+
+#: id-range bucket width for the sequence-integrity audit.
+GAP_AUDIT_BUCKET = 1000
+
+
+def event_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-integrity audit over an id column — the CDC/ingestion
+    completeness check: bucket the id range, and per bucket report how
+    many ids are MISSING versus the bucket's observed [min, max] span.
+    The distributed shape matters: a naive lead()-over-global-order gap
+    scan serializes the corpus through one sorted partition; bucketing
+    by id div N turns it into a plain hash aggregate (map-side
+    combinable, fully parallel) with the same information — which ids
+    are absent, localized to a bucket."""
+    ev = load(spark, sf_dir, "events").select("event_id")
+    bucket = (F.floor(F.col("event_id") / GAP_AUDIT_BUCKET)).alias("bucket")
+    return (
+        ev.groupBy(bucket)
+        .agg(
+            F.count_distinct(F.col("event_id")).alias("n_ids"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .select(
+            "bucket",
+            "n_ids",
+            "min_id",
+            "max_id",
+            (F.col("max_id") - F.col("min_id") + 1 - F.col("n_ids")).alias("n_missing"),
+        )
+    )
+
+
+register(
+    "event_id_gap_audit",
+    oracle=f"""
+SELECT CAST(floor(event_id / {GAP_AUDIT_BUCKET}) AS BIGINT) AS bucket,
+       count(DISTINCT event_id) AS n_ids,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id,
+       max(event_id) - min(event_id) + 1 - count(DISTINCT event_id) AS n_missing
+FROM events
+GROUP BY 1
+""",
+    tags=("audit", "integrity", "cdc"),
+)(event_id_gap_audit)
+
+
+#: equi-width histogram geometry over the generator's clamped [0, 100]
+#: value domain: 10 buckets of width 10 (out-of-range values clamp into
+#: the edge buckets, so the histogram is total).
+HIST_WIDTH = 10.0
+HIST_BUCKETS = 10
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the metric value per event type — the
+    profiling primitive behind drift monitors and datacards (the PSI
+    query consumes exactly these bins). One hash aggregate: the bucket
+    expression is codegen'd arithmetic (no sort, no UDF), counts are
+    map-side combinable, and the per-type share comes from a window over
+    the ~types x buckets aggregate output, never the raw scan."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / HIST_WIDTH), F.lit(0)),
+        F.lit(HIST_BUCKETS - 1),
+    ).alias("bucket")
+    agg = ev.groupBy("event_type", bucket).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    return agg.select(
+        "event_type",
+        "bucket",
+        "n",
+        rnd(F.col("n") / F.sum("n").over(w), 6).alias("share"),
+    )
+
+
+register(
+    "value_histogram",
+    oracle=f"""
+SELECT event_type, bucket, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY event_type) + 1e-6, 6) AS share
+FROM (
+  SELECT event_type,
+         least(greatest(CAST(floor(value / {HIST_WIDTH}) AS BIGINT), 0), {HIST_BUCKETS - 1}) AS bucket,
+         count(*) AS n
+  FROM events
+  GROUP BY 1, 2)
+""",
+    tags=("profiling", "histogram", "drift"),
+)(value_histogram)

@@ -602,3 +602,52 @@ GROUP BY user_id, session_no
 """,
     tags=("window", "sessionization", "dynamic-gap"),
 )(sessionize_dynamic_gap)
+
+
+def ntile_segment_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: account-balance quartiles WITHIN each market
+    segment, then per-(segment, quartile) stats — the standard customer-
+    value banding report. Deterministic order key (balance desc, custkey)
+    so the bucket assignment — and hence the hash — is total-order
+    stable.
+
+    Scale note: ntile is a per-PARTITION sort; partitioning by segment
+    keeps it parallel across segments but each segment sorts in one
+    task — fine while per-segment rows fit a task (the topk_per_group
+    regime). A GLOBAL ntile would serialize the corpus through one
+    partition; at that point use the broadcast-cutpoint percentile
+    pattern (``exact_percentile_disc``) instead — bucketing by
+    precomputed quantile boundaries is a map-only pass."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            rnd(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+            rnd(F.min("c_acctbal"), 2).alias("min_acctbal"),
+            rnd(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        )
+    )
+
+
+register(
+    "ntile_segment_quartiles",
+    oracle="""
+SELECT c_mktsegment, quartile,
+       count(*) AS n_customers,
+       round(avg(c_acctbal) + 1e-6, 2) AS avg_acctbal,
+       round(min(c_acctbal) + 1e-6, 2) AS min_acctbal,
+       round(max(c_acctbal) + 1e-6, 2) AS max_acctbal
+FROM (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey) AS quartile
+  FROM customer)
+GROUP BY c_mktsegment, quartile
+""",
+    tags=("window", "ntile", "banding"),
+)(ntile_segment_quartiles)

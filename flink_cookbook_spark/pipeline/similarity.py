@@ -839,6 +839,56 @@ register(
 )(kmeans_embeddings)
 
 
+#: block-grid parallelism for within-cell pair self-joins. The pair
+#: stage's natural join key is the cell id, whose cardinality
+#: (N_CENTROIDS = 8) is far below cluster parallelism — worse, AQE
+#: coalesces the join's tiny INPUT (a few MB of vectors) into ONE
+#: partition while the pair OUTPUT is quadratic in cell size. Found
+#: empirically by the round-7 sf1 probe (probe_sf1.py): at 20k vectors
+#: the manifest's pair stage collapsed to a single task computing
+#: ~10^8 array-fold cosines (>15 min; 122 s after the fix). Each side
+#: is therefore bucketed by an engine-internal hash of its vec_id into
+#: PAIR_BLOCKS blocks and joined through the PAIR_BLOCKS^2 block grid,
+#: with the left side explicitly repartitioned to the grid width —
+#: user-specified repartition exempts the exchange from AQE input-size
+#: coalescing, so the quadratic work spreads over cells x grid tasks.
+#: The emitted pair SET is unchanged: the oracles need no change.
+PAIR_BLOCKS = 8
+
+
+def _cell_pairs(assigned: DataFrame) -> DataFrame:
+    """Within-cell candidate pairs (``vec1 < vec2``) of ``assigned``
+    (vec_id, emb, cid), parallelized via the block grid (see
+    ``PAIR_BLOCKS``). Output columns: vec1, e1, vec2, e2, cid."""
+    spark = assigned.sparkSession
+    blk = F.pmod(F.hash(F.col("vec_id")), F.lit(PAIR_BLOCKS))
+    a = assigned.select(
+        F.col("vec_id").alias("vec1"), F.col("emb").alias("e1"),
+        F.col("cid").alias("cid"), blk.alias("ba"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec2"), F.col("emb").alias("e2"),
+        F.col("cid").alias("cid2"), blk.alias("bb"),
+    )
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(PAIR_BLOCKS) for j in range(PAIR_BLOCKS)],
+        "ga int, gb int",
+    )
+    ag = (
+        a.join(F.broadcast(grid), F.col("ba") == F.col("ga"))
+        .repartition(PAIR_BLOCKS * PAIR_BLOCKS, "cid", "gb")
+    )
+    return (
+        ag.join(
+            b,
+            (F.col("cid") == F.col("cid2"))
+            & (F.col("gb") == F.col("bb"))
+            & (F.col("vec1") < F.col("vec2")),
+        )
+        .select("vec1", "e1", "vec2", "e2", "cid")
+    )
+
+
 SEMDEDUP_COS = 0.4  # within-cluster cosine threshold (SemDeDup epsilon).
 # The fixture corpus is pure-random (no planted semantic duplicates: the
 # max within-cluster cosine is ~0.6), so production epsilon (~0.95) would
@@ -864,21 +914,15 @@ def semantic_cluster_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb, pairs = _kmeans_model(spark, sf_dir)
     assigned = _assign_with_dist(emb, pairs).select("vec_id", "emb", "cid")
-    a = assigned.select(
-        F.col("vec_id").alias("vec1"), F.col("emb").alias("e1"), F.col("cid").alias("c1")
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("vec2"), F.col("emb").alias("e2"), F.col("cid").alias("c2")
-    )
     cos = _dot(F.col("e1"), F.col("e2")) / (_norm(F.col("e1")) * _norm(F.col("e2")))
     return (
-        a.join(b, (F.col("c1") == F.col("c2")) & (F.col("vec1") < F.col("vec2")))
+        _cell_pairs(assigned)
         .withColumn("cosine_raw", cos)
         .where(F.col("cosine_raw") >= SEMDEDUP_COS)
         .select(
             "vec1",
             "vec2",
-            F.col("c1").alias("cluster"),
+            F.col("cid").alias("cluster"),
             rnd("cosine_raw", 6).alias("cosine"),
         )
     )
@@ -1045,15 +1089,9 @@ def embedding_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb, pairs = _kmeans_model(spark, sf_dir)
     assigned = _assign_with_dist(emb, pairs).select("vec_id", "emb", "cid")
-    a = assigned.select(
-        F.col("vec_id").alias("vec1"), F.col("emb").alias("e1"), F.col("cid").alias("c1")
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("vec2"), F.col("emb").alias("e2"), F.col("cid").alias("c2")
-    )
     cos = _dot(F.col("e1"), F.col("e2")) / (_norm(F.col("e1")) * _norm(F.col("e2")))
     drops = (
-        a.join(b, (F.col("c1") == F.col("c2")) & (F.col("vec1") < F.col("vec2")))
+        _cell_pairs(assigned)
         .where(cos >= SEMDEDUP_COS)
         .select(F.col("vec2").alias("vec_id"))
         .distinct()

@@ -1,0 +1,108 @@
+"""One-shot sf1 scale probe (round-6 verdict ask #8).
+
+The shipped fixtures stop at sf0.1; this probe manufactures a 10x
+(sf1-scale) copy — documents 50k / embeddings 20k / events 1M rows, ids
+shifted per replica so key cardinality scales too — runs the round-6
+heavy hitters (`duplicate_paragraph_filter`, `kmv_merge_rollup`,
+`embedding_index_manifest`) once, and reports wall time + the FINAL
+(AQE-decided) exchange/broadcast counts, confirming the deliberately
+UNHINTED joins and two-level sketch merges keep sane plans past fixture
+scale. Off-bench by design: run manually (`python probe_sf1.py`), record
+the numbers in PERF.md.
+
+Replicated text/embeddings mean every paragraph/vector recurs 10x —
+a harsher duplicate workload than organic growth, which is the point:
+the paragraph filter's segment-frequency join and SemDeDup's pair stage
+see maximal hit rates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SRC = os.environ.get("SPARK_GRAFT_PROBE_SRC", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("SPARK_GRAFT_PROBE_COPIES", "10"))
+QUERIES = ("duplicate_paragraph_filter", "kmv_merge_rollup", "embedding_index_manifest")
+
+
+def _scale(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from flink_cookbook_spark.catalog import TABLES, load
+
+    sizes = {}
+    for name in TABLES:
+        df = load(spark, SRC, name)
+        if name == "documents":
+            n = df.count()
+            scaled = df
+            for i in range(1, COPIES):
+                scaled = scaled.unionByName(
+                    df.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
+                )
+        elif name == "embeddings":
+            n = df.count()
+            scaled = df
+            for i in range(1, COPIES):
+                scaled = scaled.unionByName(
+                    df.withColumn("vec_id", F.col("vec_id") + F.lit(i * n))
+                )
+        elif name == "events":
+            n_ev = df.count()
+            n_users = df.agg(F.max("user_id")).collect()[0][0] + 1
+            scaled = df
+            for i in range(1, COPIES):
+                scaled = scaled.unionByName(
+                    df.withColumn("event_id", F.col("event_id") + F.lit(i * n_ev))
+                    .withColumn("user_id", F.col("user_id") + F.lit(i * n_users))
+                )
+        else:
+            scaled = df  # dims the probe queries don't scale on
+        path = os.path.join(out_dir, f"{name}.parquet")
+        scaled.write.mode("overwrite").parquet(path)
+        sizes[name] = spark.read.parquet(path).count()
+    print(json.dumps({"probe_input_rows": sizes}), flush=True)
+
+
+def main() -> None:
+    from flink_cookbook_spark.pipeline._cache import clear
+    from flink_cookbook_spark.registry import get_query
+    from flink_cookbook_spark.session import get_spark
+
+    spark = get_spark(app_name="fcs-sf1-probe")
+    out_dir = tempfile.mkdtemp(prefix="fcs_sf1_")
+    try:
+        _scale(spark, out_dir)
+        clear()
+        results = {}
+        for name in QUERIES:
+            fn = get_query(name).fn
+            t0 = time.perf_counter()
+            df = fn(spark, out_dir)
+            n = df.count()
+            dt = round(time.perf_counter() - t0, 2)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            results[name] = {
+                "sec": dt,
+                "rows": n,
+                "shuffle_exchanges": plan.count("Exchange hashpartitioning"),
+                "broadcast_exchanges": plan.count("BroadcastExchange"),
+            }
+            print(json.dumps({name: results[name]}), flush=True)
+        print(json.dumps({"metric": "sf1_probe", "copies": COPIES, "queries": results}))
+    finally:
+        clear()
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -655,3 +655,24 @@ def test_sessionize_dynamic_gap_single_exchange(spark, sf_dir):
     df = sessionize_dynamic_gap(spark, sf_dir)
     assert count_exchanges(df) == 1
     assert not has_cartesian(df)
+
+
+def test_cell_pair_join_is_grid_parallel(spark, sf_dir):
+    """The SemDeDup within-cell pair self-join must shuffle on
+    (cid, block) at the PINNED grid width — never on the bare cell id.
+    Cell-id cardinality (N_CENTROIDS = 8) is below cluster parallelism,
+    and AQE coalesces the join's tiny INPUT into one partition while the
+    pair OUTPUT is quadratic in cell size: the round-7 sf1 probe caught
+    the un-gridded shape serializing ~10^8 cosine folds through a single
+    task (>15 min at 20k vectors; 122 s gridded). REPARTITION_BY_NUM is
+    the load-bearing detail — a user-specified width is exempt from AQE
+    input-size coalescing."""
+    from flink_cookbook_spark.pipeline._cache import clear
+    from flink_cookbook_spark.pipeline.similarity import PAIR_BLOCKS, semantic_cluster_dups
+
+    df = semantic_cluster_dups(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    width = PAIR_BLOCKS * PAIR_BLOCKS
+    assert f"gb#" in plan and f", {width}), REPARTITION_BY_NUM" in plan, plan
+    clear()

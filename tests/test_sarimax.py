@@ -137,6 +137,34 @@ def test_model_column_names_active_forecaster():
     assert recs and all(r["model"] == expect for r in recs)
 
 
+def test_resolve_method_covers_all_branches(monkeypatch):
+    """Dispatch-table completeness (round-6 verdict #6): every branch of
+    ``resolve_method`` is asserted, INCLUDING the statsmodels arm, which
+    is foreign-env-only — statsmodels is not installable in this
+    container, so the `auto -> sarimax` resolution is pinned here by
+    flipping the availability flag rather than by executing a fit (the
+    literal ``forecast_next`` sarimax branch runs only where statsmodels
+    exists; COVERAGE.md documents the gate)."""
+    import flink_cookbook_spark.streaming.sarimax as sx
+
+    # auto: availability-dependent, both directions
+    monkeypatch.setattr(sx, "HAVE_STATSMODELS", False)
+    assert sx.resolve_method(BaselineConfig(method="auto")) == "ewma"
+    assert sx.model_name(BaselineConfig(method="auto")) == "ewma_fallback"
+    monkeypatch.setattr(sx, "HAVE_STATSMODELS", True)
+    assert sx.resolve_method(BaselineConfig(method="auto")) == "sarimax"
+    assert sx.model_name(BaselineConfig(method="auto")) == "sarimax"
+    # explicit methods pass through untouched regardless of availability
+    for m in ("sarimax", "css", "ewma"):
+        assert sx.resolve_method(BaselineConfig(method=m)) == m
+    monkeypatch.setattr(sx, "HAVE_STATSMODELS", False)
+    for m in ("sarimax", "css", "ewma"):
+        assert sx.resolve_method(BaselineConfig(method=m)) == m
+    # unknown method is a loud error, not a silent fallback
+    with pytest.raises(ValueError, match="unknown forecast method"):
+        sx.forecast_next(np.arange(30.0), BaselineConfig(method="bogus"))
+
+
 def test_trend_window_matches_reference_days_rule():
     """_daily_trend_metrics twin: days = max(5, max_history // season)
     (flinkarima.py:240-244), trend_5season averages the whole trimmed
