@@ -58,16 +58,21 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and broadcast; the corpus side never moves."""
     emb = _emb_double(load(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+        _norm(F.col("emb")).alias("qn"),
     )
-    corpus = emb.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb"))
+    # candidate norms once per corpus row, not once per (query, cand)
+    # pair — same expression hoisted above the join, identical floats
+    corpus = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb"),
+        _norm(F.col("emb")).alias("cn"),
+    )
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .where(F.col("cand_id") != F.col("query_id"))
         .withColumn(
             "cosine_raw",
-            _dot(F.col("qemb"), F.col("cemb"))
-            / (_norm(F.col("qemb")) * _norm(F.col("cemb"))),
+            _dot(F.col("qemb"), F.col("cemb")) / (F.col("qn") * F.col("cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -372,9 +377,15 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, cells = _ivf_index(spark, sf_dir)
     queries = cells.where(F.col("vec_id") < N_QUERIES).select("vec_id", "emb")  # noqa: E501  (body continues below)
     probes = _probe_cells(queries, centroids, NPROBE).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), "cid"
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+        _norm(F.col("emb")).alias("qn"), "cid",
     )
-    cand = cells.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb"), "cid")
+    # candidate norms once per corpus row (hoisted above the join, same
+    # floats); candidates pay only the dot fold per probe hit
+    cand = cells.select(
+        F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb"), "cid",
+        _norm(F.col("emb")).alias("cn"),
+    )
     # a candidate owns ONE cell and a query's probe cells are distinct,
     # so each (query, candidate) pair joins at most once — no dedup step.
     scored = (
@@ -382,8 +393,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cand_id") != F.col("query_id"))
         .withColumn(
             "cosine_raw",
-            _dot(F.col("qemb"), F.col("cemb"))
-            / (_norm(F.col("qemb")) * _norm(F.col("cemb"))),
+            _dot(F.col("qemb"), F.col("cemb")) / (F.col("qn") * F.col("cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("cand_id").asc())
@@ -516,13 +526,17 @@ def embedding_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     withb = emb.select("vec_id", F.col("emb"), bucket.cast("int").alias("bucket"))
+    # norms once per vector BEFORE the bucket join; the pair stage pays
+    # only the dot fold (identical floats — same expression, hoisted)
     a = withb.select(
-        F.col("vec_id").alias("vec1"), F.col("emb").alias("e1"), F.col("bucket").alias("b1")
+        F.col("vec_id").alias("vec1"), F.col("emb").alias("e1"),
+        _norm(F.col("emb")).alias("n1"), F.col("bucket").alias("b1"),
     )
     b = withb.select(
-        F.col("vec_id").alias("vec2"), F.col("emb").alias("e2"), F.col("bucket").alias("b2")
+        F.col("vec_id").alias("vec2"), F.col("emb").alias("e2"),
+        _norm(F.col("emb")).alias("n2"), F.col("bucket").alias("b2"),
     )
-    cos = _dot(F.col("e1"), F.col("e2")) / (_norm(F.col("e1")) * _norm(F.col("e2")))
+    cos = _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
         a.join(b, (F.col("b1") == F.col("b2")) & (F.col("vec1") < F.col("vec2")))
         .withColumn("cosine_raw", cos)
@@ -846,7 +860,8 @@ register(
 #: partition while the pair OUTPUT is quadratic in cell size. Found
 #: empirically by the round-7 sf1 probe (probe_sf1.py): at 20k vectors
 #: the manifest's pair stage collapsed to a single task computing
-#: ~10^8 array-fold cosines (>15 min; 122 s after the fix). Each side
+#: ~10^8 array-fold cosines (>15 min; 122 s gridded; 31 s after also
+#: hoisting the per-vector norms out of the pair expression). Each side
 #: is therefore bucketed by an engine-internal hash of its vec_id into
 #: PAIR_BLOCKS blocks and joined through the PAIR_BLOCKS^2 block grid,
 #: with the left side explicitly repartitioned to the grid width —
@@ -859,15 +874,21 @@ PAIR_BLOCKS = 8
 def _cell_pairs(assigned: DataFrame) -> DataFrame:
     """Within-cell candidate pairs (``vec1 < vec2``) of ``assigned``
     (vec_id, emb, cid), parallelized via the block grid (see
-    ``PAIR_BLOCKS``). Output columns: vec1, e1, vec2, e2, cid."""
+    ``PAIR_BLOCKS``). Output columns: vec1, e1, n1, vec2, e2, n2, cid.
+    The L2 norms ship as the n1/n2 columns, computed ONCE PER VECTOR
+    before the join — the quadratic pair stage then pays only the dot
+    fold per pair, not two more norm folds (same expression, same
+    floats, 3x fewer fold evaluations in the hot stage)."""
     spark = assigned.sparkSession
     blk = F.pmod(F.hash(F.col("vec_id")), F.lit(PAIR_BLOCKS))
     a = assigned.select(
         F.col("vec_id").alias("vec1"), F.col("emb").alias("e1"),
+        _norm(F.col("emb")).alias("n1"),
         F.col("cid").alias("cid"), blk.alias("ba"),
     )
     b = assigned.select(
         F.col("vec_id").alias("vec2"), F.col("emb").alias("e2"),
+        _norm(F.col("emb")).alias("n2"),
         F.col("cid").alias("cid2"), blk.alias("bb"),
     )
     grid = spark.createDataFrame(
@@ -885,7 +906,7 @@ def _cell_pairs(assigned: DataFrame) -> DataFrame:
             & (F.col("gb") == F.col("bb"))
             & (F.col("vec1") < F.col("vec2")),
         )
-        .select("vec1", "e1", "vec2", "e2", "cid")
+        .select("vec1", "e1", "n1", "vec2", "e2", "n2", "cid")
     )
 
 
@@ -914,7 +935,7 @@ def semantic_cluster_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb, pairs = _kmeans_model(spark, sf_dir)
     assigned = _assign_with_dist(emb, pairs).select("vec_id", "emb", "cid")
-    cos = _dot(F.col("e1"), F.col("e2")) / (_norm(F.col("e1")) * _norm(F.col("e2")))
+    cos = _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
         _cell_pairs(assigned)
         .withColumn("cosine_raw", cos)
@@ -989,16 +1010,20 @@ def similarity_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), 16, 10,
     ).cast("long")
     sample = emb.where(coin % mod == 0).select("vec_id", "emb")
-    a = sample.select(F.col("vec_id").alias("ida"), F.col("emb").alias("ea"))
-    b = sample.select(F.col("vec_id").alias("idb"), F.col("emb").alias("eb"))
+    # norms once per sampled vector, not once per pair (same floats)
+    a = sample.select(
+        F.col("vec_id").alias("ida"), F.col("emb").alias("ea"),
+        _norm(F.col("emb")).alias("na"),
+    )
+    b = sample.select(
+        F.col("vec_id").alias("idb"), F.col("emb").alias("eb"),
+        _norm(F.col("emb")).alias("nb"),
+    )
     pairs = (
         a.crossJoin(b)
         .where(F.col("ida") < F.col("idb"))
         .select(
-            (
-                _dot(F.col("ea"), F.col("eb"))
-                / (_norm(F.col("ea")) * _norm(F.col("eb")))
-            ).alias("cos")
+            (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cos")
         )
     )
     # n*(n-1)/2 from ONE scalar count of the sample — not a count of the
@@ -1089,7 +1114,7 @@ def embedding_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb, pairs = _kmeans_model(spark, sf_dir)
     assigned = _assign_with_dist(emb, pairs).select("vec_id", "emb", "cid")
-    cos = _dot(F.col("e1"), F.col("e2")) / (_norm(F.col("e1")) * _norm(F.col("e2")))
+    cos = _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     drops = (
         _cell_pairs(assigned)
         .where(cos >= SEMDEDUP_COS)

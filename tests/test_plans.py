@@ -676,3 +676,32 @@ def test_cell_pair_join_is_grid_parallel(spark, sf_dir):
     width = PAIR_BLOCKS * PAIR_BLOCKS
     assert f"gb#" in plan and f", {width}), REPARTITION_BY_NUM" in plan, plan
     clear()
+
+
+def test_lateral_topn_decorrelates_to_window(spark, sf_dir):
+    """The correlated LATERAL (ORDER BY .. LIMIT per outer row) must be
+    decorrelated by Catalyst into the ranked-window shape — rank
+    computation + WindowGroupLimit pushdown — NEVER a per-outer-row
+    nested-loop re-execution. One keyed exchange; dims broadcast."""
+    from flink_cookbook_spark.operators.relational import lateral_topn_per_nation
+
+    df = lateral_topn_per_nation(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert not has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert count_exchanges(df) == 1
+
+
+def test_ntile_is_single_exchange_per_segment(spark, sf_dir):
+    """ntile banding must be one hash exchange on the segment key + one
+    window — a global-order ntile (empty partitionBy) would serialize
+    the corpus through a single sorted partition."""
+    from flink_cookbook_spark.operators.windows import ntile_segment_quartiles
+
+    df = ntile_segment_quartiles(spark, sf_dir)
+    assert count_exchanges(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the window's partition spec must be non-empty (keyed by segment)
+    assert "SinglePartition" not in plan, plan
