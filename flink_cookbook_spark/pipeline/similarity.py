@@ -215,6 +215,32 @@ FROM buckets GROUP BY bucket
 
 N_CENTROIDS = 8
 KMEANS_ITERS = 4
+#: target vectors per k-means/IVF cell: the cell count is ADAPTIVE,
+#: k = clamp(n // TARGET_CELL, N_CENTROIDS, MAX_CELLS), computed
+#: identically in Python and in-SQL (a scalar subquery over the same
+#: source), so cell population stays ~TARGET_CELL as the corpus grows
+#: and the within-cell pair stage scales LINEARLY in n instead of
+#: quadratically. At every shipped fixture SF (n <= 5000) the clamp
+#: floors at N_CENTROIDS = 8 — adaptive k changes NO fixture hash; the
+#: 30x probe is where it bites (60k vectors -> 234 cells). MAX_CELLS
+#: bounds the driver-held centroid matrix / broadcast row (4096 x 64
+#: doubles = 2 MB); beyond ~MAX_CELLS * TARGET_CELL (~1M) vectors the
+#: next tier is a two-level (IVF-in-IVF) quantizer, out of scope here.
+TARGET_CELL = 256
+MAX_CELLS = 4096
+
+
+def _adaptive_k(n: int, base: int = N_CENTROIDS) -> int:
+    """Cell count for an n-vector corpus (see ``TARGET_CELL``)."""
+    return min(max(base, n // TARGET_CELL), MAX_CELLS)
+
+
+def _adaptive_k_sql(source: str, base: int = N_CENTROIDS) -> str:
+    """The same clamp as a DuckDB scalar subquery over CTE ``source``."""
+    return (
+        f"(SELECT least(greatest({base}, count(*) // {TARGET_CELL}),"
+        f" {MAX_CELLS}) FROM {source})"
+    )
 #: hard cap on vectors used to train the coarse quantizer. The trainer
 #: collects a deterministic hash-sample of AT MOST ~this many vectors to
 #: the driver (<= 512 x 64 doubles = 256 KB here — the same driver-sized
@@ -330,7 +356,7 @@ def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     if not rows:  # empty corpus: no centroids, every downstream join empty
         return []
     X = np.array([r.emb for r in rows], dtype=np.float64)
-    k = min(N_CENTROIDS, len(X))
+    k = min(_adaptive_k(n), len(X))
     C = X[:k].copy()
     for _ in range(KMEANS_ITERS):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -458,7 +484,7 @@ c0 AS (
   SELECT cid, v AS c FROM (
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
     FROM s)
-  WHERE cid < {k}
+  WHERE cid < {_adaptive_k_sql("e")}
 )""",
     ]
     for i in range(KMEANS_ITERS):
@@ -770,7 +796,10 @@ def _kmeans_model(spark: SparkSession, sf_dir: str):
     )
 
     def train() -> list[tuple[int, list[float]]]:
-        seeds = emb.where(F.col("vec_id") < KM_K).collect()  # k rows, bounded
+        # adaptive cell count (floors at KM_K on every shipped fixture;
+        # grows as n // TARGET_CELL past ~2k vectors — see TARGET_CELL)
+        k = _adaptive_k(emb.count(), KM_K)
+        seeds = emb.where(F.col("vec_id") < k).collect()  # k rows, bounded
         pairs = [(int(r.vec_id), list(r.emb)) for r in sorted(seeds, key=lambda r: r.vec_id)]
         for _ in range(KM_ITERS):
             assigned = _assign_with_dist(emb, pairs)
@@ -824,7 +853,8 @@ c{i + 1} AS (
 
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
-        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < {KM_K})",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e"
+        f" WHERE vec_id < {_adaptive_k_sql('e', KM_K)})",
     ]
     for i in range(KM_ITERS):
         parts.append("," + assign(i))

@@ -404,6 +404,62 @@ def test_similarity_threshold_curve_counts_planted_pair(spark, tmp_path):
     assert not problems, problems
 
 
+def test_adaptive_k_parity_between_engines(spark, tmp_path):
+    """Adaptive cell count (k = clamp(n // TARGET_CELL, 8, MAX_CELLS)):
+    at every shipped fixture SF the clamp floors at 8, so this test
+    manufactures a corpus where it ENGAGES (n = 10 * TARGET_CELL + 40 ->
+    k = 10) and verifies (a) the Python clamp, (b) that the k-means and
+    SemDeDup queries still hash-match their oracles — i.e. the in-SQL
+    scalar-subquery clamp computes the same k and the unrolled Lloyd
+    replay stays engine-exact with a data-dependent cell count."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_cookbook_spark.pipeline._cache import clear
+    from flink_cookbook_spark.pipeline.similarity import (
+        KM_K, MAX_CELLS, TARGET_CELL, _adaptive_k,
+    )
+    from flink_cookbook_spark.registry import get_query
+    from tests.oracle_harness import compare
+
+    assert _adaptive_k(0) == 8 and _adaptive_k(5000) == 19
+    assert _adaptive_k(2000) == 8  # sf0.1 still floors at 8
+    assert _adaptive_k(10**9) == MAX_CELLS
+
+    n, dim = 10 * TARGET_CELL + 40, 64  # dim matches the corpus contract (DIM)
+    assert _adaptive_k(n, KM_K) == 10
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * n, type=pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path / 'embeddings.parquet'}'"
+    )
+    clear()  # fresh memo: do not reuse real-fixture centroids
+    try:
+        for name in ("kmeans_embeddings", "semantic_cluster_dups"):
+            spec = get_query(name)
+            df = spec.fn(spark, str(tmp_path))
+            assert df.select("cluster").distinct().count() == 10, name
+            problems = compare(df, con, spec.oracle, name)
+            assert not problems, problems
+    finally:
+        clear()
+
+
 def test_kmeans_lloyd_wcss_monotone(spark, sf_dir):
     """Each Lloyd update must not increase the within-cluster sum of
     squares — the convergence invariant of k-means. Checked over the real
