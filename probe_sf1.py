@@ -31,7 +31,28 @@ if REPO_ROOT not in sys.path:
 
 SRC = os.environ.get("SPARK_GRAFT_PROBE_SRC", "/root/testdata/sf0.1")
 COPIES = int(os.environ.get("SPARK_GRAFT_PROBE_COPIES", "10"))
-QUERIES = ("duplicate_paragraph_filter", "kmv_merge_rollup", "embedding_index_manifest")
+#: round-6 heavy hitters + one representative per expensive family
+#: (near-dup index join, LSH, dedup closure, basket pairs, TPC-H
+#: multi-join, as-of sweep, full SQL-expressible reference pipeline).
+_DEFAULT_QUERIES = (
+    "duplicate_paragraph_filter",
+    "kmv_merge_rollup",
+    "embedding_index_manifest",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "dedup_clusters",
+    "part_affinity",
+    "q21_waiting_suppliers",
+    "latest_baseline_join",
+    "pipeline_alerts_fallback_oracle",
+    "ivf_topk",
+    "sessionize",
+)
+QUERIES = tuple(
+    q.strip()
+    for q in os.environ.get("SPARK_GRAFT_PROBE_QUERIES", ",".join(_DEFAULT_QUERIES)).split(",")
+    if q.strip()
+)
 
 
 def _scale(spark, out_dir: str) -> None:
@@ -65,8 +86,25 @@ def _scale(spark, out_dir: str) -> None:
                     df.withColumn("event_id", F.col("event_id") + F.lit(i * n_ev))
                     .withColumn("user_id", F.col("user_id") + F.lit(i * n_users))
                 )
+        elif name in ("orders", "lineitem", "customer"):
+            # shift order/customer keys consistently across the three
+            # tables so join integrity survives the replication; part /
+            # supplier / nation stay dims (their keys are unshifted)
+            n_ord = load(spark, SRC, "orders").agg(F.max("o_orderkey")).collect()[0][0] + 1
+            n_cust = load(spark, SRC, "customer").agg(F.max("c_custkey")).collect()[0][0] + 1
+            shifts = {
+                "orders": [("o_orderkey", n_ord), ("o_custkey", n_cust)],
+                "lineitem": [("l_orderkey", n_ord)],
+                "customer": [("c_custkey", n_cust)],
+            }[name]
+            scaled = df
+            for i in range(1, COPIES):
+                rep = df
+                for col, base in shifts:
+                    rep = rep.withColumn(col, F.col(col) + F.lit(i * base))
+                scaled = scaled.unionByName(rep)
         else:
-            scaled = df  # dims the probe queries don't scale on
+            scaled = df  # true dims (region/nation/part/supplier) stay fixed
         path = os.path.join(out_dir, f"{name}.parquet")
         scaled.write.mode("overwrite").parquet(path)
         sizes[name] = spark.read.parquet(path).count()
