@@ -252,7 +252,8 @@ def _adaptive_k_sql(source: str, base: int = N_CENTROIDS) -> str:
 MAX_TRAIN_VECTORS = 512
 #: cells probed per query. nprobe=1 searches only the query's own cell
 #: and misses true neighbors that fall just across a Voronoi boundary;
-#: probing the 3 nearest of the 8 cells is the standard recall/cost dial
+#: probing the 3 nearest of the (adaptive-k, fixture: 8) cells is the
+#: standard recall/cost dial
 #: (recall pinned >= 0.64 in tests/test_pipeline.py at both fixture SFs).
 NPROBE = 3
 
@@ -885,7 +886,8 @@ register(
 
 #: block-grid parallelism for within-cell pair self-joins. The pair
 #: stage's natural join key is the cell id, whose cardinality
-#: (N_CENTROIDS = 8) is far below cluster parallelism — worse, AQE
+#: (adaptive, floored at N_CENTROIDS = 8 on the fixtures) can sit far
+#: below cluster parallelism — worse, AQE
 #: coalesces the join's tiny INPUT (a few MB of vectors) into ONE
 #: partition while the pair OUTPUT is quadratic in cell size. Found
 #: empirically by the round-7 sf1 probe (probe_sf1.py): at 20k vectors
@@ -1209,3 +1211,319 @@ FROM scaled
 """,
     tags=("similarity", "llm-pipeline", "end-to-end", "manifest"),
 )(embedding_index_manifest)
+
+
+# --------------------------------------------------------------------------
+# inverted multi-index (IMI): two-level product-space quantizer
+# --------------------------------------------------------------------------
+
+#: dimensionality of each product half (the 64-dim vector splits into
+#: two 32-dim subspaces, each quantized independently).
+IMI_SUBDIM = DIM // 2
+#: nearest half-cells probed per half; the probed cell set is the
+#: IMI_NPROBE x IMI_NPROBE grid of half-cell combinations.
+IMI_NPROBE = 2
+
+
+def _imi_k(n: int) -> int:
+    """Half-space cell count: ceil(sqrt(n / TARGET_CELL)) clamped to
+    [2, 64], so the k'^2 PRODUCT cells hold ~TARGET_CELL vectors each
+    while ASSIGNMENT pays only 2k' distance evaluations per vector —
+    the re-linearization flat IVF cannot offer (its assignment is
+    O(n x k) = O(n^2 / TARGET_CELL); see PERF.md round-7 asymptotics).
+    Mirrored in-SQL by ``_imi_oracle`` (integer m keeps ceil/sqrt
+    engine-portable: both engines take the IEEE sqrt of the same
+    integer-valued double)."""
+    import math
+
+    m = max(n // TARGET_CELL, 1)
+    return min(max(2, math.ceil(math.sqrt(m))), 64)
+
+
+def _imi_centroids(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[float]], list[list[float]]]:
+    """Train both half-space quantizers on ONE capped md5 sample (the
+    ``_kmeans_centroids`` recipe: count -> bounded collect -> numpy
+    Lloyd with first-k'-by-vec_id seeds, lowest-cid argmin ties,
+    empty-cluster carry). Returns (half-A centroids, half-B centroids),
+    each k' x IMI_SUBDIM — driver state is two tiny matrices."""
+    emb = _emb_double(load(spark, sf_dir, "embeddings")).select("vec_id", "emb")
+    n = emb.count()
+    mod = max(1, n // MAX_TRAIN_VECTORS)
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("imisample:"), F.col("vec_id").cast("string"))),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    rows = emb.where(coin % mod == 0).collect()
+    rows.sort(key=lambda r: r.vec_id)
+    if not rows:
+        return [], []
+    X = np.array([r.emb for r in rows], dtype=np.float64)
+    k = min(_imi_k(n), len(X))
+
+    def lloyd(H: np.ndarray) -> list[list[float]]:
+        C = H[:k].copy()
+        for _ in range(KMEANS_ITERS):
+            d2 = ((H[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cid = d2.argmin(axis=1)  # first (lowest) index on ties
+            for c in range(k):
+                members = H[cid == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        return [[float(v) for v in row] for row in C]
+
+    return lloyd(X[:, :IMI_SUBDIM]), lloyd(X[:, IMI_SUBDIM:])
+
+
+def _imi_broadcast_row(spark: SparkSession, ca, cb):
+    """Both centroid sets as ONE broadcast row of struct arrays."""
+    return spark.createDataFrame(
+        [(
+            [(i, [float(v) for v in c]) for i, c in enumerate(ca)],
+            [(i, [float(v) for v in c]) for i, c in enumerate(cb)],
+        )],
+        "ca_cents array<struct<cid: int, cemb: array<double>>>, "
+        "cb_cents array<struct<cid: int, cemb: array<double>>>",
+    )
+
+
+def _imi_half_exprs():
+    """(half-A slice, half-B slice, sqdist builder) shared by assignment
+    and probing."""
+    ha = F.slice(F.col("emb"), 1, IMI_SUBDIM)
+    hb = F.slice(F.col("emb"), IMI_SUBDIM + 1, IMI_SUBDIM)
+
+    def sqd(half, cemb):
+        return F.aggregate(
+            F.zip_with(half, cemb, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return ha, hb, sqd
+
+
+def _imi_cells(spark: SparkSession, sf_dir: str):
+    """(trained half-centroids, full-corpus (vec_id, emb, ca, cb, cn))
+    — memoized like the flat-IVF index; assignment is one map-only pass
+    computing BOTH half argmins from one broadcast row (2k' distance
+    folds per vector), plus the hoisted L2 norm for the scoring stage."""
+    from flink_cookbook_spark.pipeline._cache import memo_persist, memo_value
+
+    cents = memo_value(
+        spark, "imi_centroids", sf_dir, lambda: _imi_centroids(spark, sf_dir)
+    )
+    ca, cb = cents
+    emb = _emb_double(load(spark, sf_dir, "embeddings")).select("vec_id", "emb")
+
+    def build():
+        cdf = _imi_broadcast_row(spark, ca, cb)
+        ha, hb, sqd = _imi_half_exprs()
+
+        def best(cents_col, half):
+            return F.array_min(
+                F.transform(
+                    cents_col,
+                    lambda c: F.struct(sqd(half, c.cemb).alias("dist"), c.cid.alias("cid")),
+                )
+            ).getField("cid")
+
+        return emb.crossJoin(F.broadcast(cdf)).select(
+            "vec_id",
+            "emb",
+            best(F.col("ca_cents"), ha).alias("ca"),
+            best(F.col("cb_cents"), hb).alias("cb"),
+            _norm(F.col("emb")).alias("cn"),
+        )
+
+    cells = memo_persist(spark, "imi_cells", sf_dir, build)
+    return cents, cells
+
+
+def imi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level ANN via the INVERTED MULTI-INDEX (Babenko & Lempitsky,
+    CVPR 2012 — public literature): the vector splits into two halves,
+    each quantized independently by a k'-cell coarse quantizer, and a
+    vector's cell is the PAIR (ca, cb) — k'^2 effective cells at only
+    2k' assignment distance evaluations per vector. This is the
+    documented next tier past flat IVF (PERF.md round-7 asymptotics):
+    flat assignment is O(n x k) = O(n^2 / TARGET_CELL), IMI assignment
+    is O(n x sqrt(n / TARGET_CELL)) with the same ~TARGET_CELL expected
+    cell population. Queries probe the IMI_NPROBE x IMI_NPROBE grid of
+    nearest half-cells; exact cosine (hoisted norms) ranks within the
+    probed cells. A candidate owns exactly one (ca, cb) pair and probed
+    combos are distinct, so no dedup step is needed. At the shipped
+    fixture SFs k' = 2, so the 2x2 probe grid covers ALL cells and the
+    result provably equals brute force; the multi-index actually prunes
+    from ~1300 vectors up (k' >= 3), where the synthetic-corpus pytest
+    checks recall and the cross-engine hash."""
+    cents, cells = _imi_cells(spark, sf_dir)
+    ca, cb = cents
+    queries = cells.where(F.col("vec_id") < N_QUERIES).select("vec_id", "emb")
+    cdf = _imi_broadcast_row(spark, ca, cb)
+    ha, hb, sqd = _imi_half_exprs()
+
+    def topn(cents_col, half):
+        ranked = F.slice(
+            F.array_sort(
+                F.transform(
+                    cents_col,
+                    lambda c: F.struct(sqd(half, c.cemb).alias("dist"), c.cid.alias("cid")),
+                )
+            ),
+            1,
+            IMI_NPROBE,
+        )
+        return F.transform(ranked, lambda x: x.cid)
+
+    probes = (
+        queries.crossJoin(F.broadcast(cdf))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            _norm(F.col("emb")).alias("qn"),
+            F.explode(topn(F.col("ca_cents"), ha)).alias("ca"),
+            topn(F.col("cb_cents"), hb).alias("pbs"),
+        )
+        .select(
+            "query_id", "qemb", "qn", "ca", F.explode("pbs").alias("cb")
+        )
+    )
+    cand = cells.select(
+        F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb"), "ca", "cb", "cn"
+    )
+    scored = (
+        cand.join(F.broadcast(probes), ["ca", "cb"])
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_raw",
+            _dot(F.col("qemb"), F.col("cemb")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_raw").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "rk", "cand_id", rnd("cosine_raw", 6).alias("cosine"))
+    )
+
+
+def _imi_oracle() -> str:
+    """Full IMI replay as unrolled CTEs: TWO independent half-space
+    Lloyd chains (suffix x/y) over the same md5 'imisample' coin —
+    sample modulus AND half-cell count k' both derived in-SQL from the
+    corpus count exactly as the Python trainer derives them — then
+    full-corpus (ca, cb) product-cell assignment, the
+    IMI_NPROBE x IMI_NPROBE probe grid per query, and the within-cell
+    cosine top-k over FULL vectors. Same determinism contract as
+    ``_ivf_oracle``: seeds = first k' sample vectors by vec_id,
+    (dist, cid) tie-breaks, empty-cluster coalesce carry."""
+    sd, fin = IMI_SUBDIM, KMEANS_ITERS
+    kexpr = (
+        f"(SELECT least(greatest(2, CAST(ceil(sqrt(greatest(count(*) // "
+        f"{TARGET_CELL}, 1))) AS BIGINT)), 64) FROM e)"
+    )
+
+    def chain(t: str, lo: int) -> list[str]:
+        parts = [f""",
+h{t} AS (SELECT vec_id, v[{lo}:{lo + sd - 1}] AS v FROM e),
+s{t} AS (
+  SELECT vec_id, v FROM h{t}
+  WHERE CAST('0x' || substr(md5('imisample:' || CAST(vec_id AS VARCHAR)), 1, 15)
+             AS BIGINT)
+        % (SELECT greatest(1, count(*) // {MAX_TRAIN_VECTORS}) FROM e) = 0
+),
+c{t}0 AS (
+  SELECT cid, v AS c FROM (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+    FROM s{t})
+  WHERE cid < {kexpr}
+)"""]
+
+        def assign(i: int, src: str) -> str:
+            return f""",
+d{t}{i} AS (
+  SELECT e.vec_id, e.v, c.cid,
+         list_sum(list_transform(range(1, {sd + 1}),
+                  i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS sqd
+  FROM {src} e CROSS JOIN c{t}{i} c
+),
+a{t}{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cid) AS rk
+    FROM d{t}{i})
+  WHERE rk = 1
+)"""
+
+        def update(i: int) -> str:
+            return f""",
+c{t}{i + 1} AS (
+  SELECT c.cid, coalesce(u.c, c.c) AS c
+  FROM c{t}{i} c LEFT JOIN (
+    SELECT cid, list(m ORDER BY i) AS c
+    FROM (SELECT cid, g.i AS i, avg(v[g.i]) AS m
+          FROM a{t}{i} CROSS JOIN generate_series(1, {sd}) AS g(i)
+          GROUP BY cid, g.i)
+    GROUP BY cid
+  ) u ON c.cid = u.cid
+)"""
+
+        for i in range(fin):
+            parts.append(assign(i, f"s{t}"))
+            parts.append(update(i))
+        parts.append(assign(fin, f"h{t}"))  # full half-corpus assignment
+        parts.append(f""",
+p{t} AS (
+  SELECT q.vec_id, c.cid,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_sum(list_transform(range(1, {sd + 1}),
+                                     i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))),
+                                     c.cid) AS prk
+  FROM (SELECT vec_id, v FROM h{t} WHERE vec_id < {N_QUERIES}) q
+  CROSS JOIN c{t}{fin} c
+)""")
+        return parts
+
+    parts = ["WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    parts += chain("x", 1)
+    parts += chain("y", IMI_SUBDIM + 1)
+    parts.append(f""",
+cells AS (
+  SELECT x.vec_id, x.cid AS ca, y.cid AS cb
+  FROM a{'x'}{fin} x JOIN a{'y'}{fin} y USING (vec_id)
+),
+grid AS (
+  SELECT x.vec_id, x.cid AS ca, y.cid AS cb
+  FROM px x JOIN py y USING (vec_id)
+  WHERE x.prk <= {IMI_NPROBE} AND y.prk <= {IMI_NPROBE}
+),
+scored AS (
+  SELECT g.vec_id AS query_id, cl.vec_id AS cand_id,
+         list_dot_product(q.v, c2.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c2.v, c2.v)))
+           AS cosine_raw
+  FROM grid g
+  JOIN cells cl ON cl.ca = g.ca AND cl.cb = g.cb AND cl.vec_id != g.vec_id
+  JOIN e q ON q.vec_id = g.vec_id
+  JOIN e c2 ON c2.vec_id = cl.vec_id
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
+       round(cosine_raw + 1e-6, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_raw DESC, cand_id ASC) AS rk
+      FROM scored)
+WHERE rk <= {TOP_K}""")
+    return "\n".join(parts)
+
+
+register(
+    "imi_topk",
+    oracle=_imi_oracle(),
+    tags=("similarity", "llm-pipeline", "imi", "ann", "two-level"),
+)(imi_topk)

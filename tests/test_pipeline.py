@@ -161,6 +161,77 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert hits / total >= 0.64, f"IVF recall {hits}/{total}"
 
 
+def test_imi_topk_fixture_equals_brute_and_prunes_when_engaged(spark, sf_dir, tmp_path):
+    """Two contracts for the inverted multi-index:
+
+    1. At the shipped fixture SFs k' = 2, so the 2x2 probe grid covers
+       every product cell and imi_topk must EQUAL brute-force cosine
+       top-k exactly (not just high recall).
+    2. On a synthetic corpus big enough to engage the clamp
+       (n = 5 * TARGET_CELL + 40 -> k' = 3, 9 cells, 4 probed), the
+       index must actually PRUNE (candidate set < corpus), keep recall
+       above a floor, and still hash-match the unrolled double-Lloyd
+       DuckDB oracle — the cross-engine proof at engaged scale."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_cookbook_spark.pipeline._cache import clear
+    from flink_cookbook_spark.pipeline.similarity import (
+        TARGET_CELL, TOP_K, _imi_k, cosine_topk, imi_topk,
+    )
+    from flink_cookbook_spark.registry import get_query
+    from tests.oracle_harness import compare
+
+    # contract 1: fixture-scale equality with brute force
+    exact = {(r.query_id, r.rk): r.cand_id for r in cosine_topk(spark, sf_dir).collect()}
+    mine = {(r.query_id, r.rk): r.cand_id for r in imi_topk(spark, sf_dir).collect()}
+    assert mine == exact
+
+    # contract 2: engaged-scale pruning + recall + cross-engine hash
+    n, dim = 5 * TARGET_CELL + 40, 64
+    assert _imi_k(n) == 3
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * n, type=pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    clear()
+    try:
+        spec = get_query("imi_topk")
+        out = spec.fn(spark, str(tmp_path)).collect()
+        brute = {}
+        for r in cosine_topk(spark, str(tmp_path)).collect():
+            brute.setdefault(r.query_id, set()).add(r.cand_id)
+        approx = {}
+        for r in out:
+            approx.setdefault(r.query_id, set()).add(r.cand_id)
+        hits = sum(len(brute[q] & approx.get(q, set())) for q in brute)
+        total = sum(len(v) for v in brute.values())
+        # isotropic gaussians are the WORST case for space partitioning;
+        # the floor pins "useful", the oracle pins "correct"
+        assert hits / total >= 0.3, f"IMI recall {hits}/{total}"
+        assert all(len(v) == TOP_K for v in approx.values())
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path / 'embeddings.parquet'}'"
+        )
+        problems = compare(spec.fn(spark, str(tmp_path)), con, spec.oracle, "imi_topk")
+        assert not problems, problems
+    finally:
+        clear()
+
+
 def test_registry_consistency():
     """The driver contract must expose the full registered surface."""
     import __spark_entry__ as e

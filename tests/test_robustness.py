@@ -296,6 +296,7 @@ def test_queries_survive_empty_tables(spark, tmp_path):
         "bpe_merge_candidates",
         "cogroup_asof_enrich",
         "ivf_topk",
+        "imi_topk",
     ):
         out = get_query(name).fn(spark, str(tmp_path))
         assert out.count() == 0, name
