@@ -797,3 +797,33 @@ def test_multi_touch_credit_conserves_conversions(spark, sf_dir):
     total_credit = sum(r.total_credit for r in rows)
     assert abs(total_credit - round(total_credit)) < 0.05
     assert total_credit > 0
+
+
+def test_adaptive_clamp_parity_sweep():
+    """The adaptive cell counts are derived from the corpus count on
+    BOTH engines; any divergence would silently shear the oracle from
+    the query at exactly one corpus size. Sweep n across the clamp's
+    whole behavior range (floors, growth region, caps, perfect squares
+    — the ceil(sqrt()) edge) and require bit-equality between the
+    Python derivation and DuckDB evaluating the oracle's expression."""
+    import duckdb
+
+    from flink_cookbook_spark.pipeline.similarity import (
+        MAX_CELLS, TARGET_CELL, _adaptive_k, _imi_k,
+    )
+
+    con = duckdb.connect()
+    ns = list(range(0, 3000, 97)) + [
+        256 * 9, 256 * 9 + 1, 256 * 16, 256 * 25,  # perfect-square m
+        10**5, 10**6, 10**7, 2 * 10**9,
+    ]
+    for n in ns:
+        k_sql = con.execute(
+            f"SELECT least(greatest(8, {n} // {TARGET_CELL}), {MAX_CELLS})"
+        ).fetchone()[0]
+        assert _adaptive_k(n) == k_sql, n
+        kp_sql = con.execute(
+            f"SELECT least(greatest(2, CAST(ceil(sqrt(greatest({n} // "
+            f"{TARGET_CELL}, 1))) AS BIGINT)), 64)"
+        ).fetchone()[0]
+        assert _imi_k(n) == kp_sql, n
