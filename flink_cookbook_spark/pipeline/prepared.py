@@ -1,0 +1,364 @@
+"""Operators PREPARED in round 7 for round-8 registration.
+
+Each entry in ``PREPARED_R8`` is a complete (query fn, DuckDB oracle)
+pair verified by tests/test_prepared.py through the SAME comparison
+harness the driver uses (row count + column set + order-insensitive
+value hash) at the test SFs — the correctness work is done now.
+
+They are deliberately NOT ``register()``-ed yet: the driver's bounded
+per-round correctness window (~50 entries) runs pending registrations
+FIRST, ahead of stale re-proofs, and round 7 must drain the pre-round-3
+re-proof backlog (round-6 verdict ask #3: "after r7 no latest record
+predates r3"). With 11 queries already pending this round, these five
+would have displaced exactly five of the 38 backlog re-proofs. Round 8
+activates each entry with a one-line ``register(name, oracle=...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.registry import rnd
+
+
+# --------------------------------------------------------------------------
+# 1. product-quantization reconstruction manifest (vector compression)
+# --------------------------------------------------------------------------
+
+def pq_reconstruction_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION compression manifest: each vector's PQ code
+    is its pair of IMI half-cell ids (ca, cb) — log2(k'^2) bits instead
+    of 64 floats — and the stored reconstruction is the concatenation of
+    the two half-centroids. Emits per vector the code and the
+    reconstruction MSE, i.e. the quality ledger a compressed vector
+    store ships alongside its codes (the same role int8 scales play in
+    ``embedding_index_manifest``, at a far higher compression ratio).
+
+    Scale shape: reuses the memoized IMI index (training cost already
+    paid; assignment map-only); reconstruction + MSE are zero-shuffle
+    array math against the broadcast centroid row."""
+    from flink_cookbook_spark.pipeline.similarity import (
+        DIM, _imi_broadcast_row, _imi_cells,
+    )
+
+    cents, cells = _imi_cells(spark, sf_dir)
+    ca, cb = cents
+    cdf = _imi_broadcast_row(spark, ca, cb)
+    rec_a = F.element_at(
+        F.filter(F.col("ca_cents"), lambda c: c.cid == F.col("ca")), 1
+    ).getField("cemb")
+    rec_b = F.element_at(
+        F.filter(F.col("cb_cents"), lambda c: c.cid == F.col("cb")), 1
+    ).getField("cemb")
+    recon = F.concat(rec_a, rec_b)
+    mse = (
+        F.aggregate(
+            F.zip_with(F.col("emb"), recon, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(DIM))
+    )
+    return (
+        cells.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "ca", "cb", rnd(mse, 8).alias("mse"))
+    )
+
+
+def _pq_oracle() -> str:
+    """Reuses the IMI oracle's unrolled double-Lloyd chains verbatim
+    (everything through the ``cells`` CTE; the probe CTEs ride along
+    unused — DuckDB permits unreferenced CTEs), then reconstructs each
+    vector as half-centroid concatenation and replays the MSE."""
+    from flink_cookbook_spark.pipeline.similarity import (
+        DIM, KMEANS_ITERS, _imi_oracle,
+    )
+
+    full = _imi_oracle()
+    prefix = full[: full.index(",\ngrid AS")]
+    fin = KMEANS_ITERS
+    return (
+        prefix
+        + f""",
+recon AS (
+  SELECT cl.vec_id, cl.ca, cl.cb, cx.c || cy.c AS rv
+  FROM cells cl
+  JOIN cx{fin} cx ON cx.cid = cl.ca
+  JOIN cy{fin} cy ON cy.cid = cl.cb
+)
+SELECT r.vec_id, r.ca, r.cb,
+       round(list_sum(list_transform(range(1, {DIM + 1}),
+             i -> (e.v[i] - r.rv[i]) * (e.v[i] - r.rv[i]))) / {DIM} + 1e-6, 8)
+         AS mse
+FROM recon r JOIN e ON e.vec_id = r.vec_id
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. as-of join with freshness tolerance
+# --------------------------------------------------------------------------
+
+#: maximum allowed staleness (seconds) of the matched right row.
+ASOF_TOLERANCE_S = 3600
+
+
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH A FRESHNESS TOLERANCE: each purchase is enriched
+    with the user's latest prior-or-equal view ONLY when that view is at
+    most ``ASOF_TOLERANCE_S`` old — an as-of match staler than the
+    tolerance is reported as no-match (NULLs + fresh=false), the
+    standard guard against attributing to long-dead context. Same
+    single-shuffle union+sweep machinery as ``latest_baseline_join``
+    (never a range join); the tolerance is a post-sweep projection, so
+    the plan cost is identical to the untolerated join."""
+    from flink_cookbook_spark.operators.metrics import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", sec.alias("t"), "value"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id", sec.alias("vt"), F.col("value").alias("view_value"))
+        # dedupe exact-tie timestamps keeping MAX value, mirroring the
+        # sweep's deterministic value-ordered tie-break
+        .groupBy("user_id", "vt")
+        .agg(F.max("view_value").alias("view_value"))
+    )
+    j = asof_join(
+        purchases, views,
+        key="user_id", left_ts="t", right_ts="vt",
+        value_cols=["view_value"], how="left",
+    )
+    fresh = F.col("t") - F.col("vt_asof") <= ASOF_TOLERANCE_S
+    return j.select(
+        "user_id",
+        "event_id",
+        "t",
+        rnd("value", 4).alias("value"),
+        F.when(fresh, F.col("vt_asof")).alias("view_t_fresh"),
+        rnd(F.when(fresh, F.col("view_value_asof")), 4).alias("view_value_fresh"),
+        F.coalesce(fresh, F.lit(False)).alias("fresh"),
+    )
+
+
+_ASOF_TOLERANCE_ORACLE = f"""
+WITH p AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, vt, max(view_value) AS view_value FROM (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS vt,
+           value AS view_value
+    FROM events WHERE event_type = 'view'
+  ) GROUP BY user_id, vt
+),
+j AS (
+  SELECT p.user_id, p.event_id, p.t, p.value, v.vt, v.view_value
+  FROM p ASOF LEFT JOIN v
+    ON p.user_id = v.user_id AND p.t >= v.vt
+)
+SELECT user_id, event_id, t,
+       round(value + 1e-6, 4) AS value,
+       CASE WHEN t - vt <= {ASOF_TOLERANCE_S} THEN vt END AS view_t_fresh,
+       round(CASE WHEN t - vt <= {ASOF_TOLERANCE_S} THEN view_value END
+             + 1e-6, 4) AS view_value_fresh,
+       coalesce(t - vt <= {ASOF_TOLERANCE_S}, false) AS fresh
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. stratified train/val/test split manifest
+# --------------------------------------------------------------------------
+
+#: md5-coin decile boundaries: 0-7 train, 8 val, 9 test.
+SPLIT_TRAIN_UPTO = 8
+SPLIT_VAL_UPTO = 9
+
+
+def stratified_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED train/val/test split manifest: every
+    document lands in exactly one split via an md5 decile coin (stable
+    under reshuffles, re-runs, and engine changes — never rand()), and
+    the manifest reports per (lang, source) stratum how many documents
+    each split holds and its share WITHIN the stratum — the ledger that
+    makes an 80/10/10 split auditable per stratum rather than only in
+    aggregate. One hash aggregate + a window over the tiny
+    strata x splits result."""
+    docs = load(spark, sf_dir, "documents")
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long")
+        % 10
+    )
+    split = (
+        F.when(coin < SPLIT_TRAIN_UPTO, "train")
+        .when(coin < SPLIT_VAL_UPTO, "val")
+        .otherwise("test")
+    )
+    agg = docs.groupBy("lang", "source", split.alias("split")).agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("lang", "source")
+    return agg.select(
+        "lang", "source", "split", "n_docs",
+        rnd(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("stratum_share"),
+    )
+
+
+_SPLIT_ORACLE = f"""
+WITH coined AS (
+  SELECT lang, source,
+         CASE
+           WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 10 < {SPLIT_TRAIN_UPTO} THEN 'train'
+           WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 10 < {SPLIT_VAL_UPTO} THEN 'val'
+           ELSE 'test' END AS split
+  FROM documents
+),
+agg AS (
+  SELECT lang, source, split, count(*) AS n_docs
+  FROM coined GROUP BY 1, 2, 3
+)
+SELECT lang, source, split, n_docs,
+       round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang, source)
+             + 1e-6, 6) AS stratum_share
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. approx-percentile accuracy contract
+# --------------------------------------------------------------------------
+
+#: Spark approx_percentile accuracy parameter: rank error <= n/accuracy.
+APPROX_PCT_ACCURACY = 1000
+
+
+def approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy CONTRACT for the approximate percentile sketch (the
+    ``agg_approx_distinct`` pattern applied to quantiles): per event
+    type, the exact p50/p95 next to booleans asserting that Spark's
+    ``approx_percentile`` landed within its documented rank-error bound
+    (<= n/accuracy, +1 for interpolation slack). The sketch value itself
+    is implementation-defined and CANNOT be replayed by another engine —
+    what IS cross-engine checkable is the exact percentiles and that the
+    bound HELD, which is precisely the property production code relies
+    on. Two aggregates over the same exchange: sketch + exact, then one
+    rank-counting join of the 4-row result against the corpus."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    g = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], APPROX_PCT_ACCURACY).alias("ap"),
+        F.expr("percentile(value, array(0.5, 0.95))").alias("ex"),
+        F.count("*").alias("n"),
+    ).select(
+        "event_type", "n",
+        F.col("ap")[0].alias("a50"), F.col("ap")[1].alias("a95"),
+        F.col("ex")[0].alias("e50"), F.col("ex")[1].alias("e95"),
+    )
+    ranks = (
+        ev.join(F.broadcast(g), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") <= F.col("a50")).cast("long")).alias("r50"),
+            F.sum((F.col("value") <= F.col("a95")).cast("long")).alias("r95"),
+        )
+    )
+    out = g.join(ranks, "event_type")
+    slack = F.col("n") / F.lit(APPROX_PCT_ACCURACY) + F.lit(1.0)
+    return out.select(
+        "event_type",
+        "n",
+        rnd("e50", 4).alias("exact_p50"),
+        rnd("e95", 4).alias("exact_p95"),
+        (F.abs(F.col("r50") - 0.5 * F.col("n")) <= slack).alias("p50_within_bound"),
+        (F.abs(F.col("r95") - 0.95 * F.col("n")) <= slack).alias("p95_within_bound"),
+    )
+
+
+_APPROX_PCT_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5) + 1e-6, 4) AS exact_p50,
+       round(quantile_cont(value, 0.95) + 1e-6, 4) AS exact_p95,
+       true AS p50_within_bound,
+       true AS p95_within_bound
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# 5. language-ID confusion matrix
+# --------------------------------------------------------------------------
+
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-predicted language CONFUSION MATRIX over the marker
+    language-ID heuristic (``lang_id_heuristic``): per (declared,
+    predicted) cell the document count and its share of the declared
+    class — the row-normalized matrix quality teams read before trusting
+    a classifier to gate a corpus. Composes the per-doc classifier with
+    one tiny aggregate + window."""
+    from flink_cookbook_spark.pipeline.text import lang_id_heuristic
+
+    per_doc = lang_id_heuristic(spark, sf_dir)
+    agg = per_doc.groupBy("declared_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("declared_lang")
+    return agg.select(
+        "declared_lang", "predicted_lang", "n_docs",
+        rnd(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share_of_declared"),
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    from flink_cookbook_spark.pipeline.text import STOPWORDS
+
+    stop_in = ", ".join(repr(s) for s in STOPWORDS)
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+m AS (
+  SELECT lang AS declared_lang,
+         CASE WHEN CAST(len(list_filter(ts, x -> x IN ({stop_in}))) AS DOUBLE)
+                   / len(ts) >= 0.05
+              THEN 'en' ELSE 'other' END AS predicted_lang
+  FROM t
+),
+agg AS (
+  SELECT declared_lang, predicted_lang, count(*) AS n_docs
+  FROM m GROUP BY 1, 2
+)
+SELECT declared_lang, predicted_lang, n_docs,
+       round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY declared_lang)
+             + 1e-6, 6) AS share_of_declared
+FROM agg
+"""
+
+
+def _prepared() -> dict[str, tuple]:
+    return {
+        "pq_reconstruction_manifest": (pq_reconstruction_manifest, _pq_oracle()),
+        "asof_tolerance_join": (asof_tolerance_join, _ASOF_TOLERANCE_ORACLE),
+        "stratified_split_manifest": (stratified_split_manifest, _SPLIT_ORACLE),
+        "approx_percentile_accuracy": (approx_percentile_accuracy, _APPROX_PCT_ORACLE),
+        "lang_confusion_matrix": (lang_confusion_matrix, _lang_confusion_oracle()),
+    }
+
+
+#: name -> (query fn, oracle SQL). Round 8: for each entry,
+#: ``register(name, oracle=oracle)(fn)`` (and move the fn into its
+#: family module if desired). Until then tests/test_prepared.py holds
+#: every pair to the driver-identical comparison contract.
+PREPARED_R8 = _prepared()
