@@ -81,3 +81,26 @@ def test_pq_code_compresses_and_reconstructs(spark, sf_dir):
     assert all(r.ca >= 0 and r.cb >= 0 for r in rows)
     assert all(r.mse >= 0 for r in rows)
     assert any(r.mse > 0 for r in rows)
+
+
+def test_prepared_names_do_not_collide_with_registry():
+    """A prepared name colliding with a registered query would make the
+    round-8 activation a duplicate-registration error; also hold
+    prepared oracles to the HUGEINT lint early (same DESCRIBE check the
+    registry enforces)."""
+    import duckdb
+
+    from flink_cookbook_spark.registry import all_specs
+    from tests.conftest import SF_DIR
+
+    registered = set(all_specs())
+    clashes = registered & set(PREPARED_R8)
+    assert not clashes, clashes
+    con = duckdb_connection(SF_DIR)
+    offenders = []
+    for name, (_, oracle) in sorted(PREPARED_R8.items()):
+        for col, typ, *_ in con.execute("DESCRIBE " + oracle).fetchall():
+            if "HUGEINT" in typ.upper():
+                offenders.append(f"{name}.{col}: {typ}")
+    con.close()
+    assert not offenders, offenders
