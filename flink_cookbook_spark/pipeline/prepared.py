@@ -347,6 +347,139 @@ FROM agg
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# 6. MinHash band-configuration sensitivity sweep
+# --------------------------------------------------------------------------
+
+#: (bands, rows-per-band) configurations swept over the SAME 16
+#: signatures: b x r = 16 throughout, trading precision against recall
+#: (P(candidate) = 1 - (1 - j^r)^b).
+BAND_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+
+
+def minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BANDING CALIBRATION (the minhash sibling of
+    ``similarity_threshold_curve``): sweep (bands, rows) configurations
+    over the already-memoized 16-hash signatures and report, per
+    config, how many candidate pairs the band join would generate and
+    how many TRUE near-dup pairs (exact Jaccard >= 0.5) it covers —
+    the precision/recall dial operators turn before an LSH rollout.
+    Every config reuses the one signature table; candidates are
+    band-key equi-joins (never corpus^2); true pairs come from the
+    exact inverted-index join, computed once."""
+    from flink_cookbook_spark.pipeline.dedup import (
+        _minhash_signatures_df, ngram_jaccard_pairs,
+    )
+
+    sigs = _minhash_signatures_df(spark, sf_dir)
+    true_pairs = (
+        ngram_jaccard_pairs(spark, sf_dir).select("doc1", "doc2").distinct()
+    )
+    legs = []
+    for b, r in BAND_CONFIGS:
+        keys = [
+            F.concat_ws(
+                ":", F.lit(band), *[F.col(f"mh{band * r + i}") for i in range(r)]
+            )
+            for band in range(b)
+        ]
+        banded = sigs.select(
+            "doc_id", F.explode(F.array(*keys)).alias("band_key")
+        )
+        cands = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+            )
+            .distinct()
+        )
+        covered = cands.join(true_pairs, ["doc1", "doc2"]).count()
+        n_cands = cands.count()
+        legs.append((b, r, n_cands, covered))
+    n_true = true_pairs.count()
+    out = spark.createDataFrame(
+        [
+            (b, r, n, c, n_true)
+            for b, r, n, c in legs
+        ],
+        "bands int, rows_per_band int, n_candidate_pairs long, "
+        "n_true_covered long, n_true_pairs long",
+    )
+    return out.select(
+        "bands", "rows_per_band", "n_candidate_pairs", "n_true_covered",
+        "n_true_pairs",
+        rnd(
+            F.col("n_true_covered")
+            / F.greatest(F.col("n_true_pairs"), F.lit(1)).cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _band_sensitivity_oracle() -> str:
+    from flink_cookbook_spark.pipeline.dedup import (
+        _JACCARD_PAIRS_ORACLE, _SHINGLES_CTE, _minhash_sql_cols,
+    )
+
+    legs = []
+    for b, r in BAND_CONFIGS:
+        keys = []
+        for band in range(b):
+            parts = " || ':' || ".join(
+                f"CAST(mh{band * r + i} AS VARCHAR)" for i in range(r)
+            )
+            keys.append(f"CAST({band} AS VARCHAR) || ':' || {parts}")
+        keys_sql = ", ".join(keys)
+        legs.append(f"""
+SELECT {b} AS bands, {r} AS rows_per_band,
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+          FROM (SELECT doc_id, unnest([{keys_sql}]) AS band_key FROM sigs) a
+          JOIN (SELECT doc_id, unnest([{keys_sql}]) AS band_key FROM sigs) b
+            ON a.band_key = b.band_key AND a.doc_id < b.doc_id)) AS n_candidate_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+          FROM (SELECT doc_id, unnest([{keys_sql}]) AS band_key FROM sigs) a
+          JOIN (SELECT doc_id, unnest([{keys_sql}]) AS band_key FROM sigs) b
+            ON a.band_key = b.band_key AND a.doc_id < b.doc_id) c
+        JOIN tp ON c.doc1 = tp.doc1 AND c.doc2 = tp.doc2) AS n_true_covered""")
+        # Spark's concat_ws on a leading int literal renders identically
+        # (no trailing .0) because the band index is a string-cast int
+    union = "\nUNION ALL\n".join(legs)
+    # true pairs from the exact-Jaccard oracle, shingles CTE shared
+    jacc_body = _JACCARD_PAIRS_ORACLE.split("WITH ", 1)[1]
+    return f"""
+WITH {jacc_body.split("SELECT doc1, doc2,", 1)[0].rstrip().rstrip(")").rstrip() + ")"} ,
+tp AS (
+  SELECT doc1, doc2 FROM inter
+  JOIN sizes sa ON doc1 = sa.doc_id
+  JOIN sizes sb ON doc2 = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+),
+sigs AS (
+  SELECT doc_id,
+         {_minhash_sql_cols()}
+  FROM shingles GROUP BY doc_id
+),
+ntrue AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM tp),
+cfg AS (
+{union}
+)
+SELECT cfg.bands, cfg.rows_per_band, cfg.n_candidate_pairs,
+       cfg.n_true_covered, nt.n_true_pairs,
+       round(cfg.n_true_covered * 1.0 / greatest(nt.n_true_pairs, 1) + 1e-6, 6)
+         AS recall
+FROM cfg CROSS JOIN ntrue nt
+"""
+
+
 def _prepared() -> dict[str, tuple]:
     return {
         "pq_reconstruction_manifest": (pq_reconstruction_manifest, _pq_oracle()),
@@ -354,6 +487,7 @@ def _prepared() -> dict[str, tuple]:
         "stratified_split_manifest": (stratified_split_manifest, _SPLIT_ORACLE),
         "approx_percentile_accuracy": (approx_percentile_accuracy, _APPROX_PCT_ORACLE),
         "lang_confusion_matrix": (lang_confusion_matrix, _lang_confusion_oracle()),
+        "minhash_band_sensitivity": (minhash_band_sensitivity, _band_sensitivity_oracle()),
     }
 
 
