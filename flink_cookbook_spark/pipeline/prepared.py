@@ -480,6 +480,73 @@ FROM cfg CROSS JOIN ntrue nt
 """
 
 
+# --------------------------------------------------------------------------
+# 7. out-of-vocabulary rate per source
+# --------------------------------------------------------------------------
+
+#: vocabulary = the top-N corpus tokens by frequency (ties: token asc).
+OOV_VOCAB_TOP = 500
+
+
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-VOCABULARY rate per source: build the corpus top-N token
+    vocabulary (frequency-ranked, deterministic tie-break), then report
+    per source what share of token OCCURRENCES falls outside it — the
+    coverage number that decides whether a tokenizer's vocab suits a
+    new source before training on it. The vocabulary join is
+    deliberately UNHINTED (top-N of a corpus-derived aggregate — the
+    repo's forced-broadcast policy): AQE broadcasts it at fixture scale
+    and keeps the shuffled join at high SF."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    # top-N via orderBy().limit() — Spark plans TakeOrderedAndProject
+    # (per-partition top-N + k-row driver merge), never a
+    # single-partition ranking window over the whole vocabulary
+    vocab = (
+        tokens.groupBy("token").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(OOV_VOCAB_TOP)
+        .select("token")
+    )
+    joined = tokens.join(
+        vocab.withColumn("in_vocab", F.lit(1)), "token", "left"
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        rnd(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0))
+            / F.count("*"),
+            6,
+        ).alias("oov_share"),
+    )
+
+
+_OOV_ORACLE = f"""
+WITH tokens AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+    FROM tokens GROUP BY token)
+  WHERE rk <= {OOV_VOCAB_TOP}
+)
+SELECT t.source,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.token IS NULL THEN 1.0 ELSE 0.0 END) / count(*)
+             + 1e-6, 6) AS oov_share
+FROM tokens t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.source
+"""
+
+
 def _prepared() -> dict[str, tuple]:
     return {
         "pq_reconstruction_manifest": (pq_reconstruction_manifest, _pq_oracle()),
@@ -488,6 +555,7 @@ def _prepared() -> dict[str, tuple]:
         "approx_percentile_accuracy": (approx_percentile_accuracy, _APPROX_PCT_ORACLE),
         "lang_confusion_matrix": (lang_confusion_matrix, _lang_confusion_oracle()),
         "minhash_band_sensitivity": (minhash_band_sensitivity, _band_sensitivity_oracle()),
+        "oov_rate": (oov_rate, _OOV_ORACLE),
     }
 
 
