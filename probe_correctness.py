@@ -1,0 +1,107 @@
+"""Cross-engine CORRECTNESS probe past fixture scale.
+
+The shipped fixtures stop at sf0.1; the driver's hash gate runs at
+sf0.01. This tool manufactures the same 10x scaled dataset as
+probe_sf1.py, then runs the DRIVER-IDENTICAL comparison (Spark result
+vs DuckDB oracle: row count + column set + order-insensitive value
+hash) for a list of registered queries at that scale — checking that
+the rounding-tie discipline, sketch math, and adaptive-k derivations
+hold as sums grow 100x past the driver's gate, not merely that plans
+stay fast. Off-CI by design (minutes of DuckDB work): run manually,
+record results in PERF.md.
+
+    python probe_correctness.py                      # default query set
+    SPARK_GRAFT_PROBE_QUERIES=q1,q2 python probe_correctness.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+#: one hash-checked representative per major family (kept moderate: the
+#: DuckDB side replays unrolled iterative oracles at 10x fixture size).
+_DEFAULT = (
+    "five_min_window_agg",
+    "deviation_alerts",
+    "baseline_fallback_oracle",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "mode_per_group",
+    "listagg_ordered",
+    "ntile_segment_quartiles",
+    "value_histogram",
+    "event_id_gap_audit",
+    "kmv_merge_rollup",
+    "bitmap_distinct_rollup",
+    "duplicate_paragraph_filter",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "similarity_threshold_curve",
+    "ivf_topk",
+    "imi_topk",
+    "sessionize_dynamic_gap",
+    "autocorrelation",
+)
+
+
+def main() -> None:
+    from probe_sf1 import _scale
+
+    import duckdb
+
+    from flink_cookbook_spark.catalog import TABLES
+    from flink_cookbook_spark.pipeline._cache import clear
+    from flink_cookbook_spark.registry import all_specs
+    from flink_cookbook_spark.session import get_spark
+    from tests.oracle_harness import compare
+
+    names = tuple(
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_PROBE_QUERIES", ",".join(_DEFAULT)).split(",")
+        if q.strip()
+    )
+    spark = get_spark(app_name="fcs-correctness-probe")
+    out_dir = tempfile.mkdtemp(prefix="fcs_cprobe_")
+    results: dict[str, str] = {}
+    try:
+        _scale(spark, out_dir)
+        clear()
+        specs = all_specs()
+        # Spark writes each table as a DIRECTORY of part files — glob it
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM '{out_dir}/{t}.parquet/*.parquet'"
+            )
+        for name in names:
+            spec = specs.get(name)
+            if spec is None or spec.oracle is None:
+                results[name] = "SKIP (no oracle)"
+                continue
+            try:
+                problems = compare(spec.fn(spark, out_dir), con, spec.oracle, name)
+                results[name] = "OK" if not problems else "FAIL: " + "; ".join(problems)
+            except Exception as exc:  # record, keep probing
+                results[name] = f"ERROR: {type(exc).__name__}: {exc}"
+            print(json.dumps({name: results[name]}), flush=True)
+        con.close()
+    finally:
+        clear()
+        shutil.rmtree(out_dir, ignore_errors=True)
+    n_ok = sum(1 for v in results.values() if v == "OK")
+    print(json.dumps({"metric": "correctness_probe", "ok": n_ok, "total": len(results)}))
+    if n_ok != len(results):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
