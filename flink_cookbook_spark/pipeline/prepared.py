@@ -9,8 +9,8 @@ They are deliberately NOT ``register()``-ed yet: the driver's bounded
 per-round correctness window (~50 entries) runs pending registrations
 FIRST, ahead of stale re-proofs, and round 7 must drain the pre-round-3
 re-proof backlog (round-6 verdict ask #3: "after r7 no latest record
-predates r3"). With 11 queries already pending this round, these five
-would have displaced exactly five of the 38 backlog re-proofs. Round 8
+predates r3"). With 11 queries already pending this round, these seven
+would have displaced seven of the 38 backlog re-proofs. Round 8
 activates each entry with a one-line ``register(name, oracle=...)``.
 """
 
@@ -420,6 +420,11 @@ def minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("n_true_pairs"), F.lit(1)).cast("double"),
             6,
         ).alias("recall"),
+        rnd(
+            F.col("n_true_covered")
+            / F.greatest(F.col("n_candidate_pairs"), F.lit(1)).cast("double"),
+            6,
+        ).alias("precision"),
     )
 
 
@@ -475,7 +480,9 @@ cfg AS (
 SELECT cfg.bands, cfg.rows_per_band, cfg.n_candidate_pairs,
        cfg.n_true_covered, nt.n_true_pairs,
        round(cfg.n_true_covered * 1.0 / greatest(nt.n_true_pairs, 1) + 1e-6, 6)
-         AS recall
+         AS recall,
+       round(cfg.n_true_covered * 1.0 / greatest(cfg.n_candidate_pairs, 1) + 1e-6, 6)
+         AS precision
 FROM cfg CROSS JOIN ntrue nt
 """
 
