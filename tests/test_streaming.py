@@ -758,3 +758,87 @@ def test_kafka_sink_mock_broker_end_to_end(spark, events_stream_dir, tmp_path):
         payload = json.loads(bytes(r.value).decode())
         assert payload["node_id"] == "1"
         assert "cpu" in payload and "ts" in payload
+
+
+def test_two_stage_topology_through_kafka_hop(spark, events_stream_dir, tmp_path):
+    """The production two-query topology with the KAFKA HOP in the
+    middle (README topology note: window-agg query =kafka=> model-side
+    query), executed end-to-end without a broker: stage 1 publishes
+    parsed metrics through to_kafka_sink's wire serialization into a
+    stand-in broker log (the mock writer persists the exact key/value
+    bytes), stage 2 readStreams the log and must recover rows IDENTICAL
+    to the batch twin computed directly on the source — proving the
+    kafka wire format (key bytes + row-JSON values) is lossless through
+    both directions of the hop."""
+    import json
+
+    from flink_cookbook_spark.streaming.recipes import to_kafka_sink
+
+    src = _metrics_view(_read_stream(spark, events_stream_dir))
+    log_dir = tmp_path / "broker_log"
+    log_dir.mkdir()
+
+    def persist_batch(opts, epoch, rows):
+        # the stand-in broker's durable log: one JSON-lines file per batch
+        if rows:
+            with open(log_dir / f"batch_{epoch}.jsonl", "w") as fh:
+                for r in rows:
+                    fh.write(
+                        json.dumps(
+                            {"key": bytes(r.key).decode(), "value": bytes(r.value).decode()}
+                        )
+                        + "\n"
+                    )
+
+    q = to_kafka_sink(
+        src, topic="metrics-hop",
+        checkpoint=str(tmp_path / "ckpt1"),
+        mock_writer=persist_batch,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # stage 2: consume the hop — parse the VALUE payload like a kafka
+    # consumer would (value -> JSON -> typed columns), as a stream
+    hop_schema = "key string, value string"
+    stage2 = (
+        spark.readStream.schema(hop_schema)
+        .json(str(log_dir))
+        .select(F.from_json("value", "node_id string, ts timestamp, cpu double").alias("m"))
+        .select("m.node_id", "m.ts", "m.cpu")
+        .groupBy("node_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("cpu") + F.lit(1e-9), 4).alias("avg_cpu"),
+        )
+    )
+    qname = "hop_agg"
+    q2 = (
+        stage2.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = {
+        r.node_id: (r.n, r.avg_cpu)
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+    }
+    want = {
+        r.node_id: (r.n, r.avg_cpu)
+        for r in spark.read.parquet(events_stream_dir)
+        .select(
+            F.col("user_id").cast("string").alias("node_id"),
+            F.col("value").alias("cpu"),
+        )
+        .groupBy("node_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("cpu") + F.lit(1e-9), 4).alias("avg_cpu"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 5
