@@ -9,8 +9,8 @@ They are deliberately NOT ``register()``-ed yet: the driver's bounded
 per-round correctness window (~50 entries) runs pending registrations
 FIRST, ahead of stale re-proofs, and round 7 must drain the pre-round-3
 re-proof backlog (round-6 verdict ask #3: "after r7 no latest record
-predates r3"). With 11 queries already pending this round, these seven
-would have displaced seven of the 38 backlog re-proofs. Round 8
+predates r3"). With 11 queries already pending this round, these eight
+would have displaced eight of the 38 backlog re-proofs. Round 8
 activates each entry with a one-line ``register(name, oracle=...)``.
 """
 
@@ -554,6 +554,79 @@ GROUP BY t.source
 """
 
 
+# --------------------------------------------------------------------------
+# 8. embedding centroid drift (distribution shift in vector space)
+# --------------------------------------------------------------------------
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE DRIFT monitor: per label, the L2 shift between
+    the class centroid computed on the even-id half of the corpus and
+    the odd-id half — the vector-space analogue of ``psi_value_drift``
+    (a healthy static corpus shows near-zero shift; a changed encoder
+    or data mix moves centroids). One posexplode + ONE hash aggregate
+    with conditional means per (label, dim) — map-side combinable,
+    shuffle volume labels x dims regardless of corpus size (the
+    ``label_centroids`` shape) — then a labels-sized rollup."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("even"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    per_dim = emb.groupBy("label", "pos").agg(
+        F.avg(F.when(F.col("even"), F.col("val"))).alias("ma"),
+        F.avg(F.when(~F.col("even"), F.col("val"))).alias("mb"),
+    )
+    counts = (
+        load(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("n_even"),
+            F.sum((F.col("vec_id") % 2 != 0).cast("long")).alias("n_odd"),
+        )
+    )
+    drift = per_dim.groupBy("label").agg(
+        F.sqrt(F.sum(F.pow(F.col("ma") - F.col("mb"), F.lit(2.0)))).alias("l2_u"),
+        F.max(F.abs(F.col("ma") - F.col("mb"))).alias("maxdim_u"),
+    )
+    return drift.join(counts, "label").select(
+        "label", "n_even", "n_odd",
+        rnd("l2_u", 6).alias("l2_shift"),
+        rnd("maxdim_u", 6).alias("max_dim_shift"),
+    )
+
+
+_CENTROID_DRIFT_ORACLE = f"""
+WITH e AS (
+  SELECT label, vec_id % 2 = 0 AS even,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+per_dim AS (
+  SELECT label, g.i AS pos,
+         avg(CASE WHEN even THEN v[g.i] END) AS ma,
+         avg(CASE WHEN NOT even THEN v[g.i] END) AS mb
+  FROM e CROSS JOIN generate_series(1, 64) AS g(i)
+  GROUP BY 1, 2
+),
+counts AS (
+  SELECT label,
+         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+         CAST(sum(CASE WHEN vec_id % 2 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+  FROM embeddings GROUP BY label
+),
+drift AS (
+  SELECT label,
+         sqrt(sum((ma - mb) * (ma - mb))) AS l2_u,
+         max(abs(ma - mb)) AS maxdim_u
+  FROM per_dim GROUP BY label
+)
+SELECT d.label, c.n_even, c.n_odd,
+       round(d.l2_u + 1e-6, 6) AS l2_shift,
+       round(d.maxdim_u + 1e-6, 6) AS max_dim_shift
+FROM drift d JOIN counts c ON d.label = c.label
+"""
+
+
 def _prepared() -> dict[str, tuple]:
     return {
         "pq_reconstruction_manifest": (pq_reconstruction_manifest, _pq_oracle()),
@@ -563,6 +636,7 @@ def _prepared() -> dict[str, tuple]:
         "lang_confusion_matrix": (lang_confusion_matrix, _lang_confusion_oracle()),
         "minhash_band_sensitivity": (minhash_band_sensitivity, _band_sensitivity_oracle()),
         "oov_rate": (oov_rate, _OOV_ORACLE),
+        "embedding_centroid_drift": (embedding_centroid_drift, _CENTROID_DRIFT_ORACLE),
     }
 
 
