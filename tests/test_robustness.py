@@ -666,3 +666,72 @@ def test_paragraph_filter_boilerplate_heavy_corpus(spark, tmp_path):
         assert r.n_dup_segments == 1  # only the boilerplate segment
         assert abs(r.dup_share - 0.5) < 1e-9
         assert r.verdict == "keep"  # 0.5 is not > PARA_DUP_SHARE
+
+
+def test_mode_and_listagg_match_python_reference(spark, tmp_path):
+    """Independent cross-check of the two new deterministic aggregation
+    operators on a randomized-but-seeded fixture with heavy ties (the
+    case their tie-break contracts exist for): mode == Counter argmax
+    with lexicographic tie-break; ordered listagg == Python sort+slice."""
+    import collections
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(99)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(600),
+            "o_custkey": [rng.randrange(40) for _ in range(600)],
+            "o_orderstatus": [rng.choice("OFP") for _ in range(600)],
+            "o_orderpriority": [
+                rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"]) for _ in range(600)
+            ],
+            "o_totalprice": [round(rng.uniform(10, 99), 2) for _ in range(600)],
+            "o_orderdate": ["1995-01-01"] * 600,
+        }
+    )
+    suppliers = pd.DataFrame(
+        {
+            "s_suppkey": range(60),
+            "s_name": [f"Supplier#{i:05d}" for i in range(60)],
+            # heavy acctbal ties force the name tie-break
+            "s_acctbal": [float(rng.choice([100.0, 200.0, 300.0])) for i in range(60)],
+            "s_nationkey": [i % 5 for i in range(60)],
+        }
+    )
+    nations = pd.DataFrame(
+        {"n_nationkey": range(5), "n_name": [f"NATION_{i}" for i in range(5)],
+         "n_regionkey": [0] * 5}
+    )
+    orders.to_parquet(tmp_path / "orders.parquet")
+    suppliers.to_parquet(tmp_path / "supplier.parquet")
+    nations.to_parquet(tmp_path / "nation.parquet")
+
+    from flink_cookbook_spark.operators.relational import (
+        LISTAGG_TOP_N, listagg_ordered, mode_per_group,
+    )
+
+    got_mode = {
+        r.o_orderstatus: (r.mode_priority, r.mode_count)
+        for r in mode_per_group(spark, str(tmp_path)).collect()
+    }
+    for status, grp in orders.groupby("o_orderstatus"):
+        counts = collections.Counter(grp["o_orderpriority"])
+        # tie-break: highest count then lexicographically SMALLEST value
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got_mode[status] == top, (status, got_mode[status], top)
+
+    got_agg = {
+        r.n_name: (r.n_suppliers, r.top_suppliers)
+        for r in listagg_ordered(spark, str(tmp_path)).collect()
+    }
+    for nk, grp in suppliers.groupby("s_nationkey"):
+        want_names = [
+            nm
+            for _, nm in sorted(
+                zip(-grp["s_acctbal"], grp["s_name"])
+            )[:LISTAGG_TOP_N]
+        ]
+        name = f"NATION_{nk}"
+        assert got_agg[name] == (len(grp), ",".join(want_names)), name
