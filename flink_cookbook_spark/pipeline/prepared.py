@@ -9,8 +9,8 @@ They are deliberately NOT ``register()``-ed yet: the driver's bounded
 per-round correctness window (~50 entries) runs pending registrations
 FIRST, ahead of stale re-proofs, and round 7 must drain the pre-round-3
 re-proof backlog (round-6 verdict ask #3: "after r7 no latest record
-predates r3"). With 11 queries already pending this round, these eight
-would have displaced eight of the 38 backlog re-proofs. Round 8
+predates r3"). With 11 queries already pending this round, these nine
+would have displaced nine of the 38 backlog re-proofs. Round 8
 activates each entry with a one-line ``register(name, oracle=...)``.
 """
 
@@ -627,6 +627,58 @@ FROM drift d JOIN counts c ON d.label = c.label
 """
 
 
+# --------------------------------------------------------------------------
+# 9. near-dup cluster size histogram
+# --------------------------------------------------------------------------
+
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of NEAR-DUP CLUSTER SIZES — the one-line answer to
+    "how duplicated is this corpus": per cluster size, how many clusters
+    exist, how many documents they hold, and the share of the corpus
+    sitting in clusters of that size (singletons = unique docs; the
+    heavy tail = template/boilerplate families worth hand-review).
+    Composes the label-propagation clustering (memoized edges) with two
+    tiny aggregates — post-cluster cardinality, never corpus rows."""
+    from flink_cookbook_spark.pipeline.dedup import dedup_clusters
+
+    cl = dedup_clusters(spark, sf_dir)
+    sizes = cl.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    agg = sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+    w = Window.partitionBy()
+    return agg.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        rnd(
+            (F.col("cluster_size") * F.col("n_clusters"))
+            / F.sum(F.col("cluster_size") * F.col("n_clusters")).over(w),
+            6,
+        ).alias("corpus_share"),
+    )
+
+
+def _cluster_histogram_oracle() -> str:
+    """Wraps the registered recursive label-propagation oracle as a
+    subquery (DuckDB permits WITH RECURSIVE inside FROM) and aggregates
+    cluster sizes on top — the composed query stays hash-exact against
+    the composed Spark plan."""
+    from flink_cookbook_spark.registry import get_query
+
+    inner = get_query("dedup_clusters").oracle
+    return f"""
+SELECT cluster_size, n_clusters,
+       cluster_size * n_clusters AS n_docs,
+       round((cluster_size * n_clusters) * 1.0
+             / sum(cluster_size * n_clusters) OVER () + 1e-6, 6) AS corpus_share
+FROM (
+  SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters FROM (
+    SELECT cluster_id, count(*) AS cluster_size
+    FROM ({inner})
+    GROUP BY cluster_id)
+  GROUP BY cluster_size)
+"""
+
+
 def _prepared() -> dict[str, tuple]:
     return {
         "pq_reconstruction_manifest": (pq_reconstruction_manifest, _pq_oracle()),
@@ -637,6 +689,7 @@ def _prepared() -> dict[str, tuple]:
         "minhash_band_sensitivity": (minhash_band_sensitivity, _band_sensitivity_oracle()),
         "oov_rate": (oov_rate, _OOV_ORACLE),
         "embedding_centroid_drift": (embedding_centroid_drift, _CENTROID_DRIFT_ORACLE),
+        "dedup_cluster_size_histogram": (dedup_cluster_size_histogram, _cluster_histogram_oracle()),
     }
 
 
