@@ -9,8 +9,8 @@ They are deliberately NOT ``register()``-ed yet: the driver's bounded
 per-round correctness window (~50 entries) runs pending registrations
 FIRST, ahead of stale re-proofs, and round 7 must drain the pre-round-3
 re-proof backlog (round-6 verdict ask #3: "after r7 no latest record
-predates r3"). With 11 queries already pending this round, these nine
-would have displaced nine of the 38 backlog re-proofs. Round 8
+predates r3"). With 11 queries already pending this round, these eleven
+would have displaced eleven of the 38 backlog re-proofs. Round 8
 activates each entry with a one-line ``register(name, oracle=...)``.
 """
 
@@ -679,6 +679,129 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# 10. session-gap threshold calibration
+# --------------------------------------------------------------------------
+
+#: candidate inactivity gaps (seconds) swept by the calibration.
+SESSION_GAP_CANDIDATES = (300, 600, 900, 1800, 3600)
+
+
+def session_gap_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSIONIZATION GAP CALIBRATION (the session sibling of
+    ``similarity_threshold_curve``): sweep candidate inactivity
+    thresholds over the per-user inter-event gap distribution and
+    report, per candidate, how many session breaks it would cut and the
+    resulting session count / mean session length — the elbow picks the
+    production gap (the fixed 30-min default is a guess until this
+    table exists). One keyed window pass computes every gap; the sweep
+    is conditional aggregation (one combinable row, then an explode),
+    so all candidates always emit."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    t = F.col("ts").cast("double")
+    gaps = ev.select(
+        "user_id",
+        (t - F.lag(t).over(w)).alias("gap"),
+    )
+    base = gaps.agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        *[
+            F.coalesce(
+                F.sum((F.col("gap") > F.lit(float(g))).cast("long")), F.lit(0)
+            ).alias(f"b{i}")
+            for i, g in enumerate(SESSION_GAP_CANDIDATES)
+        ],
+    )
+    swept = base.select(
+        "n_events",
+        "n_users",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("g"), F.col(f"b{i}").alias("nb")
+                    )
+                    for i, g in enumerate(SESSION_GAP_CANDIDATES)
+                ]
+            )
+        ).alias("s"),
+    )
+    n_sessions = F.col("s.nb") + F.col("n_users")
+    return swept.select(
+        F.col("s.g").alias("gap_threshold_s"),
+        F.col("s.nb").alias("n_breaks"),
+        n_sessions.alias("n_sessions"),
+        rnd(
+            F.col("n_events") / F.greatest(n_sessions, F.lit(1)).cast("double"), 4
+        ).alias("avg_session_events"),
+    )
+
+
+_SESSION_GAP_ORACLE = f"""
+WITH g AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+),
+base AS (
+  SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users FROM g
+),
+th AS (SELECT unnest([{", ".join(str(g) for g in SESSION_GAP_CANDIDATES)}]) AS gap_threshold_s)
+SELECT th.gap_threshold_s,
+       CAST(coalesce(sum(CASE WHEN g.gap > th.gap_threshold_s THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_breaks,
+       CAST(coalesce(sum(CASE WHEN g.gap > th.gap_threshold_s THEN 1 ELSE 0 END), 0)
+            + max(b.n_users) AS BIGINT) AS n_sessions,
+       round(max(b.n_events) * 1.0
+             / greatest(coalesce(sum(CASE WHEN g.gap > th.gap_threshold_s
+                                          THEN 1 ELSE 0 END), 0) + max(b.n_users), 1)
+             + 1e-6, 4) AS avg_session_events
+FROM th CROSS JOIN base b LEFT JOIN g ON true
+GROUP BY th.gap_threshold_s
+"""
+
+
+# --------------------------------------------------------------------------
+# 11. burstiness (Fano factor) per user
+# --------------------------------------------------------------------------
+
+def burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user BURSTINESS via the Fano factor of hourly event counts
+    (variance / mean over the user's OBSERVED hours): ~1 = Poisson-like
+    traffic, >>1 = bursty sessions, <1 = regular/heartbeat — the
+    behavioral fingerprint feeding bot detection and sampling-rate
+    decisions. Two stacked hash aggregates (user x hour counts, then
+    per-user moments); NULL below two observed hours (variance
+    undefined), both engines via NULL propagation."""
+    ev = load(spark, sf_dir, "events")
+    hour = (F.floor(F.col("ts").cast("double") / 3600) * 3600).cast("long")
+    hourly = ev.groupBy("user_id", hour.alias("hr")).agg(
+        F.count("*").alias("n")
+    )
+    return hourly.groupBy("user_id").agg(
+        F.count("*").alias("n_hours"),
+        rnd(F.avg("n"), 4).alias("mean_hourly"),
+        rnd(F.var_samp("n") / F.avg("n"), 4).alias("fano"),
+    )
+
+
+_BURSTINESS_ORACLE = """
+WITH hourly AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hr,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_hours,
+       round(avg(n) + 1e-6, 4) AS mean_hourly,
+       round(var_samp(n) / avg(n) + 1e-6, 4) AS fano
+FROM hourly GROUP BY user_id
+"""
+
+
 def _prepared() -> dict[str, tuple]:
     return {
         "pq_reconstruction_manifest": (pq_reconstruction_manifest, _pq_oracle()),
@@ -690,6 +813,8 @@ def _prepared() -> dict[str, tuple]:
         "oov_rate": (oov_rate, _OOV_ORACLE),
         "embedding_centroid_drift": (embedding_centroid_drift, _CENTROID_DRIFT_ORACLE),
         "dedup_cluster_size_histogram": (dedup_cluster_size_histogram, _cluster_histogram_oracle()),
+        "session_gap_calibration": (session_gap_calibration, _SESSION_GAP_ORACLE),
+        "burstiness_fano": (burstiness_fano, _BURSTINESS_ORACLE),
     }
 
 
