@@ -9,8 +9,8 @@ They are deliberately NOT ``register()``-ed yet: the driver's bounded
 per-round correctness window (~50 entries) runs pending registrations
 FIRST, ahead of stale re-proofs, and round 7 must drain the pre-round-3
 re-proof backlog (round-6 verdict ask #3: "after r7 no latest record
-predates r3"). With 11 queries already pending this round, these eleven
-would have displaced eleven of the 38 backlog re-proofs. Round 8
+predates r3"). With 11 queries already pending this round, these twelve
+would have displaced twelve of the 38 backlog re-proofs. Round 8
 activates each entry with a one-line ``register(name, oracle=...)``.
 """
 
@@ -802,6 +802,64 @@ FROM hourly GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# 12. event-time lateness profile (watermark sizing)
+# --------------------------------------------------------------------------
+
+def lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME LATENESS PROFILE — the number behind every
+    ``withWatermark`` duration: within each key's ARRIVAL order
+    (event_id), how far does an event's timestamp lag the maximum
+    event time already seen for that key? Reports per event type the
+    out-of-order share and the lateness quantiles; the production
+    watermark is read off the tail (p95/max) rather than guessed.
+    One keyed window pass (running max over arrival order) + one hash
+    aggregate — per-key, so the profile parallelizes by key instead of
+    serializing through a global arrival order."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col("ts").cast("double")
+    late = ev.select(
+        "event_type",
+        F.greatest(F.max(t).over(w) - t, F.lit(0.0)).alias("lateness"),
+    ).where(F.col("lateness").isNotNull())
+    return late.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("lateness") > 0).cast("long")).alias("n_late"),
+        rnd(
+            F.sum((F.col("lateness") > 0).cast("double")) / F.count("*"), 6
+        ).alias("late_share"),
+        rnd(F.expr("percentile(lateness, 0.95)"), 2).alias("p95_lateness_s"),
+        rnd(F.max("lateness"), 2).alias("max_lateness_s"),
+    )
+
+
+_LATENESS_ORACLE = """
+WITH late AS (
+  SELECT event_type,
+         greatest(
+           max(epoch(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - epoch(ts), 0.0) AS lateness
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN lateness > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       round(sum(CASE WHEN lateness > 0 THEN 1.0 ELSE 0.0 END) / count(*)
+             + 1e-6, 6) AS late_share,
+       round(quantile_cont(lateness, 0.95) + 1e-6, 2) AS p95_lateness_s,
+       round(max(lateness) + 1e-6, 2) AS max_lateness_s
+FROM late
+WHERE lateness IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def _prepared() -> dict[str, tuple]:
     return {
         "pq_reconstruction_manifest": (pq_reconstruction_manifest, _pq_oracle()),
@@ -815,6 +873,7 @@ def _prepared() -> dict[str, tuple]:
         "dedup_cluster_size_histogram": (dedup_cluster_size_histogram, _cluster_histogram_oracle()),
         "session_gap_calibration": (session_gap_calibration, _SESSION_GAP_ORACLE),
         "burstiness_fano": (burstiness_fano, _BURSTINESS_ORACLE),
+        "lateness_profile": (lateness_profile, _LATENESS_ORACLE),
     }
 
 
