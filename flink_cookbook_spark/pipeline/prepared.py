@@ -9,9 +9,10 @@ They are deliberately NOT ``register()``-ed yet: the driver's bounded
 per-round correctness window (~50 entries) runs pending registrations
 FIRST, ahead of stale re-proofs, and round 7 must drain the pre-round-3
 re-proof backlog (round-6 verdict ask #3: "after r7 no latest record
-predates r3"). With 11 queries already pending this round, these twelve
-would have displaced twelve of the 38 backlog re-proofs. Round 8
-activates each entry with a one-line ``register(name, oracle=...)``.
+predates r3"). With 11 queries already pending this round, these
+seventeen would have displaced seventeen of the 38 backlog re-proofs.
+Round 8 activates each entry with a one-line
+``register(name, oracle=...)``.
 """
 
 from __future__ import annotations
@@ -860,6 +861,517 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# 13. curation filter funnel report
+# --------------------------------------------------------------------------
+
+#: the pipeline's rule order (cheap dedup first), mirrored from
+#: ``corpus_filter_pipeline``'s first-failing-reason CASE.
+FUNNEL_STAGES = (
+    (1, "duplicate"),
+    (2, "too_short"),
+    (3, "low_quality"),
+    (4, "non_en"),
+)
+
+
+def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURATION FUNNEL: per filter stage, how many documents the rule
+    drops and how many survive after it — the stage-attribution view of
+    ``corpus_filter_pipeline``'s per-doc verdicts (a pipeline owner reads
+    this table, not 500k verdicts, to see which rule is doing the work).
+    Every stage ALWAYS emits (the threshold list is exploded from a
+    literal and left-joined to the drop counts — the
+    ``similarity_threshold_curve`` lesson), so a rule that drops nothing
+    shows a 0, never a missing row. Composes the registered one-shuffle
+    filter with two tiny aggregates over a 4-row result."""
+    from flink_cookbook_spark.pipeline.text import corpus_filter_pipeline
+
+    verdicts = corpus_filter_pipeline(spark, sf_dir)
+    counts = (
+        verdicts.where(F.col("reason") != "keep")
+        .groupBy("reason")
+        .agg(F.count("*").alias("n_dropped_u"))
+    )
+    stages = verdicts.agg(F.count("*").alias("n_total")).select(
+        "n_total",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("stage"), F.lit(r).alias("reason")
+                    )
+                    for i, r in FUNNEL_STAGES
+                ]
+            )
+        ).alias("s"),
+    ).select("n_total", "s.stage", "s.reason")
+    w = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)
+    joined = stages.join(counts, "reason", "left").select(
+        "stage",
+        "reason",
+        F.coalesce(F.col("n_dropped_u"), F.lit(0).cast("long")).alias("n_dropped"),
+        "n_total",
+    )
+    return joined.select(
+        "stage",
+        "reason",
+        "n_dropped",
+        (F.col("n_total") - F.sum("n_dropped").over(w)).alias("n_remaining"),
+    )
+
+
+def _funnel_oracle() -> str:
+    from flink_cookbook_spark.registry import get_query
+
+    inner = get_query("corpus_filter_pipeline").oracle
+    values = ", ".join(f"({i}, '{r}')" for i, r in FUNNEL_STAGES)
+    return f"""
+WITH v AS ({inner}),
+counts AS (
+  SELECT reason, count(*) AS n FROM v WHERE reason != 'keep' GROUP BY reason
+),
+total AS (SELECT count(*) AS n_total FROM v),
+stages AS (SELECT * FROM (VALUES {values}) s(stage, reason))
+SELECT CAST(s.stage AS INTEGER) AS stage, s.reason,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_dropped,
+       CAST(t.n_total - sum(coalesce(c.n, 0)) OVER (ORDER BY s.stage)
+            AS BIGINT) AS n_remaining
+FROM stages s LEFT JOIN counts c USING (reason) CROSS JOIN total t
+"""
+
+
+# --------------------------------------------------------------------------
+# 14. temperature-scaled source mixture weights
+# --------------------------------------------------------------------------
+
+#: sampling temperature: q_i = p_i^alpha / sum(p^alpha). alpha=1 keeps the
+#: natural mix; alpha->0 flattens toward uniform (the multilingual-training
+#: upweighting of small sources).
+TEMPERATURE_ALPHA = 0.7
+
+
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED data-mixing weights: each source's natural
+    token share p is re-weighted to q = p^alpha / sum(p^alpha), the
+    standard recipe for boosting under-represented sources without
+    discarding the big ones (alpha = 0.7 here). Emits per source the raw
+    and scaled shares plus the boost factor q/p — the numbers a mixing
+    config is written from (the prescriptive sibling of the descriptive
+    ``source_mixture_weights``). One hash aggregate to sources-cardinality,
+    then window math over that tiny result."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    shared = per_src.select(
+        "source", "n_docs", "n_tokens", p.alias("p"),
+        F.pow(p, F.lit(TEMPERATURE_ALPHA)).alias("pa"),
+    )
+    q = F.col("pa") / F.sum("pa").over(w)
+    return shared.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        rnd("p", 6).alias("raw_share"),
+        rnd(q, 6).alias("temp_share"),
+        rnd(q / F.col("p"), 4).alias("boost"),
+    )
+
+
+_TEMPERATURE_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+shared AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens * 1.0 / sum(n_tokens) OVER () AS p,
+         pow(n_tokens * 1.0 / sum(n_tokens) OVER (), {TEMPERATURE_ALPHA}) AS pa
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       round(p + 1e-6, 6) AS raw_share,
+       round(pa / sum(pa) OVER () + 1e-6, 6) AS temp_share,
+       round((pa / sum(pa) OVER ()) / p + 1e-6, 4) AS boost
+FROM shared
+"""
+
+
+# --------------------------------------------------------------------------
+# 15. contrastive pair mining (hard positives / hard negatives)
+# --------------------------------------------------------------------------
+
+#: sample cap: the pair join is sample^2, so the cap bounds it at ~65k
+#: pairs no matter the corpus size (the MAX_TRAIN_VECTORS pattern).
+CONTRAST_MAX_VECTORS = 256
+
+
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRASTIVE PAIR MINING over a capped md5 hash-sample of the
+    labeled embedding corpus: per sampled anchor, the HARD POSITIVE
+    (same label, LOWEST cosine — the pair a metric-learning loss gains
+    most from pulling together) and the HARD NEGATIVE (different label,
+    HIGHEST cosine — the pair it must push apart). Anchors whose label
+    has no second sampled member emit NULL positives (both engines by
+    NULL propagation). The pair join is sample x sample with the small
+    side broadcast — bounded by CONTRAST_MAX_VECTORS^2 by construction,
+    never corpus^2 (the ``similarity_threshold_curve`` fix, applied from
+    birth); ranking is two bounded window passes with (cosine, vec_id)
+    tie-breaks, and per-vector norms are hoisted above the join."""
+    from flink_cookbook_spark.pipeline.similarity import (
+        _dot, _emb_double, _norm,
+    )
+
+    emb = _emb_double(load(spark, sf_dir, "embeddings"))
+    n = emb.count()
+    mod = max(1, n // CONTRAST_MAX_VECTORS)
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("contrast:"), F.col("vec_id").cast("string"))),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    s = emb.where(coin % mod == 0).select(
+        "vec_id", "label", "emb", _norm(F.col("emb")).alias("nrm")
+    )
+    a = s.select(
+        F.col("vec_id").alias("aid"), F.col("label").alias("al"),
+        F.col("emb").alias("av"), F.col("nrm").alias("an"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("bid"), F.col("label").alias("bl"),
+        F.col("emb").alias("bv"), F.col("nrm").alias("bn"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("aid") != F.col("bid"))
+        .select(
+            "aid", "al", "bid", "bl",
+            (_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))).alias("cos"),
+        )
+    )
+    w_neg = Window.partitionBy("aid").orderBy(
+        F.col("cos").desc(), F.col("bid").asc()
+    )
+    w_pos = Window.partitionBy("aid").orderBy(
+        F.col("cos").asc(), F.col("bid").asc()
+    )
+    neg = (
+        pairs.where(F.col("al") != F.col("bl"))
+        .withColumn("rk", F.row_number().over(w_neg))
+        .where(F.col("rk") == 1)
+        .select("aid", F.col("bid").alias("hard_neg_id"),
+                rnd("cos", 6).alias("hard_neg_cos"))
+    )
+    pos = (
+        pairs.where(F.col("al") == F.col("bl"))
+        .withColumn("rk", F.row_number().over(w_pos))
+        .where(F.col("rk") == 1)
+        .select("aid", F.col("bid").alias("hard_pos_id"),
+                rnd("cos", 6).alias("hard_pos_cos"))
+    )
+    return (
+        s.select(F.col("vec_id"), F.col("label"))
+        .join(pos, F.col("vec_id") == pos.aid, "left").drop("aid")
+        .join(neg, F.col("vec_id") == neg.aid, "left").drop("aid")
+    )
+
+
+_CONTRASTIVE_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT greatest(1, count(*) // {CONTRAST_MAX_VECTORS}) AS md FROM e),
+s AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+  FROM e, m
+  WHERE CAST('0x' || substr(md5('contrast:' || CAST(vec_id AS VARCHAR)), 1, 15)
+             AS BIGINT) % m.md = 0
+),
+p AS (
+  SELECT a.vec_id AS aid, a.label AS al, b.vec_id AS bid, b.label AS bl,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+  FROM s a JOIN s b ON a.vec_id != b.vec_id
+),
+neg AS (
+  SELECT aid, bid, cos,
+         row_number() OVER (PARTITION BY aid ORDER BY cos DESC, bid ASC) AS rk
+  FROM p WHERE al != bl
+),
+pos AS (
+  SELECT aid, bid, cos,
+         row_number() OVER (PARTITION BY aid ORDER BY cos ASC, bid ASC) AS rk
+  FROM p WHERE al = bl
+)
+SELECT s.vec_id, s.label,
+       pos.bid AS hard_pos_id, round(pos.cos + 1e-6, 6) AS hard_pos_cos,
+       neg.bid AS hard_neg_id, round(neg.cos + 1e-6, 6) AS hard_neg_cos
+FROM s
+LEFT JOIN (SELECT * FROM pos WHERE rk = 1) pos ON pos.aid = s.vec_id
+LEFT JOIN (SELECT * FROM neg WHERE rk = 1) neg ON neg.aid = s.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 16. per-event-type arrival rate profile (capacity planning)
+# --------------------------------------------------------------------------
+
+def event_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRIVAL-RATE PROFILE per event type: events-per-minute mean, p95,
+    peak, and the peak-to-mean ratio — the table stream capacity
+    (shuffle partitions, state-store sizing, maxOffsetsPerTrigger) is
+    provisioned from, and the per-type complement of the per-user
+    ``burstiness_fano``. Two stacked hash aggregates: (type, minute)
+    counts, then per-type moments over the minute series."""
+    ev = load(spark, sf_dir, "events")
+    minute = (F.floor(F.col("ts").cast("double") / 60) * 60).cast("long")
+    per_min = ev.groupBy("event_type", minute.alias("mn")).agg(
+        F.count("*").alias("n")
+    )
+    return per_min.groupBy("event_type").agg(
+        F.count("*").alias("n_minutes"),
+        F.sum("n").alias("n_events"),
+        rnd(F.avg("n"), 4).alias("mean_per_min"),
+        rnd(F.expr("percentile(n, 0.95)"), 4).alias("p95_per_min"),
+        F.max("n").alias("peak_per_min"),
+        rnd(F.max("n") / F.avg("n"), 4).alias("peak_to_mean"),
+    )
+
+
+_EVENT_RATE_ORACLE = """
+WITH per_min AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS mn,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       count(*) AS n_minutes,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(avg(n) + 1e-6, 4) AS mean_per_min,
+       round(quantile_cont(n, 0.95) + 1e-6, 4) AS p95_per_min,
+       max(n) AS peak_per_min,
+       round(max(n) / avg(n) + 1e-6, 4) AS peak_to_mean
+FROM per_min GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# 17. Zipf rank-frequency fit per source (corpus health)
+# --------------------------------------------------------------------------
+
+#: ranks entering the log-log fit (the Zipf head; the tail is Heaps'-law
+#: territory covered by ``vocab_growth``).
+ZIPF_TOP_N = 100
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF'S-LAW FIT per source: the log-log slope of the token
+    rank-frequency head (natural text sits near -1; template/boilerplate
+    corpora flatten, spam steepens) plus fit r^2 and the top-token share
+    — a one-row-per-source corpus-health fingerprint. Token counts are
+    one hash aggregate; ranking is a top-N-per-group window the
+    optimizer runs as WindowGroupLimit (never a full vocab sort); the
+    regression consumes sources x ZIPF_TOP_N rows via the single-pass
+    regr_* moment aggregates (the ``per_key_linear_trend`` pattern)."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.count("*").alias("vocab_size"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("tok").asc()
+    )
+    head = counts.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= ZIPF_TOP_N
+    )
+    fit = head.groupBy("source").agg(
+        F.count("*").alias("n_ranks"),
+        rnd(F.regr_slope(F.log("cnt"), F.log("rk")), 6).alias("zipf_slope"),
+        rnd(F.regr_r2(F.log("cnt"), F.log("rk")), 6).alias("fit_r2"),
+        F.max(F.when(F.col("rk") == 1, F.col("cnt"))).alias("top_cnt"),
+    )
+    return fit.join(totals, "source").select(
+        "source", "vocab_size", "n_ranks", "zipf_slope", "fit_r2",
+        rnd(F.col("top_cnt") / F.col("total_tokens"), 6).alias("top_token_share"),
+    )
+
+
+_ZIPF_ORACLE = f"""
+WITH counts AS (
+  SELECT source, t.tok, count(*) AS cnt
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  GROUP BY source, t.tok
+),
+totals AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS total_tokens,
+         count(*) AS vocab_size
+  FROM counts GROUP BY source
+),
+head AS (
+  SELECT source, cnt,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, tok ASC) AS rk
+  FROM counts QUALIFY rk <= {ZIPF_TOP_N}
+),
+fit AS (
+  SELECT source, count(*) AS n_ranks,
+         round(regr_slope(ln(cnt), ln(rk)) + 1e-6, 6) AS zipf_slope,
+         round(regr_r2(ln(cnt), ln(rk)) + 1e-6, 6) AS fit_r2,
+         max(CASE WHEN rk = 1 THEN cnt END) AS top_cnt
+  FROM head GROUP BY source
+)
+SELECT f.source, t.vocab_size, f.n_ranks, f.zipf_slope, f.fit_r2,
+       round(f.top_cnt * 1.0 / t.total_tokens + 1e-6, 6) AS top_token_share
+FROM fit f JOIN totals t ON f.source = t.source
+"""
+
+
+# --------------------------------------------------------------------------
+# 18. watermark delay vs completeness sweep
+# --------------------------------------------------------------------------
+
+#: candidate watermark delays (seconds) swept against observed lateness.
+WATERMARK_CANDIDATES = (0, 60, 300, 900, 3600)
+
+
+def watermark_completeness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK SIZING SWEEP — the decision table built on top of
+    ``lateness_profile``'s quantiles: for each candidate
+    ``withWatermark`` delay, how many events would arrive later than the
+    watermark allows (state already closed -> dropped) and the resulting
+    completeness. The production delay is the smallest candidate whose
+    completeness clears the SLO, read straight off this table instead of
+    guessed. Lateness is the same per-key running-max definition as
+    ``lateness_profile`` (one keyed window pass); the sweep is
+    conditional aggregation folded to ONE combinable row then exploded,
+    so every candidate always emits — zero drops included."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col("ts").cast("double")
+    late = ev.select(
+        F.greatest(F.max(t).over(w) - t, F.lit(0.0)).alias("lateness")
+    ).where(F.col("lateness").isNotNull())
+    base = late.agg(
+        F.count("*").alias("n_events"),
+        *[
+            F.coalesce(
+                F.sum((F.col("lateness") > F.lit(float(d))).cast("long")),
+                F.lit(0),
+            ).alias(f"d{i}")
+            for i, d in enumerate(WATERMARK_CANDIDATES)
+        ],
+    )
+    swept = base.select(
+        "n_events",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("delay"), F.col(f"d{i}").alias("nd")
+                    )
+                    for i, d in enumerate(WATERMARK_CANDIDATES)
+                ]
+            )
+        ).alias("s"),
+    )
+    return swept.select(
+        F.col("s.delay").alias("watermark_delay_s"),
+        F.col("s.nd").alias("n_dropped"),
+        rnd(
+            (F.col("n_events") - F.col("s.nd"))
+            / F.greatest(F.col("n_events"), F.lit(1)).cast("double"),
+            6,
+        ).alias("completeness"),
+    )
+
+
+_WATERMARK_SWEEP_ORACLE = f"""
+WITH late AS (
+  SELECT greatest(
+           max(epoch(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - epoch(ts), 0.0) AS lateness
+  FROM events
+),
+f AS (SELECT lateness FROM late WHERE lateness IS NOT NULL),
+base AS (SELECT count(*) AS n_events FROM f),
+cand AS (SELECT unnest([{", ".join(str(d) for d in WATERMARK_CANDIDATES)}])
+                AS watermark_delay_s)
+SELECT c.watermark_delay_s,
+       CAST(coalesce(sum(CASE WHEN f.lateness > c.watermark_delay_s
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped,
+       round((max(b.n_events)
+              - coalesce(sum(CASE WHEN f.lateness > c.watermark_delay_s
+                                  THEN 1 ELSE 0 END), 0)) * 1.0
+             / greatest(max(b.n_events), 1) + 1e-6, 6) AS completeness
+FROM cand c CROSS JOIN base b LEFT JOIN f ON true
+GROUP BY c.watermark_delay_s
+"""
+
+
+# --------------------------------------------------------------------------
+# 19. class balance report (labeled embedding corpus)
+# --------------------------------------------------------------------------
+
+def class_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS BALANCE audit of the labeled embedding corpus: per label
+    its share, the imbalance ratio vs the majority class, and (repeated
+    on every row, window-computed) the EFFECTIVE number of classes
+    exp(entropy) — 1.0 = collapsed, n_labels = perfectly balanced — the
+    one number a stratified sampler or loss re-weighting is configured
+    from. One hash aggregate to label-cardinality, then window math over
+    that tiny result."""
+    emb = load(spark, sf_dir, "embeddings")
+    per_label = emb.groupBy("label").agg(F.count("*").alias("n_vectors"))
+    w = Window.partitionBy()
+    share = F.col("n_vectors") / F.sum("n_vectors").over(w)
+    shared = per_label.select(
+        "label", "n_vectors", share.alias("p"),
+        F.max("n_vectors").over(w).alias("n_max"),
+    )
+    eff = F.exp(F.sum(-F.col("p") * F.log("p")).over(w))
+    return shared.select(
+        "label",
+        "n_vectors",
+        rnd("p", 6).alias("share"),
+        rnd(F.col("n_vectors") / F.col("n_max").cast("double"), 6).alias(
+            "vs_majority"
+        ),
+        rnd(eff, 4).alias("effective_classes"),
+    )
+
+
+_CLASS_BALANCE_ORACLE = """
+WITH per_label AS (
+  SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label
+),
+shared AS (
+  SELECT label, n_vectors,
+         n_vectors * 1.0 / sum(n_vectors) OVER () AS p,
+         max(n_vectors) OVER () AS n_max
+  FROM per_label
+)
+SELECT label, n_vectors,
+       round(p + 1e-6, 6) AS share,
+       round(n_vectors * 1.0 / n_max + 1e-6, 6) AS vs_majority,
+       round(exp(sum(-p * ln(p)) OVER ()) + 1e-6, 4) AS effective_classes
+FROM shared
+"""
+
+
 def _prepared() -> dict[str, tuple]:
     return {
         "pq_reconstruction_manifest": (pq_reconstruction_manifest, _pq_oracle()),
@@ -874,6 +1386,17 @@ def _prepared() -> dict[str, tuple]:
         "session_gap_calibration": (session_gap_calibration, _SESSION_GAP_ORACLE),
         "burstiness_fano": (burstiness_fano, _BURSTINESS_ORACLE),
         "lateness_profile": (lateness_profile, _LATENESS_ORACLE),
+        "filter_funnel_report": (filter_funnel_report, _funnel_oracle()),
+        "temperature_mixture_weights": (
+            temperature_mixture_weights, _TEMPERATURE_ORACLE,
+        ),
+        "contrastive_pair_mining": (contrastive_pair_mining, _CONTRASTIVE_ORACLE),
+        "event_rate_profile": (event_rate_profile, _EVENT_RATE_ORACLE),
+        "zipf_fit": (zipf_fit, _ZIPF_ORACLE),
+        "watermark_completeness_sweep": (
+            watermark_completeness_sweep, _WATERMARK_SWEEP_ORACLE,
+        ),
+        "class_balance_report": (class_balance_report, _CLASS_BALANCE_ORACLE),
     }
 
 

@@ -104,3 +104,174 @@ def test_prepared_names_do_not_collide_with_registry():
                 offenders.append(f"{name}.{col}: {typ}")
     con.close()
     assert not offenders, offenders
+
+
+def test_funnel_always_emits_every_stage(spark, sf_dir):
+    """All four stages must emit (zero drops included — the
+    similarity_threshold_curve lesson), survivors must be monotonically
+    non-increasing, and the final survivor count must equal the keeps."""
+    from flink_cookbook_spark.pipeline.prepared import (
+        FUNNEL_STAGES, filter_funnel_report,
+    )
+    from flink_cookbook_spark.pipeline.text import corpus_filter_pipeline
+
+    rows = sorted(filter_funnel_report(spark, sf_dir).collect(),
+                  key=lambda r: r.stage)
+    assert [(r.stage, r.reason) for r in rows] == list(FUNNEL_STAGES)
+    remaining = [r.n_remaining for r in rows]
+    assert remaining == sorted(remaining, reverse=True)
+    keeps = corpus_filter_pipeline(spark, sf_dir).where("keep").count()
+    assert remaining[-1] == keeps
+
+
+def test_temperature_flattens_the_mix(spark, sf_dir):
+    """alpha < 1 must flatten: scaled shares sum to 1 and the boost is
+    strictly decreasing in raw share (small sources get boosted up,
+    big sources damped down)."""
+    from flink_cookbook_spark.pipeline.prepared import temperature_mixture_weights
+
+    rows = temperature_mixture_weights(spark, sf_dir).collect()
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-3
+    by_share = sorted(rows, key=lambda r: r.raw_share)
+    boosts = [r.boost for r in by_share]
+    assert boosts == sorted(boosts, reverse=True)
+
+
+def test_contrastive_pairs_are_valid(spark, sf_dir):
+    """Partners must differ from the anchor, cosines must be bounded,
+    and the sampled corpus must yield at least one hard positive and
+    hard negatives for every anchor (labels are diverse)."""
+    from flink_cookbook_spark.pipeline.prepared import contrastive_pair_mining
+
+    rows = contrastive_pair_mining(spark, sf_dir).collect()
+    assert rows
+    assert all(r.hard_neg_id is not None for r in rows)
+    assert any(r.hard_pos_id is not None for r in rows)
+    for r in rows:
+        for pid, pcos in ((r.hard_pos_id, r.hard_pos_cos),
+                          (r.hard_neg_id, r.hard_neg_cos)):
+            if pid is not None:
+                assert pid != r.vec_id
+                assert -1.000001 <= pcos <= 1.000001
+
+
+def test_rate_profile_moment_ordering(spark, sf_dir):
+    """mean <= p95 <= peak and the peak-to-mean ratio >= 1 per type."""
+    from flink_cookbook_spark.pipeline.prepared import event_rate_profile
+
+    rows = event_rate_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mean_per_min <= r.p95_per_min + 1e-6
+        assert r.p95_per_min <= r.peak_per_min + 1e-6
+        assert r.peak_to_mean >= 1.0 - 1e-6
+        assert r.n_events >= r.n_minutes
+
+
+def test_zipf_head_is_decreasing(spark, sf_dir):
+    """Frequency is non-increasing in rank, so the fitted slope must be
+    <= 0; r2 bounded; the head never exceeds ZIPF_TOP_N ranks."""
+    from flink_cookbook_spark.pipeline.prepared import ZIPF_TOP_N, zipf_fit
+
+    rows = zipf_fit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.zipf_slope <= 1e-6
+        assert -1e-6 <= r.fit_r2 <= 1.0 + 1e-6
+        assert 0 < r.top_token_share < 1
+        assert 0 < r.n_ranks <= ZIPF_TOP_N
+        assert r.vocab_size >= r.n_ranks
+
+
+def test_new_prepared_survive_empty_tables(spark, tmp_path):
+    """Zero-row inputs must not crash the round-8-prepared operators;
+    the funnel keeps its always-emit contract (4 stage rows, all zero)
+    even on an empty corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_cookbook_spark.pipeline._cache import clear
+    from flink_cookbook_spark.pipeline.prepared import (
+        PREPARED_R8, filter_funnel_report,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.timestamp("us")),
+                "user_id": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "value": pa.array([], type=pa.float64()),
+                "props": pa.array([], type=pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "lang": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float32())),
+                "label": pa.array([], type=pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    clear()
+    for name in (
+        "temperature_mixture_weights",
+        "contrastive_pair_mining",
+        "event_rate_profile",
+        "zipf_fit",
+    ):
+        fn, _ = PREPARED_R8[name]
+        assert fn(spark, str(tmp_path)).count() == 0, name
+    rows = filter_funnel_report(spark, str(tmp_path)).collect()
+    assert len(rows) == 4
+    assert all(r.n_dropped == 0 and r.n_remaining == 0 for r in rows)
+    clear()
+
+
+def test_watermark_sweep_is_monotone(spark, sf_dir):
+    """Every candidate delay must emit; drops must be non-increasing and
+    completeness non-decreasing in the delay; delay 0 must drop exactly
+    the out-of-order events (lateness > 0)."""
+    from flink_cookbook_spark.pipeline.prepared import (
+        WATERMARK_CANDIDATES, watermark_completeness_sweep,
+    )
+
+    rows = sorted(watermark_completeness_sweep(spark, sf_dir).collect(),
+                  key=lambda r: r.watermark_delay_s)
+    assert [r.watermark_delay_s for r in rows] == list(WATERMARK_CANDIDATES)
+    drops = [r.n_dropped for r in rows]
+    assert drops == sorted(drops, reverse=True)
+    comps = [r.completeness for r in rows]
+    assert comps == sorted(comps)
+    assert all(0.0 <= c <= 1.0 + 1e-6 for c in comps)
+
+
+def test_class_balance_shares_and_effective_classes(spark, sf_dir):
+    """Shares sum to 1, the majority class has vs_majority == 1, and the
+    effective class count lies in [1, n_labels]."""
+    from flink_cookbook_spark.pipeline.prepared import class_balance_report
+
+    rows = class_balance_report(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    assert any(abs(r.vs_majority - 1.0) < 1e-5 for r in rows)
+    eff = {r.effective_classes for r in rows}
+    assert len(eff) == 1  # window-computed constant, same on every row
+    assert 1.0 - 1e-6 <= eff.pop() <= len(rows) + 1e-6
