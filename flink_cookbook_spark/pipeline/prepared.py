@@ -10,7 +10,7 @@ per-round correctness window (~50 entries) runs pending registrations
 FIRST, ahead of stale re-proofs, and round 7 must drain the pre-round-3
 re-proof backlog (round-6 verdict ask #3: "after r7 no latest record
 predates r3"). With 11 queries already pending this round, these
-seventeen would have displaced seventeen of the 38 backlog re-proofs.
+nineteen would have displaced nineteen of the 38 backlog re-proofs.
 Round 8 activates each entry with a one-line
 ``register(name, oracle=...)``.
 """
@@ -1372,6 +1372,515 @@ FROM shared
 """
 
 
+# --------------------------------------------------------------------------
+# 20. Kaplan-Meier survival of signup -> first-purchase delay
+# --------------------------------------------------------------------------
+
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimator over signup->first-purchase delay, with
+    right-censoring at corpus end for users who never purchase — the
+    survival-analysis complement of ``funnel_time_to_convert`` (which
+    only sees converters and so overstates conversion speed).
+
+    Shape: two keyed min-aggs (per-user signup / first purchase), one
+    1-row corpus-max broadcast, then the KM table over DISTINCT hour
+    durations — the global ordered window runs over at most
+    corpus-span-in-hours rows regardless of user count, so it is
+    calendar-bounded, not data-bounded, at 100 TB.  The product
+    Π(1 - d/n) is computed as exp(Σ ln ·) with a 1e-300 floor so a
+    final-time factor of exactly 0 yields survival 0.0 on both engines
+    (Spark ``log(0)`` is NULL, DuckDB's is -inf — the floor sidesteps
+    the divergence).
+    """
+    ev = load(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    s0 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("t0"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", sec.alias("tp")
+    )
+    first_p = (
+        s0.join(purch, "user_id")
+        .where(F.col("tp") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    tmax = ev.agg(F.max(sec).alias("tmax"))
+    subj = (
+        s0.join(first_p, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.floor(
+                (F.coalesce("tp", "tmax") - F.col("t0")) / 3600
+            ).alias("dur"),
+            F.col("tp").isNotNull().cast("int").alias("obs"),
+        )
+    )
+    g = subj.groupBy("dur").agg(
+        F.count("*").alias("n_all"), F.sum("obs").alias("d")
+    )
+    w_ord = Window.orderBy("dur")
+    w_before = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "dur", "n_all", "d",
+        F.coalesce(F.sum("n_all").over(w_before), F.lit(0)).alias("cumb"),
+        F.sum("n_all").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("tot"),
+    )
+    k = r.select(
+        "dur", "d", (F.col("tot") - F.col("cumb")).alias("n_at_risk")
+    )
+    surv = F.exp(
+        F.sum(
+            F.log(
+                F.greatest(
+                    F.lit(1.0) - F.col("d") / F.col("n_at_risk"),
+                    F.lit(1e-300),
+                )
+            )
+        ).over(w_ord)
+    )
+    return (
+        k.where(F.col("d") > 0)
+        .select(
+            F.col("dur").alias("t_hours"),
+            "n_at_risk",
+            F.col("d").alias("n_events"),
+            rnd(surv, 6).alias("survival"),
+        )
+    )
+
+
+_KM_ORACLE = """
+WITH sec AS (SELECT user_id, event_type, epoch(ts) AS s FROM events),
+s0 AS (
+  SELECT user_id, min(s) AS t0 FROM sec
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT s0.user_id, min(sec.s) AS tp
+  FROM s0 JOIN sec ON sec.user_id = s0.user_id
+   AND sec.event_type = 'purchase' AND sec.s >= s0.t0
+  GROUP BY s0.user_id
+),
+mx AS (SELECT max(s) AS tmax FROM sec),
+subj AS (
+  SELECT CAST(floor((coalesce(p.tp, mx.tmax) - s0.t0) / 3600) AS BIGINT) AS dur,
+         CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+  FROM s0 LEFT JOIN p USING (user_id) CROSS JOIN mx
+),
+g AS (
+  SELECT dur, count(*) AS n_all, CAST(sum(obs) AS BIGINT) AS d
+  FROM subj GROUP BY dur
+),
+r AS (
+  SELECT dur, n_all, d,
+         coalesce(sum(n_all) OVER (ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+         sum(n_all) OVER () AS tot
+  FROM g
+),
+k AS (SELECT dur, d, CAST(tot - cumb AS BIGINT) AS n_at_risk FROM r)
+SELECT dur AS t_hours, n_at_risk, d AS n_events,
+       round(exp(sum(ln(greatest(1.0 - d * 1.0 / n_at_risk, 1e-300)))
+                 OVER (ORDER BY dur)) + 1e-6, 6) AS survival
+FROM k WHERE d > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# 21. revenue concentration (Gini + top-decile share) per nation
+# --------------------------------------------------------------------------
+
+def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer-revenue concentration: Gini coefficient (via
+    the rank formula G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over ascending
+    revenue) and the revenue share of the top decile of customers.
+    The whale-vs-long-tail diagnostic a mixture/quota policy is tuned
+    against.  One shuffle to per-customer revenue, per-nation windows
+    (25 bounded partitions at TPC-H shape), one final agg — every
+    intermediate double derives from exact integer/double sums, so
+    Spark and DuckDB agree bit-for-bit before rounding."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    per_cust = (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "rev")
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("rev").asc(), F.col("c_custkey").asc()
+    )
+    wn = Window.partitionBy("n_name")
+    ranked = per_cust.select(
+        "n_name", "rev",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count("*").over(wn).alias("n"),
+    )
+    ntop = F.floor((F.col("n") + 9) / 10)
+    agg = ranked.groupBy("n_name").agg(
+        F.max("n").alias("n_customers"),
+        F.sum("rev").alias("total_rev"),
+        F.sum(F.col("i") * F.col("rev")).alias("irev"),
+        F.sum(
+            F.when(F.col("i") > F.col("n") - ntop, F.col("rev")).otherwise(0.0)
+        ).alias("top_rev"),
+    )
+    gini = (
+        2.0 * F.col("irev") / (F.col("n_customers") * F.col("total_rev"))
+        - (F.col("n_customers") + 1.0) / F.col("n_customers")
+    )
+    return agg.select(
+        "n_name",
+        "n_customers",
+        rnd("total_rev", 2).alias("total_rev"),
+        rnd(gini, 6).alias("gini"),
+        rnd(F.col("top_rev") / F.col("total_rev"), 6).alias("top_decile_share"),
+    )
+
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey
+),
+pc AS (
+  SELECT n.n_name, c.c_custkey, rev.rev
+  FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+ranked AS (
+  SELECT n_name, rev,
+         CAST(row_number() OVER (PARTITION BY n_name
+              ORDER BY rev ASC, c_custkey ASC) AS BIGINT) AS i,
+         count(*) OVER (PARTITION BY n_name) AS n
+  FROM pc
+),
+agg AS (
+  SELECT n_name,
+         max(n) AS n_customers,
+         sum(rev) AS total_rev,
+         sum(i * rev) AS irev,
+         sum(CASE WHEN i > n - CAST(floor((n + 9) / 10) AS BIGINT)
+                  THEN rev ELSE 0.0 END) AS top_rev
+  FROM ranked GROUP BY n_name
+)
+SELECT n_name, CAST(n_customers AS BIGINT) AS n_customers,
+       round(total_rev + 1e-6, 2) AS total_rev,
+       round(2.0 * irev / (n_customers * total_rev)
+             - (n_customers + 1.0) / n_customers + 1e-6, 6) AS gini,
+       round(top_rev / total_rev + 1e-6, 6) AS top_decile_share
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# 22. periodogram peaks (dominant seasonality detection)
+# --------------------------------------------------------------------------
+
+#: candidate periods in minutes: hour, 6 hours, day, week.
+PERIODOGRAM_PERIODS = (60, 360, 1440, 10080)
+
+
+def periodogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-frequency periodogram per event type: spectral power of
+    the per-minute arrival series at four candidate periods, normalized
+    by the squared total count, plus a dominant-period flag — the
+    automated answer to "is this stream hourly-, daily-, or
+    weekly-seasonal?" that ``hourly_seasonal_profile`` assumes a priori.
+
+    Power(T) = (Σ nₜ·cos(2πt/T))² + (Σ nₜ·sin(2πt/T))² over minute
+    buckets t.  Everything is two stacked hash aggregates (minute
+    counts, then per-type trig sums) — no window, no shuffle beyond the
+    two agg exchanges, and the phase argument is reduced mod T before
+    the trig call so both engines evaluate small angles.  The dominance
+    flag compares ROUNDED powers so libm ulp drift cannot flip it."""
+    ev = load(spark, sf_dir, "events")
+    mn = F.floor(F.col("ts").cast("double") / 60).alias("mn")
+    per_min = ev.groupBy("event_type", mn).agg(F.count("*").alias("n"))
+    mn0 = per_min.agg(F.min("mn").alias("mn0"))
+    base = per_min.crossJoin(F.broadcast(mn0))
+    parts = []
+    for period in PERIODOGRAM_PERIODS:
+        ang = (
+            2.0
+            * 3.141592653589793
+            * (((F.col("mn") - F.col("mn0")) % period).cast("double"))
+            / period
+        )
+        parts.append(
+            base.groupBy("event_type").agg(
+                F.sum(F.col("n") * F.cos(ang)).alias("c"),
+                F.sum(F.col("n") * F.sin(ang)).alias("s"),
+                F.sum("n").alias("tot"),
+            ).select(
+                "event_type",
+                F.lit(period).alias("period_minutes"),
+                (
+                    (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+                    / (F.col("tot") * F.col("tot"))
+                ).alias("raw_power"),
+            )
+        )
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    wt = Window.partitionBy("event_type")
+    out = un.select(
+        "event_type",
+        "period_minutes",
+        rnd("raw_power", 6).alias("power_norm"),
+    )
+    return out.select(
+        "event_type",
+        "period_minutes",
+        "power_norm",
+        (F.col("power_norm") == F.max("power_norm").over(wt)).alias(
+            "is_dominant"
+        ),
+    )
+
+
+def _periodogram_oracle() -> str:
+    per = ", ".join(str(p) for p in PERIODOGRAM_PERIODS)
+    return f"""
+WITH per_min AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 60) AS BIGINT) AS mn,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+m0 AS (SELECT min(mn) AS mn0 FROM per_min),
+p AS (
+  SELECT per_min.*, t.period, m0.mn0
+  FROM per_min CROSS JOIN m0 CROSS JOIN (
+    SELECT unnest([{per}]) AS period
+  ) t
+),
+agg AS (
+  SELECT event_type, period,
+         sum(n * cos(2.0 * 3.141592653589793 * ((mn - mn0) % period) / period)) AS c,
+         sum(n * sin(2.0 * 3.141592653589793 * ((mn - mn0) % period) / period)) AS s,
+         sum(n) AS tot
+  FROM p GROUP BY 1, 2
+),
+pw AS (
+  SELECT event_type, CAST(period AS INTEGER) AS period_minutes,
+         round((c * c + s * s) / (CAST(tot AS DOUBLE) * tot) + 1e-6, 6)
+           AS power_norm
+  FROM agg
+)
+SELECT event_type, period_minutes, power_norm,
+       power_norm = max(power_norm) OVER (PARTITION BY event_type)
+         AS is_dominant
+FROM pw
+"""
+
+
+# --------------------------------------------------------------------------
+# 23. best-split changepoint per event type (binary segmentation, 1 split)
+# --------------------------------------------------------------------------
+
+def best_split_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split changepoint detection over each event type's daily
+    count series: the split day maximizing the between-segment variance
+    reduction n₁n₂/(n₁+n₂)·(μ₁−μ₂)² — the offline answer CUSUM
+    (``cusum_drift``) approximates online, and the first step of binary
+    segmentation.  Prefix sums via one per-type ordered window over the
+    DAILY series (calendar-bounded rows), argmax via row_number.  Every
+    candidate's gain derives from exact integer sums, so cross-engine
+    float equality holds bit-for-bit and the argmax is deterministic
+    with the (gain DESC, day ASC) tie-break."""
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400).alias("day")
+    daily = ev.groupBy("event_type", day).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wt = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type", "day",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_s"),
+        F.count("*").over(wt).alias("n_days"),
+        F.sum("cnt").over(wt).alias("tot"),
+    )
+    cand = pre.where(F.col("k") < F.col("n_days"))
+    m1 = F.col("cum_s") / F.col("k")
+    m2 = (F.col("tot") - F.col("cum_s")) / (F.col("n_days") - F.col("k"))
+    gain = (
+        F.col("k")
+        * (F.col("n_days") - F.col("k"))
+        / F.col("n_days").cast("double")
+        * (m1 - m2)
+        * (m1 - m2)
+    )
+    scored = cand.select(
+        "event_type", "day", "k", "n_days",
+        m1.alias("m1"), m2.alias("m2"), gain.alias("gain"),
+    )
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.col("gain").desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_best))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            F.col("k").alias("n_days_before"),
+            (F.col("n_days") - F.col("k")).alias("n_days_after"),
+            rnd("m1", 4).alias("mean_before"),
+            rnd("m2", 4).alias("mean_after"),
+            rnd("gain", 4).alias("sse_reduction"),
+        )
+    )
+
+
+_CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT event_type, day,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS k,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+         count(*) OVER (PARTITION BY event_type) AS n_days,
+         sum(cnt) OVER (PARTITION BY event_type) AS tot
+  FROM daily
+),
+cand AS (
+  SELECT event_type, day, k, n_days,
+         cum_s * 1.0 / k AS m1,
+         (tot - cum_s) * 1.0 / (n_days - k) AS m2,
+         k * (n_days - k) / CAST(n_days AS DOUBLE)
+           * (cum_s * 1.0 / k - (tot - cum_s) * 1.0 / (n_days - k))
+           * (cum_s * 1.0 / k - (tot - cum_s) * 1.0 / (n_days - k)) AS gain
+  FROM pre WHERE k < n_days
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY gain DESC, day ASC) AS rk
+  FROM cand
+)
+SELECT event_type, day AS split_day, k AS n_days_before,
+       CAST(n_days - k AS BIGINT) AS n_days_after,
+       round(m1 + 1e-6, 4) AS mean_before,
+       round(m2 + 1e-6, 4) AS mean_after,
+       round(gain + 1e-6, 4) AS sse_reduction
+FROM best WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 24. kNN label consistency (embedding-space label agreement)
+# --------------------------------------------------------------------------
+
+#: sample cap and neighborhood size for the kNN label audit.
+KNN_MAX_VECTORS = 300
+KNN_K = 5
+
+
+def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label kNN label-consistency audit: on a capped md5 sample of
+    the embedding corpus, the fraction of each vector's K=5 cosine
+    nearest neighbors that share its label, aggregated per label — the
+    standard embedding-quality / label-noise metric run before trusting
+    labels for stratified sampling or contrastive mining.
+
+    Scale: the sample is CAPPED at KNN_MAX_VECTORS by construction
+    (``mod = max(1, n // cap)``, the IVF-trainer pattern), so the
+    broadcast-nested-loop pair space is ≤ cap² ≈ 90k rows at any corpus
+    size, and the per-anchor top-K is one bounded window."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    mod = max(1, n // KNN_MAX_VECTORS)
+    coin = F.conv(
+        F.substring(F.md5(F.concat(F.lit("knn:"), F.col("vec_id").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    s = emb.where(coin % mod == 0).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    s = s.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    a = s.select(
+        F.col("vec_id").alias("aid"), F.col("label").alias("al"),
+        F.col("v").alias("av"), F.col("nrm").alias("an"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("bid"), F.col("label").alias("bl"),
+        F.col("v").alias("bv"), F.col("nrm").alias("bn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("av", "bv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("aid") != F.col("bid"))
+        .select(
+            "aid", "al", "bid", "bl",
+            (dot / (F.col("an") * F.col("bn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("aid").orderBy(F.col("cos").desc(), F.col("bid").asc())
+    knn = pairs.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= KNN_K
+    )
+    per_vec = knn.groupBy("aid", "al").agg(
+        F.avg((F.col("al") == F.col("bl")).cast("double")).alias("consistency")
+    )
+    return per_vec.groupBy(F.col("al").alias("label")).agg(
+        F.count("*").alias("n_vectors"),
+        rnd(F.avg("consistency"), 6).alias("mean_consistency"),
+        rnd(F.min("consistency"), 6).alias("min_consistency"),
+    )
+
+
+_KNN_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT greatest(1, count(*) // {KNN_MAX_VECTORS}) AS md FROM e),
+s AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+  FROM e, m
+  WHERE CAST('0x' || substr(md5('knn:' || CAST(vec_id AS VARCHAR)), 1, 15)
+             AS BIGINT) % m.md = 0
+),
+p AS (
+  SELECT a.vec_id AS aid, a.label AS al, b.vec_id AS bid, b.label AS bl,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+  FROM s a JOIN s b ON a.vec_id != b.vec_id
+),
+knn AS (
+  SELECT aid, al, bl,
+         row_number() OVER (PARTITION BY aid ORDER BY cos DESC, bid ASC) AS rk
+  FROM p
+),
+per_vec AS (
+  SELECT aid, al,
+         avg(CASE WHEN al = bl THEN 1.0 ELSE 0.0 END) AS consistency
+  FROM knn WHERE rk <= {KNN_K} GROUP BY aid, al
+)
+SELECT al AS label, count(*) AS n_vectors,
+       round(avg(consistency) + 1e-6, 6) AS mean_consistency,
+       round(min(consistency) + 1e-6, 6) AS min_consistency
+FROM per_vec GROUP BY al
+"""
+
+
 def _prepared() -> dict[str, tuple]:
     return {
         "pq_reconstruction_manifest": (pq_reconstruction_manifest, _pq_oracle()),
@@ -1397,6 +1906,15 @@ def _prepared() -> dict[str, tuple]:
             watermark_completeness_sweep, _WATERMARK_SWEEP_ORACLE,
         ),
         "class_balance_report": (class_balance_report, _CLASS_BALANCE_ORACLE),
+        "kaplan_meier_survival": (kaplan_meier_survival, _KM_ORACLE),
+        "revenue_concentration_gini": (
+            revenue_concentration_gini, _GINI_ORACLE,
+        ),
+        "periodogram_peaks": (periodogram_peaks, _periodogram_oracle()),
+        "best_split_changepoint": (
+            best_split_changepoint, _CHANGEPOINT_ORACLE,
+        ),
+        "knn_label_consistency": (knn_label_consistency, _KNN_ORACLE),
     }
 
 

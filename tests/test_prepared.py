@@ -275,3 +275,110 @@ def test_class_balance_shares_and_effective_classes(spark, sf_dir):
     eff = {r.effective_classes for r in rows}
     assert len(eff) == 1  # window-computed constant, same on every row
     assert 1.0 - 1e-6 <= eff.pop() <= len(rows) + 1e-6
+
+
+def test_kaplan_meier_curve_shape(spark, sf_dir):
+    """Survival starts at 1 - d1/n1, is strictly within (0, 1], and is
+    non-increasing; risk sets shrink as t grows."""
+    from flink_cookbook_spark.pipeline.prepared import kaplan_meier_survival
+
+    rows = sorted(kaplan_meier_survival(spark, sf_dir).collect(),
+                  key=lambda r: r.t_hours)
+    assert rows
+    first = rows[0]
+    assert abs(first.survival - (1.0 - first.n_events / first.n_at_risk)) < 1e-4
+    surv = [r.survival for r in rows]
+    assert surv == sorted(surv, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    risks = [r.n_at_risk for r in rows]
+    assert risks == sorted(risks, reverse=True)
+    assert all(r.n_events <= r.n_at_risk for r in rows)
+
+
+def test_gini_bounds_and_top_decile(spark, sf_dir):
+    """Gini lies in [0, 1); the top decile's share is at least its
+    population share (the decile holds the largest revenues)."""
+    from flink_cookbook_spark.pipeline.prepared import revenue_concentration_gini
+
+    rows = revenue_concentration_gini(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        ntop = (r.n_customers + 9) // 10
+        assert r.top_decile_share >= ntop / r.n_customers - 1e-6
+        assert r.top_decile_share <= 1.0 + 1e-6
+
+
+def test_periodogram_one_dominant_per_type(spark, sf_dir):
+    """Each event type gets all candidate periods, power in [0, 1], and
+    at least one dominant row (ties can mark several, rounded compare)."""
+    from flink_cookbook_spark.pipeline.prepared import (
+        PERIODOGRAM_PERIODS, periodogram_peaks,
+    )
+
+    rows = periodogram_peaks(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        assert sorted(x.period_minutes for x in rs) == sorted(PERIODOGRAM_PERIODS)
+        assert all(0.0 <= x.power_norm <= 1.0 + 1e-6 for x in rs)
+        doms = [x for x in rs if x.is_dominant]
+        assert doms, t
+        top = max(x.power_norm for x in rs)
+        assert all(x.power_norm == top for x in doms)
+
+
+def test_changepoint_gain_is_the_max(spark, sf_dir):
+    """The reported split must achieve the maximal gain over a manual
+    recompute of every candidate split from the daily series."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared import best_split_changepoint
+    from pyspark.sql import functions as F
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("double") / 86400).alias("day"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.cnt))
+    best = {}
+    for t, pts in series.items():
+        pts.sort()
+        cnts = [c for _, c in pts]
+        n, tot = len(cnts), sum(cnts)
+        gains = []
+        run = 0
+        for k in range(1, n):
+            run += cnts[k - 1]
+            m1, m2 = run / k, (tot - run) / (n - k)
+            gains.append(k * (n - k) / n * (m1 - m2) ** 2)
+        best[t] = max(gains)
+    for r in best_split_changepoint(spark, sf_dir).collect():
+        assert r.sse_reduction >= 0.0
+        assert r.n_days_before >= 1 and r.n_days_after >= 1
+        assert abs(r.sse_reduction - best[r.event_type]) < 1e-3
+
+
+def test_knn_consistency_bounds(spark, sf_dir):
+    """Per-label consistency lies in [0, 1] and the per-label vector
+    counts sum to the capped sample size."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared import (
+        KNN_MAX_VECTORS, knn_label_consistency,
+    )
+
+    rows = knn_label_consistency(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.min_consistency <= r.mean_consistency <= 1.0
+    n = load(spark, sf_dir, "embeddings").count()
+    mod = max(1, n // KNN_MAX_VECTORS)
+    assert sum(r.n_vectors for r in rows) <= max(n, 2 * KNN_MAX_VECTORS)
+    assert len({r.label for r in rows}) == len(rows)
