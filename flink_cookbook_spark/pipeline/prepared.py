@@ -10,7 +10,7 @@ per-round correctness window (~50 entries) runs pending registrations
 FIRST, ahead of stale re-proofs, and round 7 must drain the pre-round-3
 re-proof backlog (round-6 verdict ask #3: "after r7 no latest record
 predates r3"). With 11 queries already pending this round, these
-nineteen would have displaced nineteen of the 38 backlog re-proofs.
+thirty-four would have displaced most of the 38 backlog re-proofs.
 Round 8 activates each entry with a one-line
 ``register(name, oracle=...)``.
 """
@@ -1881,6 +1881,740 @@ FROM per_vec GROUP BY al
 """
 
 
+# --------------------------------------------------------------------------
+# 25. within-document token entropy profile
+# --------------------------------------------------------------------------
+
+def token_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-entropy profile: Shannon entropy of each
+    document's within-doc token distribution, normalized by log2(n) so
+    1.0 = maximally diverse and 0.0 = one token repeated — the
+    information-theoretic upgrade of ``quality_score``'s repetition
+    ratio (which cannot distinguish "one token 99×" from "99 distinct
+    tokens twice each").  Flags docs under 0.5 normalized entropy.
+
+    Shape: explode → (doc, token) counts → per-doc window total → per-doc
+    entropy agg → per-source agg.  Cost is linear in corpus tokens; the
+    widest exchange keys on doc_id, never on the vocabulary."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    cnt = toks.groupBy("doc_id", "source", "tok").agg(
+        F.count("*").alias("c")
+    )
+    wd = Window.partitionBy("doc_id")
+    with_n = cnt.select(
+        "doc_id", "source", "c", F.sum("c").over(wd).alias("n")
+    )
+    p = F.col("c") / F.col("n")
+    per_doc = with_n.groupBy("doc_id", "source").agg(
+        F.max("n").alias("n_tokens"),
+        F.sum(-p * F.log2(p)).alias("h"),
+    )
+    h_norm = F.when(
+        F.col("n_tokens") > 1, F.col("h") / F.log2(F.col("n_tokens"))
+    ).otherwise(0.0)
+    scored = per_doc.select("source", "h", h_norm.alias("hn"))
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        rnd(F.avg("h"), 4).alias("mean_entropy_bits"),
+        rnd(F.avg("hn"), 4).alias("mean_norm_entropy"),
+        rnd(F.min("hn"), 4).alias("min_norm_entropy"),
+        F.sum((F.col("hn") < 0.5).cast("long")).alias("n_low_entropy"),
+    )
+
+
+_TOKEN_ENTROPY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, source, tok, count(*) AS c
+  FROM toks GROUP BY 1, 2, 3
+),
+with_n AS (
+  SELECT doc_id, source, c,
+         sum(c) OVER (PARTITION BY doc_id) AS n
+  FROM cnt
+),
+per_doc AS (
+  SELECT doc_id, source, max(n) AS n_tokens,
+         sum(-(c * 1.0 / n) * log2(c * 1.0 / n)) AS h
+  FROM with_n GROUP BY 1, 2
+),
+scored AS (
+  SELECT source, h,
+         CASE WHEN n_tokens > 1 THEN h / log2(n_tokens) ELSE 0.0 END AS hn
+  FROM per_doc
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(h) + 1e-6, 4) AS mean_entropy_bits,
+       round(avg(hn) + 1e-6, 4) AS mean_norm_entropy,
+       round(min(hn) + 1e-6, 4) AS min_norm_entropy,
+       CAST(sum(CASE WHEN hn < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_entropy
+FROM scored GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# 26. source concentration (HHI) per language
+# --------------------------------------------------------------------------
+
+def source_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language source concentration: Herfindahl-Hirschman index
+    over source shares, its reciprocal (effective source count), and
+    the top source with its share — the market-concentration sibling of
+    ``class_balance_report``'s entropy view, and the number a corpus
+    diversity requirement ("no language dominated by one crawl") is
+    written against.  Two stacked hash aggs + one bounded per-language
+    window (languages are a small domain)."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    wl = Window.partitionBy("lang")
+    w_top = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("source").asc()
+    )
+    shared = per_src.select(
+        "lang", "source", "c",
+        (F.col("c") / F.sum("c").over(wl)).alias("p"),
+        F.row_number().over(w_top).alias("rk"),
+    )
+    hhi = F.sum(F.col("p") * F.col("p"))
+    return shared.groupBy("lang").agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_sources"),
+        rnd(hhi, 6).alias("hhi"),
+        rnd(1.0 / hhi, 4).alias("effective_sources"),
+        F.max(F.when(F.col("rk") == 1, F.col("source"))).alias("top_source"),
+        rnd(F.max(F.when(F.col("rk") == 1, F.col("p"))), 6).alias("top_share"),
+    )
+
+
+_HHI_ORACLE = """
+WITH per_src AS (
+  SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2
+),
+shared AS (
+  SELECT lang, source, c,
+         c * 1.0 / sum(c) OVER (PARTITION BY lang) AS p,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY c DESC, source ASC) AS rk
+  FROM per_src
+)
+SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+       count(*) AS n_sources,
+       round(sum(p * p) + 1e-6, 6) AS hhi,
+       round(1.0 / sum(p * p) + 1e-6, 4) AS effective_sources,
+       max(CASE WHEN rk = 1 THEN source END) AS top_source,
+       round(max(CASE WHEN rk = 1 THEN p END) + 1e-6, 6) AS top_share
+FROM shared GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# 27. event trigram motifs (sequential pattern mining, order 3)
+# --------------------------------------------------------------------------
+
+#: how many global trigrams the motif report keeps.
+TRIGRAM_TOP_N = 20
+
+
+def event_trigram_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigrams across per-user journeys — order-3
+    sequential patterns, one step beyond ``event_transition_matrix``'s
+    bigrams and the cheap PrefixSpan stand-in for "what three-step
+    habits exist?".  Per-user ordered lead() window (state bounded by
+    2 lookahead rows per user), then a hash agg over the trigram
+    vocabulary (≤ |types|³, a constant), then a global top-N on that
+    bounded aggregate."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    counts = tri.groupBy("t1", "t2", "t3").agg(F.count("*").alias("support"))
+    total = counts.agg(F.sum("support").alias("tot"))
+    w_rank = Window.orderBy(F.col("support").desc(), F.col("trigram").asc())
+    return (
+        counts.select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("trigram"), "support"
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") <= TRIGRAM_TOP_N)
+        .select(
+            "trigram", "support",
+            rnd(F.col("support") / F.col("tot"), 6).alias("share"),
+        )
+    )
+
+
+_TRIGRAM_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+  SELECT t1 || '>' || t2 || '>' || t3 AS trigram, count(*) AS support
+  FROM seq WHERE t3 IS NOT NULL GROUP BY 1
+),
+ranked AS (
+  SELECT trigram, support,
+         sum(support) OVER () AS tot,
+         row_number() OVER (ORDER BY support DESC, trigram ASC) AS rk
+  FROM counts
+)
+SELECT trigram, support, round(support * 1.0 / tot + 1e-6, 6) AS share
+FROM ranked WHERE rk <= {TRIGRAM_TOP_N}
+"""
+
+
+# --------------------------------------------------------------------------
+# 28. open-order backlog profile (interval stabbing via +1/-1 deltas)
+# --------------------------------------------------------------------------
+
+def order_backlog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: each order opens at o_orderdate and
+    closes the day after its last lineitem ships (same-day close for
+    orders with no lineitems), and the backlog on a day is the count of
+    open intervals covering it — the interval-stabbing query behind
+    "how much WIP does the warehouse carry?".
+
+    The classic scalable shape: intervals → ±1 boundary deltas → one
+    hash agg on day → one cumulative window over the DISTINCT-day
+    series, which is calendar-bounded however many orders exist.  No
+    join ever expands rows beyond 2 per order."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    spans = (
+        orders.join(last_ship, orders.o_orderkey == last_ship.l_orderkey, "left")
+        .select(
+            F.to_date("o_orderdate").alias("open_day"),
+            F.date_add(
+                F.coalesce(F.to_date("last_ship"), F.to_date("o_orderdate")), 1
+            ).alias("close_day"),
+        )
+    )
+    opens = spans.select(
+        F.col("open_day").alias("day"),
+        F.lit(1).alias("delta"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    )
+    closes = spans.select(
+        F.col("close_day").alias("day"),
+        F.lit(-1).alias("delta"),
+        F.lit(0).alias("opened"),
+        F.lit(1).alias("closed"),
+    )
+    daily = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(
+            F.sum("delta").alias("delta"),
+            F.sum("opened").alias("n_opened"),
+            F.sum("closed").alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day", "n_opened", "n_closed",
+        F.sum("delta").over(w).alias("backlog"),
+    )
+
+
+_BACKLOG_ORACLE = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+spans AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS open_day,
+         coalesce(CAST(ls.last_ship AS DATE),
+                  CAST(o.o_orderdate AS DATE)) + 1 AS close_day
+  FROM orders o LEFT JOIN last_ship ls ON o.o_orderkey = ls.l_orderkey
+),
+deltas AS (
+  SELECT open_day AS day, 1 AS delta, 1 AS opened, 0 AS closed FROM spans
+  UNION ALL
+  SELECT close_day AS day, -1 AS delta, 0 AS opened, 1 AS closed FROM spans
+),
+daily AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS delta,
+         CAST(sum(opened) AS BIGINT) AS n_opened,
+         CAST(sum(closed) AS BIGINT) AS n_closed
+  FROM deltas GROUP BY day
+)
+SELECT day, n_opened, n_closed,
+       CAST(sum(delta) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS backlog
+FROM daily
+"""
+
+
+# --------------------------------------------------------------------------
+# 29. quality-threshold sweep (filter calibration decision table)
+# --------------------------------------------------------------------------
+
+#: candidate quality cutoffs swept by the calibration report.
+QUALITY_THRESHOLDS = (0.0, 0.25, 0.5, 0.75, 0.9)
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision table for the quality filter: for each candidate cutoff,
+    how many documents and tokens survive ``quality_score``'s composite
+    score ≥ cutoff — the same always-emit sweep pattern as
+    ``watermark_completeness_sweep``, applied to the curation knob that
+    governs corpus yield.  Every threshold always emits (conditional
+    aggregation over a 5-row broadcast), so the report cannot go vacuous
+    when a cutoff retains nothing.  One linear scan + one 5-key agg."""
+    from flink_cookbook_spark.pipeline.text import STOPWORDS
+
+    docs = load(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    n = F.size(ts)
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.size(F.expr(f"filter(split(text, ' '), t -> t IN ({stop_in}))"))
+    stop_ratio = n_stop.cast("double") / n
+    rep_ratio = 1.0 - F.size(F.array_distinct(ts)).cast("double") / n
+    score = (
+        F.when(n < 10, 0.0).otherwise(1.0)
+        * (1.0 - rep_ratio)
+        * F.when(stop_ratio > 0.5, 0.5).otherwise(1.0)
+    )
+    scored = docs.select(score.alias("q"), n.cast("long").alias("n_tokens"))
+    thr = spark.createDataFrame(
+        [(t,) for t in QUALITY_THRESHOLDS], "threshold double"
+    )
+    keep = F.col("q") >= F.col("threshold")
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.sum(keep.cast("long")).alias("n_docs_kept"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0)).alias(
+                "n_tokens_kept"
+            ),
+            rnd(F.avg(keep.cast("double")), 6).alias("doc_share"),
+            rnd(
+                F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+                / F.sum("n_tokens"),
+                6,
+            ).alias("token_share"),
+        )
+    )
+
+
+from flink_cookbook_spark.pipeline.text import STOPWORDS as _QS_STOPWORDS
+
+_QUALITY_SWEEP_ORACLE = f"""
+WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+m AS (
+  SELECT len(ts) AS n,
+         CAST(len(list_filter(ts, x -> x IN
+           ({", ".join(repr(s) for s in _QS_STOPWORDS)}))) AS DOUBLE)
+           / len(ts) AS stop_ratio,
+         1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS rep_ratio
+  FROM t
+),
+scored AS (
+  SELECT (CASE WHEN n < 10 THEN 0.0 ELSE 1.0 END)
+           * (1.0 - rep_ratio)
+           * (CASE WHEN stop_ratio > 0.5 THEN 0.5 ELSE 1.0 END) AS q,
+         CAST(n AS BIGINT) AS n_tokens
+  FROM m
+),
+thr AS (SELECT unnest([{", ".join(str(t) for t in QUALITY_THRESHOLDS)}]) AS threshold)
+SELECT threshold,
+       CAST(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(sum(CASE WHEN q >= threshold THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS n_tokens_kept,
+       round(avg(CASE WHEN q >= threshold THEN 1.0 ELSE 0.0 END) + 1e-6, 6)
+         AS doc_share,
+       round(sum(CASE WHEN q >= threshold THEN n_tokens ELSE 0 END) * 1.0
+             / sum(n_tokens) + 1e-6, 6) AS token_share
+FROM scored CROSS JOIN thr GROUP BY threshold
+"""
+
+
+# --------------------------------------------------------------------------
+# 30. join-size estimator (optimizer-statistics audit, no join executed)
+# --------------------------------------------------------------------------
+
+def join_size_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit: the EXACT output size of the
+    many-to-many click⋈purchase join on user_id (Σ c₁ᵤ·c₂ᵤ, computed
+    from the two per-key count aggregates WITHOUT materializing a
+    single joined row) next to the System-R independence estimate
+    |L|·|R|/max(ndv_L, ndv_R), and their ratio — the skew factor that
+    says how badly a cost-based optimizer would misplan this join.
+    Two keyed aggs + one bounded-by-users equi-join of 2-column
+    aggregates + a 1-row final agg; nothing here scales with the join
+    OUTPUT, which is the point."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.count("*").alias("c1")
+    )
+    purch = ev.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.count("*").alias("c2")
+    )
+    joined = clicks.join(purch, "user_id")
+    exact = joined.agg(
+        F.sum(F.col("c1") * F.col("c2")).alias("exact_pairs")
+    )
+    lstats = clicks.agg(
+        F.sum("c1").alias("n_left"), F.count("*").alias("ndv_left")
+    )
+    rstats = purch.agg(
+        F.sum("c2").alias("n_right"), F.count("*").alias("ndv_right")
+    )
+    est = (
+        F.col("n_left")
+        * F.col("n_right")
+        / F.greatest("ndv_left", "ndv_right").cast("double")
+    )
+    return (
+        lstats.crossJoin(F.broadcast(rstats))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_left", "n_right", "ndv_left", "ndv_right",
+            F.coalesce("exact_pairs", F.lit(0)).alias("exact_pairs"),
+            rnd(est, 2).alias("est_independent"),
+            rnd(F.coalesce("exact_pairs", F.lit(0)) / est, 4).alias(
+                "skew_factor"
+            ),
+        )
+    )
+
+
+_JOIN_SIZE_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, count(*) AS c1 FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+purch AS (
+  SELECT user_id, count(*) AS c2 FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+exact AS (
+  SELECT CAST(coalesce(sum(c1 * c2), 0) AS BIGINT) AS exact_pairs
+  FROM clicks JOIN purch USING (user_id)
+),
+ls AS (SELECT CAST(sum(c1) AS BIGINT) AS n_left, count(*) AS ndv_left FROM clicks),
+rs AS (SELECT CAST(sum(c2) AS BIGINT) AS n_right, count(*) AS ndv_right FROM purch)
+SELECT n_left, n_right, ndv_left, ndv_right, exact_pairs,
+       round(n_left * n_right / CAST(greatest(ndv_left, ndv_right) AS DOUBLE)
+             + 1e-6, 2) AS est_independent,
+       round(exact_pairs
+             / (n_left * n_right / CAST(greatest(ndv_left, ndv_right) AS DOUBLE))
+             + 1e-6, 4) AS skew_factor
+FROM ls CROSS JOIN rs CROSS JOIN exact
+"""
+
+
+# --------------------------------------------------------------------------
+# 31. Markov stationary distribution (unrolled power iteration)
+# --------------------------------------------------------------------------
+
+#: power-iteration steps; the 5-state chain converges to 6dp well within.
+MARKOV_ITERS = 12
+
+
+def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution π = πP of the per-user event-type Markov
+    chain — the long-run behavioral mix ``event_transition_matrix``'s
+    one-step probabilities imply, via MARKOV_ITERS unrolled power-
+    iteration steps from a uniform start, renormalized at the end so
+    any mass lost to outgoing-edge-free states cancels.
+
+    The iteration state is the |types|-row π vector — a BOUNDED
+    aggregate (event-type domain, not data volume), so each unrolled
+    step is a tiny broadcast join + 5-row agg and the whole chain stays
+    lazy inside one plan: the PageRank pattern on a closed-form-sized
+    matrix, no driver loop, no collect."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = ev.select(
+        F.lag("event_type", 1).over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wf = Window.partitionBy("from_type")
+    trans = counts.select(
+        "from_type", "to_type",
+        (F.col("n") / F.sum("n").over(wf)).alias("tp"),
+    )
+    wall = Window.partitionBy()
+    pi = (
+        ev.select(F.col("event_type").alias("state"))
+        .distinct()
+        .select("state", (F.lit(1.0) / F.count("*").over(wall)).alias("p"))
+    )
+    for _ in range(MARKOV_ITERS):
+        pi = (
+            pi.join(F.broadcast(trans), F.col("state") == F.col("from_type"))
+            .groupBy(F.col("to_type").alias("state"))
+            .agg(F.sum(F.col("p") * F.col("tp")).alias("p"))
+        )
+    return pi.select(
+        "state",
+        rnd(F.col("p") / F.sum("p").over(wall), 6).alias("stationary_p"),
+    )
+
+
+def _markov_oracle() -> str:
+    steps = []
+    for k in range(1, MARKOV_ITERS + 1):
+        steps.append(
+            f"it{k} AS (\n"
+            f"  SELECT t.to_type AS state, sum(prev.p * t.p) AS p\n"
+            f"  FROM it{k - 1} prev JOIN trans t ON prev.state = t.from_type\n"
+            f"  GROUP BY t.to_type\n)"
+        )
+    return f"""
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+trans AS (
+  SELECT from_type, to_type,
+         n * 1.0 / sum(n) OVER (PARTITION BY from_type) AS p
+  FROM counts
+),
+states AS (SELECT DISTINCT event_type AS state FROM events),
+it0 AS (SELECT state, 1.0 / (SELECT count(*) FROM states) AS p FROM states),
+{", ".join(steps)}
+SELECT state,
+       round(p / sum(p) OVER () + 1e-6, 6) AS stationary_p
+FROM it{MARKOV_ITERS}
+"""
+
+
+# --------------------------------------------------------------------------
+# 32. negative-sampling table (word2vec unigram^0.75)
+# --------------------------------------------------------------------------
+
+#: vocabulary cap and temperature of the sampling table.
+NEG_TABLE_N = 200
+NEG_TABLE_ALPHA = 0.75
+
+
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table: the top-N vocabulary by
+    corpus frequency with unigram^0.75-tempered sampling probabilities
+    and their cumulative bands — the [cum_lo, cum_hi) lookup a sampler
+    inverts a uniform draw against, and the token-level sibling of
+    ``temperature_mixture_weights``.  One token-count agg, a TOP-N
+    (orderBy+limit → TakeOrdered, never a global sort), then windows
+    over the N-row result only."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(
+        NEG_TABLE_N
+    )
+    w_ord = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    wall = Window.partitionBy()
+    weighted = top.select(
+        "tok", "c",
+        F.pow(F.col("c").cast("double"), NEG_TABLE_ALPHA).alias("wt"),
+        F.row_number().over(w_ord).cast("long").alias("rank"),
+    )
+    probs = weighted.select(
+        "rank", "tok", "c",
+        (F.col("wt") / F.sum("wt").over(wall)).alias("p"),
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return probs.select(
+        "rank",
+        F.col("tok").alias("token"),
+        F.col("c").alias("n_occurrences"),
+        rnd("p", 6).alias("sample_p"),
+        rnd(F.sum("p").over(w_cum), 6).alias("cum_hi"),
+    )
+
+
+_NEG_TABLE_ORACLE = f"""
+WITH counts AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+agg AS (SELECT tok, count(*) AS c FROM counts GROUP BY tok),
+ranked AS (
+  SELECT tok, c,
+         row_number() OVER (ORDER BY c DESC, tok ASC) AS rk
+  FROM agg
+),
+top AS (
+  SELECT tok, c, CAST(rk AS BIGINT) AS rank,
+         pow(CAST(c AS DOUBLE), {NEG_TABLE_ALPHA}) AS wt
+  FROM ranked WHERE rk <= {NEG_TABLE_N}
+),
+probs AS (
+  SELECT rank, tok, c, wt / sum(wt) OVER () AS p
+  FROM top
+)
+SELECT rank, tok AS token, c AS n_occurrences,
+       round(p + 1e-6, 6) AS sample_p,
+       round(sum(p) OVER (ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-6, 6)
+         AS cum_hi
+FROM probs
+"""
+
+
+# --------------------------------------------------------------------------
+# 33. sequence-packing efficiency sweep
+# --------------------------------------------------------------------------
+
+#: candidate max sequence lengths for the packing decision table.
+PACKING_LENGTHS = (512, 1024, 2048, 4096)
+
+
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing decision table: for each candidate max sequence length,
+    the naive sequence count (one padded sequence per document chunk,
+    Σ ceil(tokᵢ/L)), the bin-packing lower bound (ceil(Σtok/L)), the
+    naive padding utilization, and the maximum compaction a perfect
+    packer could reach — the numbers that choose L before running the
+    actual ``sequence_packing``.  Always-emits every candidate via a
+    4-row broadcast + conditional agg; integer ceil-div on both engines
+    so floats never touch the counts."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    lens = spark.createDataFrame(
+        [(l,) for l in PACKING_LENGTHS], "max_len bigint"
+    )
+    per = (
+        scored.crossJoin(F.broadcast(lens))
+        .groupBy("max_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(
+                F.expr("(n_tokens + max_len - 1) div max_len")
+            ).alias("naive_seqs"),
+        )
+    )
+    lb = F.expr("(total_tokens + max_len - 1) div max_len")
+    return per.select(
+        "max_len", "n_docs", "total_tokens", "naive_seqs",
+        lb.alias("packed_lower_bound"),
+        rnd(
+            F.col("total_tokens")
+            / (F.col("naive_seqs") * F.col("max_len")).cast("double"),
+            6,
+        ).alias("naive_utilization"),
+        rnd(F.col("naive_seqs") / lb.cast("double"), 4).alias(
+            "max_compaction"
+        ),
+    )
+
+
+_PACKING_ORACLE = f"""
+WITH scored AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+lens AS (SELECT unnest([{", ".join(str(l) for l in PACKING_LENGTHS)}]) AS max_len),
+per AS (
+  SELECT max_len, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum((n_tokens + max_len - 1) // max_len) AS BIGINT)
+           AS naive_seqs
+  FROM scored CROSS JOIN lens GROUP BY max_len
+)
+SELECT CAST(max_len AS BIGINT) AS max_len, n_docs, total_tokens, naive_seqs,
+       CAST((total_tokens + max_len - 1) // max_len AS BIGINT)
+         AS packed_lower_bound,
+       round(total_tokens / CAST(naive_seqs * max_len AS DOUBLE) + 1e-6, 6)
+         AS naive_utilization,
+       round(naive_seqs
+             / CAST((total_tokens + max_len - 1) // max_len AS DOUBLE)
+             + 1e-6, 4) AS max_compaction
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
+# 34. weekday × hour activity heatmap
+# --------------------------------------------------------------------------
+
+def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap with row-normalized
+    shares and a per-day peak-hour flag — the 2-D upgrade of
+    ``hourly_seasonal_profile`` and the table capacity planning and
+    anomaly baselines read.  Day-of-week is computed as
+    (epoch_days + 4) mod 7 (Sunday = 0) on BOTH engines, sidestepping
+    the Spark-dayofweek-is-1-based vs DuckDB-dow-is-0-based trap.
+    One 168-key hash agg + windows over the bounded result."""
+    ev = load(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    dow = ((F.floor(sec / 86400) + 4) % 7).cast("int")
+    hour = (F.floor(sec / 3600) % 24).cast("int")
+    cell = ev.groupBy(dow.alias("dow"), hour.alias("hour")).agg(
+        F.count("*").alias("n_events")
+    )
+    wd = Window.partitionBy("dow")
+    return cell.select(
+        "dow", "hour", "n_events",
+        rnd(F.col("n_events") / F.sum("n_events").over(wd), 6).alias(
+            "dow_share"
+        ),
+        (F.col("n_events") == F.max("n_events").over(wd)).alias(
+            "is_peak_hour"
+        ),
+    )
+
+
+_HEATMAP_ORACLE = """
+WITH cell AS (
+  SELECT CAST((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS INTEGER)
+           AS dow,
+         CAST(CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS INTEGER)
+           AS hour,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, hour, n_events,
+       round(n_events * 1.0 / sum(n_events) OVER (PARTITION BY dow)
+             + 1e-6, 6) AS dow_share,
+       n_events = max(n_events) OVER (PARTITION BY dow) AS is_peak_hour
+FROM cell
+"""
+
+
 def _prepared() -> dict[str, tuple]:
     return {
         "pq_reconstruction_manifest": (pq_reconstruction_manifest, _pq_oracle()),
@@ -1915,6 +2649,26 @@ def _prepared() -> dict[str, tuple]:
             best_split_changepoint, _CHANGEPOINT_ORACLE,
         ),
         "knn_label_consistency": (knn_label_consistency, _KNN_ORACLE),
+        "token_entropy_profile": (token_entropy_profile, _TOKEN_ENTROPY_ORACLE),
+        "source_concentration_hhi": (
+            source_concentration_hhi, _HHI_ORACLE,
+        ),
+        "event_trigram_motifs": (event_trigram_motifs, _TRIGRAM_ORACLE),
+        "order_backlog_profile": (order_backlog_profile, _BACKLOG_ORACLE),
+        "quality_threshold_sweep": (
+            quality_threshold_sweep, _QUALITY_SWEEP_ORACLE,
+        ),
+        "join_size_estimator": (join_size_estimator, _JOIN_SIZE_ORACLE),
+        "markov_stationary_distribution": (
+            markov_stationary_distribution, _markov_oracle(),
+        ),
+        "negative_sampling_table": (
+            negative_sampling_table, _NEG_TABLE_ORACLE,
+        ),
+        "packing_efficiency_report": (
+            packing_efficiency_report, _PACKING_ORACLE,
+        ),
+        "weekday_hour_heatmap": (weekday_hour_heatmap, _HEATMAP_ORACLE),
     }
 
 

@@ -382,3 +382,208 @@ def test_knn_consistency_bounds(spark, sf_dir):
     mod = max(1, n // KNN_MAX_VECTORS)
     assert sum(r.n_vectors for r in rows) <= max(n, 2 * KNN_MAX_VECTORS)
     assert len({r.label for r in rows}) == len(rows)
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    """Normalized entropy lies in [0, 1]; per-source doc counts sum to
+    the corpus size."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared import token_entropy_profile
+
+    rows = token_entropy_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.min_norm_entropy <= r.mean_norm_entropy <= 1.0 + 1e-6
+        assert r.mean_entropy_bits >= 0.0
+        assert 0 <= r.n_low_entropy <= r.n_docs
+    assert sum(r.n_docs for r in rows) == load(spark, sf_dir, "documents").count()
+
+
+def test_hhi_is_consistent_with_share_bounds(spark, sf_dir):
+    """HHI lies in [1/n_sources, 1]; effective sources ≈ 1/HHI and never
+    exceeds the actual source count; top share is the max share."""
+    from flink_cookbook_spark.pipeline.prepared import source_concentration_hhi
+
+    rows = source_concentration_hhi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 / r.n_sources - 1e-6 <= r.hhi <= 1.0 + 1e-6
+        assert r.effective_sources <= r.n_sources + 1e-3
+        assert abs(r.effective_sources - 1.0 / r.hhi) < 0.01
+        assert r.top_share >= 1.0 / r.n_sources - 1e-6
+        assert r.top_source is not None
+
+
+def test_trigram_motifs_top_n(spark, sf_dir):
+    """At most TOP_N motifs, support non-increasing, shares in (0, 1],
+    and each trigram is three '>'-joined known event types."""
+    from flink_cookbook_spark.pipeline.prepared import (
+        TRIGRAM_TOP_N, event_trigram_motifs,
+    )
+
+    rows = event_trigram_motifs(spark, sf_dir).collect()
+    assert 0 < len(rows) <= TRIGRAM_TOP_N
+    types = {"click", "view", "purchase", "signup", "error"}
+    sups = sorted((r.support for r in rows), reverse=True)
+    assert sorted((r.support for r in rows), reverse=True) == sups
+    for r in rows:
+        parts = r.trigram.split(">")
+        assert len(parts) == 3 and set(parts) <= types
+        assert 0.0 < r.share <= 1.0
+
+
+def test_backlog_conserves_orders(spark, sf_dir):
+    """The backlog starts and ends at 0 (every order eventually closes),
+    never goes negative, and total opens == total closes == order
+    count."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared import order_backlog_profile
+
+    rows = sorted(order_backlog_profile(spark, sf_dir).collect(),
+                  key=lambda r: r.day)
+    assert rows
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert sum(r.n_opened for r in rows) == n_orders
+    assert sum(r.n_closed for r in rows) == n_orders
+    assert all(r.backlog >= 0 for r in rows)
+    assert rows[-1].backlog == 0
+
+
+def test_quality_sweep_monotone_and_total(spark, sf_dir):
+    """All thresholds emit; kept counts are non-increasing in the
+    cutoff; threshold 0.0 keeps everything."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared import (
+        QUALITY_THRESHOLDS, quality_threshold_sweep,
+    )
+
+    rows = sorted(quality_threshold_sweep(spark, sf_dir).collect(),
+                  key=lambda r: r.threshold)
+    assert [r.threshold for r in rows] == sorted(QUALITY_THRESHOLDS)
+    kept = [r.n_docs_kept for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    toks = [r.n_tokens_kept for r in rows]
+    assert toks == sorted(toks, reverse=True)
+    assert rows[0].n_docs_kept == load(spark, sf_dir, "documents").count()
+    assert abs(rows[0].doc_share - 1.0) < 1e-5
+    assert abs(rows[0].token_share - 1.0) < 1e-5
+
+
+def test_join_size_estimator_exactness(spark, sf_dir):
+    """The 'exact_pairs' figure must equal the true materialized join
+    cardinality, and the skew factor must tie the two columns."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared import join_size_estimator
+    from pyspark.sql import functions as F
+
+    row = join_size_estimator(spark, sf_dir).collect()[0]
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id")
+    assert row.exact_pairs == clicks.join(purch, "user_id").count()
+    assert row.n_left == clicks.count() and row.n_right == purch.count()
+    est = row.n_left * row.n_right / max(row.ndv_left, row.ndv_right)
+    assert abs(row.est_independent - est) < 0.51
+    assert abs(row.skew_factor - row.exact_pairs / est) < 1e-3
+
+
+def test_markov_stationary_is_fixed_point(spark, sf_dir):
+    """π must be a probability vector and (approximately) invariant
+    under one more application of the transition matrix."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared import (
+        markov_stationary_distribution,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    rows = markov_stationary_distribution(spark, sf_dir).collect()
+    pi = {r.state: r.stationary_p for r in rows}
+    assert abs(sum(pi.values()) - 1.0) < 1e-3
+    assert all(p >= 0.0 for p in pi.values())
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        ev.select(
+            F.lag("event_type", 1).over(w).alias("f"),
+            F.col("event_type").alias("t"),
+        )
+        .where(F.col("f").isNotNull())
+        .groupBy("f", "t")
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+    out = defaultdict(int)
+    for r in pairs:
+        out[r.f] += r["count"]
+    nxt = defaultdict(float)
+    for r in pairs:
+        nxt[r.t] += pi.get(r.f, 0.0) * r["count"] / out[r.f]
+    tot = sum(nxt.values())
+    for s, p in pi.items():
+        assert abs(nxt[s] / tot - p) < 5e-3, (s, p, nxt[s] / tot)
+
+
+def test_negative_sampling_table_is_a_cdf(spark, sf_dir):
+    """Probabilities sum to 1, cum_hi is the running total ending at
+    1.0, ranks are 1..n in frequency order, and the 0.75 tempering
+    flattens: low-frequency tokens gain share vs their raw frequency."""
+    from flink_cookbook_spark.pipeline.prepared import (
+        NEG_TABLE_N, negative_sampling_table,
+    )
+
+    rows = sorted(negative_sampling_table(spark, sf_dir).collect(),
+                  key=lambda r: r.rank)
+    assert 0 < len(rows) <= NEG_TABLE_N
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    occ = [r.n_occurrences for r in rows]
+    assert occ == sorted(occ, reverse=True)
+    assert abs(sum(r.sample_p for r in rows) - 1.0) < 1e-3
+    assert abs(rows[-1].cum_hi - 1.0) < 1e-3
+    run = 0.0
+    for r in rows:
+        run += r.sample_p
+        assert abs(r.cum_hi - run) < 1e-3
+    total_occ = sum(occ)
+    head, tail = rows[0], rows[-1]
+    assert head.sample_p <= head.n_occurrences / total_occ + 1e-6
+    assert tail.sample_p >= tail.n_occurrences / total_occ - 1e-6
+
+
+def test_packing_report_bounds(spark, sf_dir):
+    """Lower bound never exceeds the naive count; utilization and
+    compaction are consistent; every candidate length emits."""
+    from flink_cookbook_spark.pipeline.prepared import (
+        PACKING_LENGTHS, packing_efficiency_report,
+    )
+
+    rows = sorted(packing_efficiency_report(spark, sf_dir).collect(),
+                  key=lambda r: r.max_len)
+    assert [r.max_len for r in rows] == sorted(PACKING_LENGTHS)
+    for r in rows:
+        assert 1 <= r.packed_lower_bound <= r.naive_seqs
+        assert 0.0 < r.naive_utilization <= 1.0 + 1e-6
+        assert r.max_compaction >= 1.0 - 1e-6
+        assert r.total_tokens <= r.naive_seqs * r.max_len
+
+
+def test_heatmap_covers_week_and_normalizes(spark, sf_dir):
+    """Cells stay in the 7 x 24 grid, per-dow shares sum to 1, and each
+    dow flags at least one peak hour."""
+    from flink_cookbook_spark.pipeline.prepared import weekday_hour_heatmap
+
+    rows = weekday_hour_heatmap(spark, sf_dir).collect()
+    assert rows
+    by_dow: dict = {}
+    for r in rows:
+        assert 0 <= r.dow <= 6 and 0 <= r.hour <= 23
+        by_dow.setdefault(r.dow, []).append(r)
+    for d, rs in by_dow.items():
+        assert abs(sum(x.dow_share for x in rs) - 1.0) < 1e-3
+        peaks = [x for x in rs if x.is_peak_hour]
+        assert peaks, d
+        top = max(x.n_events for x in rs)
+        assert all(x.n_events == top for x in peaks)
