@@ -331,6 +331,140 @@ FROM b
 )(multimodal_features)
 
 
+# --------------------------------------------------------------------------
+# audio: vendored pure-Python WAV (RIFF PCM) codec — the audio sibling of
+# the BMP path above; WAV is a codec-free public container, so a real
+# parse needs no external libraries.
+# --------------------------------------------------------------------------
+
+#: audio fixture geometry: every WAV_EVERY-th doc carries a PCM payload.
+WAV_EVERY = 5
+WAV_RATE = 8000
+
+
+def wav_n_samples(doc_id: int) -> int:
+    """Deterministic fixture length: 64..191 samples."""
+    return 64 + doc_id % 128
+
+
+def wav_sample(doc_id: int, i: int) -> int:
+    """Deterministic int16 fixture sample in [-1001, 1001] — a pure
+    function of (doc_id, i) so a DuckDB oracle can recompute the decoded
+    waveform in closed form, exactly like ``bmp_pixel``."""
+    return (doc_id * 37 + i * 251) % 2003 - 1001
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Minimal RIFF/WAVE writer (public container: RIFF header, 'fmt '
+    chunk for 16-bit mono PCM, 'data' chunk of little-endian int16
+    samples). Pure Python, no codec libraries."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    out = bytearray()
+    out += b"RIFF"
+    out += struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+    out += b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return bytes(out)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode for the codec-free WAV path: parses the RIFF
+    container (magic, chunk walk, 'fmt ' PCM validation, 'data' int16
+    samples) in pure Python and emits waveform statistics — the audio
+    analogue of ``decode_real``. Compressed audio (MP3/AAC/Opus) still
+    raises: those codecs are not installed in this container."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "not a RIFF/WAVE payload; compressed-audio codecs are not "
+            "installed in this container"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or channels != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV: format={audio_format} ch={channels} bits={bits}"
+        )
+    n = len(data) // 2
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    sq = sum(s * s for s in samples)
+    zc = sum(
+        1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
+    )
+    return {
+        "n_samples": n,
+        "sample_rate": rate,
+        "duration_s": n / rate,
+        "mean_amp": sum(abs(s) for s in samples) / n,
+        "peak_amp": max(abs(s) for s in samples),
+        "rms": (sq / n) ** 0.5,
+        "zero_crossings": zc,
+    }
+
+
+def _wav_payload_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fixture audio synthesis for every WAV_EVERY-th doc: deterministic
+    int16 PCM from ``wav_sample`` encoded through the real RIFF writer.
+    In production this stage IS the parquet binary column."""
+    for pdf in batches:
+        rows = pdf[pdf["doc_id"] % WAV_EVERY == 0]
+        payloads = [
+            encode_wav(
+                WAV_RATE,
+                [wav_sample(int(d), i) for i in range(wav_n_samples(int(d)))],
+            )
+            for d in rows["doc_id"]
+        ]
+        yield pd.DataFrame({"doc_id": rows["doc_id"], "payload": payloads})
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, n_samples int, sample_rate int, duration_s double, "
+    "mean_amp double, peak_amp int, rms double, zero_crossings int"
+)
+
+
+def _audio_extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: RIFF bytes in -> waveform statistics out,
+    through the REAL ``decode_wav`` parse."""
+    for pdf in batches:
+        decoded = [decode_wav(p) for p in pdf["payload"]]
+        out = pd.DataFrame(decoded)
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        yield out
+
+
+def audio_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode + feature extraction over binary WAV payloads via
+    two Arrow-batched mapInPandas stages (synthesize-or-scan, then
+    decode) — the audio row of the multimodal matrix, with a REAL
+    container parse in the hot path."""
+    docs = load(spark, sf_dir, "documents")
+    payload = (
+        docs.select("doc_id")
+        .where(F.col("doc_id") % WAV_EVERY == 0)
+        .repartition(F.col("doc_id"))
+        .mapInPandas(_wav_payload_batches, schema="doc_id long, payload binary")
+    )
+    return payload.mapInPandas(_audio_extract_batches, schema=AUDIO_SCHEMA)
+
+
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: one output row per sampled 64-byte 'frame' (every
     4th), the video-pipeline explode pattern — pure Spark (posexplode

@@ -2615,6 +2615,151 @@ FROM cell
 """
 
 
+# --------------------------------------------------------------------------
+# 35. audio feature extraction (real vendored WAV decode)
+# --------------------------------------------------------------------------
+
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform statistics over binary WAV payloads — duration, mean/
+    peak amplitude, RMS, zero-crossing count — through the REAL vendored
+    RIFF/PCM parser (pipeline/multimodal.py: encode_wav/decode_wav),
+    the audio row of the multimodal matrix next to the BMP image path.
+    The fixture synthesizes deterministic int16 PCM per audio doc
+    (``wav_sample`` is a pure function of (doc_id, i)), so the DuckDB
+    oracle recomputes the decoded waveform in closed form and the hash
+    check verifies the container parse end-to-end.  Two Arrow-batched
+    mapInPandas stages; work is repartitioned by doc_id so decode
+    spreads evenly at any corpus size."""
+    from flink_cookbook_spark.pipeline.multimodal import audio_features_df
+
+    feats = audio_features_df(spark, sf_dir)
+    return feats.select(
+        "doc_id", "n_samples", "sample_rate",
+        rnd("duration_s", 6).alias("duration_s"),
+        rnd("mean_amp", 4).alias("mean_amp"),
+        "peak_amp",
+        rnd("rms", 4).alias("rms"),
+        "zero_crossings",
+    )
+
+
+def _audio_oracle() -> str:
+    from flink_cookbook_spark.pipeline.multimodal import WAV_EVERY, WAV_RATE
+
+    return f"""
+WITH a AS (
+  SELECT doc_id, 64 + doc_id % 128 AS n,
+         [(doc_id * 37 + i * 251) % 2003 - 1001
+          for i in range(0, 64 + doc_id % 128)] AS s
+  FROM documents WHERE doc_id % {WAV_EVERY} = 0
+),
+m AS (
+  SELECT doc_id, n,
+         list_sum([abs(x) for x in s]) AS sum_abs,
+         list_max([abs(x) for x in s]) AS peak,
+         list_sum([x * x for x in s]) AS sq,
+         len([i for i in range(2, n + 1)
+              if (s[i - 1] < 0) <> (s[i] < 0)]) AS zc
+  FROM a
+)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_samples,
+       {WAV_RATE} AS sample_rate,
+       round(n / {WAV_RATE}.0 + 1e-6, 6) AS duration_s,
+       round(sum_abs * 1.0 / n + 1e-6, 4) AS mean_amp,
+       CAST(peak AS INTEGER) AS peak_amp,
+       round(sqrt(sq * 1.0 / n) + 1e-6, 4) AS rms,
+       CAST(zc AS INTEGER) AS zero_crossings
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# 36. mergeable moments sketch (skewness/kurtosis without raw rescan)
+# --------------------------------------------------------------------------
+
+def moments_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moments sketch over event values: hourly partials of
+    the raw power sums (n, Σx, Σx², Σx³, Σx⁴) merged per event type
+    into mean/std/skewness/excess-kurtosis — the higher-moment member
+    of the HLL/KMV/bitmap/count-min mergeable-sketch family
+    (cf. the moments-sketch literature), giving distribution-shape
+    monitoring from partials alone, no raw rescan at merge time.
+    Two stacked hash aggregates; the merge input is |types|×|hours|
+    rows however large the raw stream is."""
+    ev = load(spark, sf_dir, "events")
+    hr = F.floor(F.col("ts").cast("double") / 3600).alias("hr")
+    v = F.col("value")
+    partial = ev.groupBy("event_type", hr).agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    merged = partial.groupBy("event_type").agg(
+        F.count("*").alias("n_partials"),
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.sum("s3").alias("s3"),
+        F.sum("s4").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3.0 * mu * (F.col("s2") / n) + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4.0 * mu * (F.col("s3") / n)
+        + 6.0 * mu * mu * (F.col("s2") / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    return merged.select(
+        "event_type", "n_partials", "n",
+        rnd(mu, 4).alias("mean"),
+        rnd(F.sqrt(m2), 4).alias("std"),
+        rnd(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
+        rnd(m4 / (m2 * m2) - 3.0, 4).alias("kurtosis_excess"),
+    )
+
+
+_MOMENTS_ORACLE = """
+WITH partial AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         count(*) AS n,
+         sum(value) AS s1,
+         sum(value * value) AS s2,
+         sum(value * value * value) AS s3,
+         sum(value * value * value * value) AS s4
+  FROM events GROUP BY 1, 2
+),
+merged AS (
+  SELECT event_type, count(*) AS n_partials,
+         CAST(sum(n) AS BIGINT) AS n,
+         sum(s1) AS s1, sum(s2) AS s2, sum(s3) AS s3, sum(s4) AS s4
+  FROM partial GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n_partials, n,
+         s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3.0 * (s1 / n) * (s2 / n)
+           + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4.0 * (s1 / n) * (s3 / n)
+           + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM merged
+)
+SELECT event_type, n_partials, n,
+       round(mu + 1e-6, 4) AS mean,
+       round(sqrt(m2) + 1e-6, 4) AS std,
+       round(m3 / pow(m2, 1.5) + 1e-6, 4) AS skewness,
+       round(m4 / (m2 * m2) - 3.0 + 1e-6, 4) AS kurtosis_excess
+FROM m
+"""
+
+
 def _prepared() -> dict[str, tuple]:
     return {
         "pq_reconstruction_manifest": (pq_reconstruction_manifest, _pq_oracle()),
@@ -2669,6 +2814,8 @@ def _prepared() -> dict[str, tuple]:
             packing_efficiency_report, _PACKING_ORACLE,
         ),
         "weekday_hour_heatmap": (weekday_hour_heatmap, _HEATMAP_ORACLE),
+        "audio_features": (audio_features, _audio_oracle()),
+        "moments_sketch_rollup": (moments_sketch_rollup, _MOMENTS_ORACLE),
     }
 
 

@@ -587,3 +587,89 @@ def test_heatmap_covers_week_and_normalizes(spark, sf_dir):
         assert peaks, d
         top = max(x.n_events for x in rs)
         assert all(x.n_events == top for x in peaks)
+
+
+def test_wav_codec_roundtrip_and_rejection():
+    """encode_wav -> decode_wav is lossless on the statistics, and the
+    decoder rejects non-RIFF payloads and unsupported PCM layouts."""
+    import pytest as _pytest
+
+    from flink_cookbook_spark.pipeline.multimodal import decode_wav, encode_wav
+
+    samples = [0, 1000, -1000, 500, -500, 0, 250]
+    d = decode_wav(encode_wav(8000, samples))
+    assert d["n_samples"] == len(samples)
+    assert d["sample_rate"] == 8000
+    assert d["peak_amp"] == 1000
+    assert d["zero_crossings"] == sum(
+        1 for i in range(1, len(samples))
+        if (samples[i - 1] < 0) != (samples[i] < 0)
+    )
+    assert abs(d["rms"] - (sum(s * s for s in samples) / len(samples)) ** 0.5) < 1e-9
+    with _pytest.raises(NotImplementedError):
+        decode_wav(b"ID3\x03mp3-ish payload")
+    # stereo layout must be rejected, not silently mis-decoded
+    import struct
+    stereo = bytearray(encode_wav(8000, samples))
+    struct.pack_into("<H", stereo, 22, 2)
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(stereo))
+
+
+def test_audio_features_match_direct_decode(spark, sf_dir):
+    """Every audio doc emits exactly one row and the distributed result
+    equals a driver-side decode of the same deterministic fixture."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.multimodal import (
+        WAV_EVERY, WAV_RATE, decode_wav, encode_wav, wav_n_samples, wav_sample,
+    )
+    from flink_cookbook_spark.pipeline.prepared import audio_features
+
+    rows = {r.doc_id: r for r in audio_features(spark, sf_dir).collect()}
+    doc_ids = [
+        r.doc_id
+        for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+        if r.doc_id % WAV_EVERY == 0
+    ]
+    assert sorted(rows) == sorted(doc_ids)
+    probe = doc_ids[len(doc_ids) // 2]
+    ref = decode_wav(
+        encode_wav(
+            WAV_RATE,
+            [wav_sample(probe, i) for i in range(wav_n_samples(probe))],
+        )
+    )
+    got = rows[probe]
+    assert got.n_samples == ref["n_samples"]
+    assert got.peak_amp == ref["peak_amp"]
+    assert got.zero_crossings == ref["zero_crossings"]
+    assert abs(got.rms - ref["rms"]) < 1e-3
+
+
+def test_moments_sketch_matches_numpy(spark, sf_dir):
+    """The merged-partials skewness/kurtosis must equal a single-pass
+    numpy computation over the raw values (population definitions)."""
+    import numpy as np
+
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared import moments_sketch_rollup
+
+    rows = {r.event_type: r for r in
+            moments_sketch_rollup(spark, sf_dir).collect()}
+    assert rows
+    ev = load(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for t, vals in by_type.items():
+        x = np.asarray(vals, dtype=float)
+        mu, sd = x.mean(), x.std()
+        skew = ((x - mu) ** 3).mean() / sd**3
+        kurt = ((x - mu) ** 4).mean() / sd**4 - 3.0
+        got = rows[t]
+        assert got.n == len(vals)
+        assert got.n_partials >= 1
+        assert abs(got.mean - mu) < 1e-3
+        assert abs(got.std - sd) < 1e-3
+        assert abs(got.skewness - skew) < 1e-3, t
+        assert abs(got.kurtosis_excess - kurt) < 1e-3, t
