@@ -842,3 +842,44 @@ def test_two_stage_topology_through_kafka_hop(spark, events_stream_dir, tmp_path
     }
     assert got == want
     assert len(got) > 5
+
+
+def test_streaming_minute_rate_feeds_rate_profile(spark, sf_dir, events_stream_dir):
+    """The round-8-prepared ``event_rate_profile`` has a streaming
+    ingestion path: its per-minute stage runs as a structured-streaming
+    1-minute tumbling count (complete mode — finite input, every window
+    emitted), and the profile derived from the streamed partials equals
+    the batch operator exactly."""
+    from flink_cookbook_spark.pipeline.prepared import event_rate_profile
+    from flink_cookbook_spark.registry import rnd
+
+    stream = (
+        _read_stream(spark, events_stream_dir)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("minute_rate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    derived = (
+        spark.sql("SELECT event_type, w.start AS mn, n FROM minute_rate")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_minutes"),
+            F.sum("n").alias("n_events"),
+            rnd(F.avg("n"), 4).alias("mean_per_min"),
+            rnd(F.expr("percentile(n, 0.95)"), 4).alias("p95_per_min"),
+            F.max("n").alias("peak_per_min"),
+            rnd(F.max("n") / F.avg("n"), 4).alias("peak_to_mean"),
+        )
+    )
+    got = {r.event_type: r.asDict() for r in derived.collect()}
+    want = {r.event_type: r.asDict()
+            for r in event_rate_profile(spark, sf_dir).collect()}
+    assert got == want
