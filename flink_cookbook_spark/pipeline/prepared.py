@@ -2760,6 +2760,299 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# 37. measured LSH recall/precision audit
+# --------------------------------------------------------------------------
+
+def lsh_recall_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall and precision of the LSH candidate stage against
+    ground truth (exact 3-gram Jaccard ≥ 0.5 via the inverted shingle
+    index), next to the analytic s-curve expectation
+    1−(1−J^r)^b at J = 0.5 — the empirical complement of
+    ``minhash_band_sensitivity``'s purely analytic sweep, and the number
+    that justifies (or indicts) the shipped band configuration on the
+    REAL corpus.  All three inputs are existing bounded shapes (shingle
+    inverted index, banded candidate equi-join); the audit itself is
+    two 1-row aggregates joined — nothing scales beyond the dedup
+    pipeline it measures."""
+    from flink_cookbook_spark.pipeline.dedup import (
+        JACCARD_THRESHOLD, LSH_BANDS, LSH_ROWS,
+        _lsh_candidates_df, _shingles,
+    )
+
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2"))
+    truth = (
+        inter.join(sa, "doc1")
+        .join(sb, "doc2")
+        .where(
+            F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc1", "doc2")
+    )
+    cand = _lsh_candidates_df(spark, sf_dir)
+    hits = truth.join(cand, ["doc1", "doc2"], "left_semi")
+    nt = truth.agg(F.count("*").alias("n_true_pairs"))
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    s_curve = 1.0 - F.pow(
+        1.0 - F.pow(F.lit(JACCARD_THRESHOLD), F.lit(LSH_ROWS)),
+        F.lit(LSH_BANDS),
+    )
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_true_pairs", "n_candidates", "n_hits",
+            rnd(
+                F.when(F.col("n_true_pairs") > 0,
+                       F.col("n_hits") / F.col("n_true_pairs"))
+                .otherwise(1.0), 6,
+            ).alias("recall"),
+            rnd(
+                F.when(F.col("n_candidates") > 0,
+                       F.col("n_hits") / F.col("n_candidates"))
+                .otherwise(1.0), 6,
+            ).alias("candidate_precision"),
+            rnd(s_curve, 6).alias("s_curve_recall_at_threshold"),
+        )
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    from flink_cookbook_spark.pipeline.dedup import (
+        JACCARD_THRESHOLD, LSH_BANDS, LSH_ROWS,
+        _SHINGLES_CTE, _band_sql, _minhash_sql_cols,
+    )
+
+    return (
+        "WITH "
+        + _SHINGLES_CTE
+        + f""",
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc1, doc2
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc1
+  JOIN sizes sb ON sb.doc_id = doc2
+  WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common)
+        >= {JACCARD_THRESHOLD}
+),
+sigs AS (
+  SELECT doc_id,
+         {_minhash_sql_cols()}
+  FROM shingles GROUP BY doc_id
+),
+stacked AS (
+  SELECT doc_id, band_id,
+         CASE band_id
+           {" ".join(f"WHEN {b} THEN {_band_sql(b)}" for b in range(LSH_BANDS))}
+         END AS band_key
+  FROM sigs, (SELECT unnest(range(0, {LSH_BANDS})) AS band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM stacked a JOIN stacked b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+nt AS (SELECT count(*) AS n_true_pairs FROM truth),
+nc AS (SELECT count(*) AS n_candidates FROM cand),
+nh AS (SELECT count(*) AS n_hits
+       FROM truth t JOIN cand c ON t.doc1 = c.doc1 AND t.doc2 = c.doc2)
+SELECT n_true_pairs, n_candidates, n_hits,
+       round(CASE WHEN n_true_pairs > 0
+                  THEN n_hits * 1.0 / n_true_pairs ELSE 1.0 END + 1e-6, 6)
+         AS recall,
+       round(CASE WHEN n_candidates > 0
+                  THEN n_hits * 1.0 / n_candidates ELSE 1.0 END + 1e-6, 6)
+         AS candidate_precision,
+       round(1.0 - pow(1.0 - pow({JACCARD_THRESHOLD}, {LSH_ROWS}),
+                       {LSH_BANDS}) + 1e-6, 6)
+         AS s_curve_recall_at_threshold
+FROM nt CROSS JOIN nc CROSS JOIN nh
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# 38. inter-arrival time profile per event type
+# --------------------------------------------------------------------------
+
+def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type: p50/p90/p99 gap
+    seconds, mean, and the coefficient of variation (CV > 1 = burstier
+    than Poisson) — the jitter profile behind trigger-interval and
+    timeout tuning, complementing ``event_rate_profile`` (rates) and
+    ``burstiness_fano`` (per-user dispersion).
+
+    Scale shape: the lag() window partitions on (event_type, DAY) so no
+    partition outgrows a day's volume — a plain per-type partition would
+    funnel N/|types| rows through one task at 100 TB.  The day-boundary
+    gap (≤1 per type per day) is deliberately excluded and that census
+    choice is mirrored in the oracle."""
+    ev = load(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    day = F.floor(sec / 86400)
+    w = Window.partitionBy("event_type", day.alias("day")).orderBy(
+        sec.asc(), F.col("event_id").asc()
+    )
+    gaps = ev.select(
+        "event_type",
+        (sec - F.lag(sec, 1).over(w)).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        rnd(F.avg("gap"), 4).alias("mean_gap_s"),
+        rnd(F.expr("percentile(gap, 0.5)"), 4).alias("p50_gap_s"),
+        rnd(F.expr("percentile(gap, 0.9)"), 4).alias("p90_gap_s"),
+        rnd(F.expr("percentile(gap, 0.99)"), 4).alias("p99_gap_s"),
+        rnd(F.stddev_pop("gap") / F.avg("gap"), 4).alias("cv"),
+    )
+
+
+_INTERARRIVAL_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         epoch(ts) - lag(epoch(ts)) OVER (
+           PARTITION BY event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+           ORDER BY epoch(ts), event_id) AS gap
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       round(avg(gap) + 1e-6, 4) AS mean_gap_s,
+       round(quantile_cont(gap, 0.5) + 1e-6, 4) AS p50_gap_s,
+       round(quantile_cont(gap, 0.9) + 1e-6, 4) AS p90_gap_s,
+       round(quantile_cont(gap, 0.99) + 1e-6, 4) AS p99_gap_s,
+       round(stddev_pop(gap) / avg(gap) + 1e-6, 4) AS cv
+FROM g WHERE gap IS NOT NULL GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# 39. customer-revenue decile lift table (broadcast quantile boundaries)
+# --------------------------------------------------------------------------
+
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue decile lift table over customers — per value-decile:
+    customer count, revenue share, cumulative share, and lift vs a
+    uniform 10% — the marketing/finance view whose 80/20 shape
+    ``revenue_concentration_gini`` compresses to one number.
+
+    Scale design (the reason this is NOT a global ntile): decile
+    BOUNDARIES come from one exact-percentile aggregate (a 1-row,
+    9-value result, broadcast), and assignment is a map-only comparison
+    against that array — no global sort, no single-partition ranking
+    window, ties assigned by value identically on both engines.  The
+    only windows run over the ≤10-row decile aggregate.  Boundaries are
+    DISCRETE percentiles (actual revenue values) rather than
+    interpolated ones: an interpolated boundary differs between engines
+    in the last ulp and, when duplicate revenues sit at a decile edge,
+    reclassifies a whole duplicate run (caught by the 10x probe —
+    Spark/DuckDB disagreed on 10 replicated customers); a discrete
+    boundary is the same stored double on both sides."""
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    rev.createOrReplaceTempView("_fcs_decile_rev")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = spark.sql(
+        "SELECT array("
+        + ", ".join(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY rev)" for q in qs
+        )
+        + ") AS bounds FROM _fcs_decile_rev"
+    )
+    assigned = (
+        rev.crossJoin(F.broadcast(bounds))
+        .select(
+            "rev",
+            (
+                1
+                + F.aggregate(
+                    F.transform(
+                        "bounds",
+                        lambda b: (F.col("rev") > b).cast("int"),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("decile"),
+        )
+    )
+    per = assigned.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("rev").alias("decile_rev"),
+    )
+    wall = Window.partitionBy()
+    w_cum = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    share = F.col("decile_rev") / F.sum("decile_rev").over(wall)
+    return per.select(
+        "decile",
+        "n_customers",
+        rnd("decile_rev", 2).alias("decile_rev"),
+        rnd(share, 6).alias("rev_share"),
+        rnd(F.sum(share).over(w_cum), 6).alias("cum_share_from_top"),
+        rnd(share * 10.0, 4).alias("lift"),
+    )
+
+
+_DECILE_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey
+),
+bounds AS (
+  SELECT quantile_disc(rev, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS bs
+  FROM rev
+),
+assigned AS (
+  SELECT rev,
+         1 + list_sum([CASE WHEN rev > b THEN 1 ELSE 0 END for b in bs])
+           AS decile
+  FROM rev CROSS JOIN bounds
+),
+per AS (
+  SELECT decile, count(*) AS n_customers, sum(rev) AS decile_rev
+  FROM assigned GROUP BY decile
+),
+shared AS (
+  SELECT CAST(decile AS INTEGER) AS decile, n_customers, decile_rev,
+         decile_rev / sum(decile_rev) OVER () AS share
+  FROM per
+)
+SELECT decile, n_customers,
+       round(decile_rev + 1e-6, 2) AS decile_rev,
+       round(share + 1e-6, 6) AS rev_share,
+       round(sum(share) OVER (ORDER BY decile DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-6, 6)
+         AS cum_share_from_top,
+       round(share * 10.0 + 1e-6, 4) AS lift
+FROM shared
+"""
+
+
 def _prepared() -> dict[str, tuple]:
     return {
         "pq_reconstruction_manifest": (pq_reconstruction_manifest, _pq_oracle()),
@@ -2816,6 +3109,9 @@ def _prepared() -> dict[str, tuple]:
         "weekday_hour_heatmap": (weekday_hour_heatmap, _HEATMAP_ORACLE),
         "audio_features": (audio_features, _audio_oracle()),
         "moments_sketch_rollup": (moments_sketch_rollup, _MOMENTS_ORACLE),
+        "lsh_recall_estimate": (lsh_recall_estimate, _lsh_recall_oracle()),
+        "interarrival_profile": (interarrival_profile, _INTERARRIVAL_ORACLE),
+        "decile_lift_table": (decile_lift_table, _DECILE_ORACLE),
     }
 
 

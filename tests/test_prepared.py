@@ -673,3 +673,129 @@ def test_moments_sketch_matches_numpy(spark, sf_dir):
         assert abs(got.std - sd) < 1e-3
         assert abs(got.skewness - skew) < 1e-3, t
         assert abs(got.kurtosis_excess - kurt) < 1e-3, t
+
+
+def test_wav_codec_roundtrip_property():
+    """Property: for ANY int16 sample list and supported rate, encode →
+    decode recovers every statistic the decoder reports (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_cookbook_spark.pipeline.multimodal import decode_wav, encode_wav
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1, max_size=256,
+        ),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def check(samples, rate):
+        d = decode_wav(encode_wav(rate, samples))
+        n = len(samples)
+        assert d["n_samples"] == n
+        assert d["sample_rate"] == rate
+        assert d["duration_s"] == n / rate
+        assert d["peak_amp"] == max(abs(s) for s in samples)
+        assert abs(d["mean_amp"] - sum(abs(s) for s in samples) / n) < 1e-9
+        assert abs(d["rms"] - (sum(s * s for s in samples) / n) ** 0.5) < 1e-9
+        assert d["zero_crossings"] == sum(
+            1 for i in range(1, n)
+            if (samples[i - 1] < 0) != (samples[i] < 0)
+        )
+
+    check()
+
+
+def test_bmp_codec_roundtrip_property():
+    """Property: for ANY grayscale grid, encode_bmp → decode_real
+    recovers the pixel statistics (incl. bottom-up row order via the
+    first-row feature) for arbitrary widths exercising row padding."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_cookbook_spark.pipeline.multimodal import decode_real, encode_bmp
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=9),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        px = [
+            [data.draw(st.integers(min_value=0, max_value=255))
+             for _ in range(w)]
+            for _ in range(h)
+        ]
+        d = decode_real(encode_bmp(w, h, px))
+        flat = [v for row in px for v in row]
+        assert d["n_frames"] == h
+        assert d["max_byte"] == max(flat)
+        assert abs(d["mean_byte"] - sum(flat) / len(flat)) < 1e-9
+        # top-left pixel proves the bottom-up storage was undone
+        assert abs(d["feature"][2] - px[0][0] / 255.0) < 1e-12
+
+    check()
+
+
+def test_lsh_recall_consistency(spark, sf_dir):
+    """Hits are bounded by both truth and candidates; recall/precision
+    are consistent ratios in [0, 1]; the analytic s-curve constant is
+    1-(1-0.5^r)^b for the shipped band config."""
+    from flink_cookbook_spark.pipeline.dedup import LSH_BANDS, LSH_ROWS
+    from flink_cookbook_spark.pipeline.prepared import lsh_recall_estimate
+
+    r = lsh_recall_estimate(spark, sf_dir).collect()[0]
+    assert 0 <= r.n_hits <= min(r.n_true_pairs, r.n_candidates)
+    # the rounding NUDGE (+1e-6) legitimately reports exact 1.0 as 1.000001
+    assert 0.0 <= r.recall <= 1.0 + 2e-6
+    assert 0.0 <= r.candidate_precision <= 1.0 + 2e-6
+    if r.n_true_pairs:
+        assert abs(r.recall - r.n_hits / r.n_true_pairs) < 1e-4
+    want = 1.0 - (1.0 - 0.5 ** LSH_ROWS) ** LSH_BANDS
+    assert abs(r.s_curve_recall_at_threshold - want) < 1e-4
+
+
+def test_interarrival_quantiles_ordered(spark, sf_dir):
+    """Gap quantiles are ordered p50 <= p90 <= p99, all non-negative,
+    and the per-type gap counts sum to n_events - (type, day) groups."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared import interarrival_profile
+    from pyspark.sql import functions as F
+
+    rows = interarrival_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.p50_gap_s <= r.p90_gap_s <= r.p99_gap_s
+        assert r.mean_gap_s >= 0.0 and r.cv >= 0.0
+    ev = load(spark, sf_dir, "events")
+    groups = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("double") / 86400).alias("day"),
+        ).count().count()
+    )
+    assert sum(r.n_gaps for r in rows) == ev.count() - groups
+
+
+def test_decile_lift_partitions_customers(spark, sf_dir):
+    """Every customer lands in exactly one decile; shares sum to 1;
+    lift increases with decile (value-ordered) and decile 10 has
+    lift >= 1."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared import decile_lift_table
+
+    rows = sorted(decile_lift_table(spark, sf_dir).collect(),
+                  key=lambda r: r.decile)
+    assert {r.decile for r in rows} <= set(range(1, 11))
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert abs(sum(r.rev_share for r in rows) - 1.0) < 1e-3
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts)
+    assert rows[-1].decile == 10 and rows[-1].lift >= 1.0
+    assert abs(rows[0].cum_share_from_top - 1.0) < 1e-3
