@@ -799,3 +799,37 @@ def test_decile_lift_partitions_customers(spark, sf_dir):
     assert lifts == sorted(lifts)
     assert rows[-1].decile == 10 and rows[-1].lift >= 1.0
     assert abs(rows[0].cum_share_from_top - 1.0) < 1e-3
+
+
+def test_prepared_broadcast_hints_are_bounded(spark, sf_dir):
+    """Pre-registration broadcast lint: every F.broadcast in a prepared
+    operator must hint a bounded subtree (1-row aggregate, constant
+    local relation, or a capped md5 sample), mirroring the registry-wide
+    test_no_forced_broadcast_of_unbounded_aggregate. The capped samples
+    (contrastive mining, kNN audit) are bounded BY CONSTRUCTION:
+    mod = max(1, n // CAP) keeps the sampled side <= ~2*CAP rows at any
+    corpus size."""
+    import inspect
+
+    #: capped-sample designs whose broadcast side is bounded by the
+    #: md5-mod construction, not by plan shape alone
+    capped = {"contrastive_pair_mining", "knn_label_consistency"}
+    from tests.test_plans import _broadcast_hint_subtrees, _hint_is_bounded
+
+    offenders = []
+    for name in sorted(PREPARED_R8):
+        if name in capped:
+            continue
+        fn, _ = PREPARED_R8[name]
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        if "F.broadcast(" not in src:
+            continue
+        df = fn(spark, sf_dir)
+        for sub in _broadcast_hint_subtrees(df):
+            if not _hint_is_bounded(sub):
+                offenders.append(name)
+                break
+    assert not offenders, offenders
