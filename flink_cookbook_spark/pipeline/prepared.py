@@ -3053,6 +3053,224 @@ FROM shared
 """
 
 
+# --------------------------------------------------------------------------
+# 40. water-filling token-budget allocation across sources
+# --------------------------------------------------------------------------
+
+#: fraction of the corpus token total handed out as the budget, and the
+#: number of unrolled cap-and-redistribute rounds.
+WF_BUDGET_FRACTION = 0.5
+WF_ROUNDS = 4
+
+
+def water_filling_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling allocation of a token budget across sources: each
+    source wants budget·wᵢ/Σw (sqrt-tempered weights, so small sources
+    are boosted), but no source can give more than it HAS — capped
+    sources take their full availability and the surplus re-spreads
+    over the rest, for WF_ROUNDS unrolled rounds.  This is the
+    feasibility-aware step after ``temperature_mixture_weights``: that
+    query prescribes the ideal mix, this one fits it to the corpus.
+
+    Weights use sqrt(c) rather than pow(c, α): sqrt is IEEE-exact on
+    both engines while pow differs in the last ulp across libms, and a
+    1-ulp weight difference can flip a cap decision (the decile-boundary
+    lesson).  Every iteration is a window pass over the |sources| rows
+    of the per-source aggregate — the unrolled state is bounded by the
+    source domain, never by corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("ci")
+    )
+    wall = Window.partitionBy()
+    st = per_src.select(
+        "source",
+        F.col("ci").cast("double").alias("c"),
+        F.sqrt(F.col("ci").cast("double")).alias("w"),
+        F.lit(None).cast("double").alias("alloc"),
+        F.lit(False).alias("capped"),
+        (F.lit(WF_BUDGET_FRACTION) * F.sum(F.col("ci").cast("double")).over(wall)).alias("b"),
+    )
+    for _ in range(WF_ROUNDS):
+        r = F.col("b") - F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("alloc"))).over(wall), F.lit(0.0)
+        )
+        sumw = F.sum(F.when(~F.col("capped"), F.col("w"))).over(wall)
+        tent = (r * F.col("w")) / sumw
+        now_capped = (~F.col("capped")) & (tent >= F.col("c"))
+        st = st.select(
+            "source", "c", "w",
+            F.when(F.col("capped"), F.col("alloc"))
+            .when(now_capped, F.col("c"))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("alloc"),
+            (F.col("capped") | now_capped).alias("capped"),
+            "b",
+        )
+    r = F.col("b") - F.coalesce(
+        F.sum(F.when(F.col("capped"), F.col("alloc"))).over(wall), F.lit(0.0)
+    )
+    sumw = F.sum(F.when(~F.col("capped"), F.col("w"))).over(wall)
+    final_alloc = F.coalesce(F.col("alloc"), (r * F.col("w")) / sumw)
+    return st.select(
+        "source",
+        F.col("c").cast("long").alias("available_tokens"),
+        rnd(final_alloc, 2).alias("allocated_tokens"),
+        F.col("capped"),
+        rnd(final_alloc / F.col("c"), 6).alias("fill_ratio"),
+    )
+
+
+def _water_filling_oracle() -> str:
+    rounds = []
+    prev = "r0"
+    for k in range(1, WF_ROUNDS + 1):
+        cur = f"r{k}"
+        rounds.append(f"""
+{cur} AS (
+  SELECT source, c, w,
+         CASE WHEN capped THEN alloc
+              WHEN ((b - coalesce(sum(CASE WHEN capped THEN alloc END)
+                                  OVER (), 0.0)) * w)
+                   / sum(CASE WHEN NOT capped THEN w END) OVER () >= c
+              THEN c ELSE NULL END AS alloc,
+         capped OR (NOT capped AND
+           ((b - coalesce(sum(CASE WHEN capped THEN alloc END)
+                          OVER (), 0.0)) * w)
+           / sum(CASE WHEN NOT capped THEN w END) OVER () >= c) AS capped,
+         b
+  FROM {prev}
+)""")
+        prev = cur
+    return f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ci
+  FROM documents GROUP BY source
+),
+r0 AS (
+  SELECT source, CAST(ci AS DOUBLE) AS c, sqrt(CAST(ci AS DOUBLE)) AS w,
+         CAST(NULL AS DOUBLE) AS alloc, FALSE AS capped,
+         {WF_BUDGET_FRACTION} * sum(CAST(ci AS DOUBLE)) OVER () AS b
+  FROM per_src
+),
+{", ".join(rounds)},
+fin AS (
+  SELECT source, c, capped,
+         coalesce(alloc,
+           ((b - coalesce(sum(CASE WHEN capped THEN alloc END)
+                          OVER (), 0.0)) * w)
+           / sum(CASE WHEN NOT capped THEN w END) OVER ()) AS alloc
+  FROM {prev}
+)
+SELECT source, CAST(c AS BIGINT) AS available_tokens,
+       round(alloc + 1e-6, 2) AS allocated_tokens,
+       capped,
+       round(alloc / c + 1e-6, 6) AS fill_ratio
+FROM fin
+"""
+
+
+# --------------------------------------------------------------------------
+# 41. anomaly-detector ensemble consensus
+# --------------------------------------------------------------------------
+
+def anomaly_ensemble_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three robust outlier screens voting per event type — z-score
+    (mean ± 3σ), MAD (median ± 3.5·1.4826·MAD), and Tukey IQR fences
+    (q1 − 1.5·IQR, q3 + 1.5·IQR) — with flag counts per method and the
+    2-of-3 / 3-of-3 consensus that a production alerting rule actually
+    pages on (single-method flags are noise candidates by definition).
+    All location statistics are DISCRETE percentiles (stored values —
+    identical doubles on both engines; interpolation would reopen the
+    ulp trap).  Three stacked aggregates with 1-row-per-type broadcast
+    joins; nothing scales beyond the raw scan."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    ev.createOrReplaceTempView("_fcs_ens_events")
+    stats = spark.sql(
+        """
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_pop(value) AS sigma,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS q3
+        FROM _fcs_ens_events GROUP BY event_type
+        """
+    )
+    with_stats = ev.join(F.broadcast(stats), "event_type")
+    # MAD needs |v - med| materialized before its own percentile pass
+    dev = with_stats.select(
+        "event_type", "value", "mu", "sigma", "med", "q1", "q3",
+        F.abs(F.col("value") - F.col("med")).alias("absdev"),
+    )
+    dev.createOrReplaceTempView("_fcs_ens_dev")
+    madt = spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY absdev) AS mad
+        FROM _fcs_ens_dev GROUP BY event_type
+        """
+    )
+    full = dev.join(F.broadcast(madt), "event_type")
+    fz = F.abs(F.col("value") - F.col("mu")) > 3.0 * F.col("sigma")
+    fm = F.abs(F.col("value") - F.col("med")) > 3.5 * 1.4826 * F.col("mad")
+    iqr = F.col("q3") - F.col("q1")
+    fi = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    votes = fz.cast("int") + fm.cast("int") + fi.cast("int")
+    return full.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(fz.cast("long")).alias("n_flag_z"),
+        F.sum(fm.cast("long")).alias("n_flag_mad"),
+        F.sum(fi.cast("long")).alias("n_flag_iqr"),
+        F.sum((votes >= 2).cast("long")).alias("n_consensus2"),
+        F.sum((votes == 3).cast("long")).alias("n_consensus3"),
+    )
+
+
+_ENSEMBLE_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         avg(value) AS mu,
+         stddev_pop(value) AS sigma,
+         quantile_disc(value, 0.5) AS med,
+         quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, s.mu, s.sigma, s.med, s.q1, s.q3,
+         abs(e.value - s.med) AS absdev
+  FROM events e JOIN stats s USING (event_type)
+),
+madt AS (
+  SELECT event_type, quantile_disc(absdev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+),
+flags AS (
+  SELECT d.event_type,
+         CASE WHEN abs(d.value - d.mu) > 3.0 * d.sigma THEN 1 ELSE 0 END AS fz,
+         CASE WHEN abs(d.value - d.med) > 3.5 * 1.4826 * m.mad
+              THEN 1 ELSE 0 END AS fm,
+         CASE WHEN d.value < d.q1 - 1.5 * (d.q3 - d.q1)
+                OR d.value > d.q3 + 1.5 * (d.q3 - d.q1)
+              THEN 1 ELSE 0 END AS fi
+  FROM dev d JOIN madt m USING (event_type)
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(fz) AS BIGINT) AS n_flag_z,
+       CAST(sum(fm) AS BIGINT) AS n_flag_mad,
+       CAST(sum(fi) AS BIGINT) AS n_flag_iqr,
+       CAST(sum(CASE WHEN fz + fm + fi >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_consensus2,
+       CAST(sum(CASE WHEN fz + fm + fi = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_consensus3
+FROM flags GROUP BY event_type
+"""
+
+
 def _prepared() -> dict[str, tuple]:
     return {
         "pq_reconstruction_manifest": (pq_reconstruction_manifest, _pq_oracle()),
@@ -3112,6 +3330,12 @@ def _prepared() -> dict[str, tuple]:
         "lsh_recall_estimate": (lsh_recall_estimate, _lsh_recall_oracle()),
         "interarrival_profile": (interarrival_profile, _INTERARRIVAL_ORACLE),
         "decile_lift_table": (decile_lift_table, _DECILE_ORACLE),
+        "water_filling_allocation": (
+            water_filling_allocation, _water_filling_oracle(),
+        ),
+        "anomaly_ensemble_consensus": (
+            anomaly_ensemble_consensus, _ENSEMBLE_ORACLE,
+        ),
     }
 
 

@@ -833,3 +833,55 @@ def test_prepared_broadcast_hints_are_bounded(spark, sf_dir):
                 offenders.append(name)
                 break
     assert not offenders, offenders
+
+
+def test_water_filling_exhausts_budget(spark, sf_dir):
+    """The allocation must hand out (approximately) the whole budget,
+    never exceed any source's availability, cap exactly the sources
+    whose fill ratio is 1, and boost small sources (higher fill ratio
+    than the biggest source unless capped)."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared import (
+        WF_BUDGET_FRACTION, water_filling_allocation,
+    )
+    from pyspark.sql import functions as F
+
+    rows = water_filling_allocation(spark, sf_dir).collect()
+    assert rows
+    total_tokens = (
+        load(spark, sf_dir, "documents")
+        .agg(F.sum(F.size(F.split("text", " "))))
+        .collect()[0][0]
+    )
+    budget = WF_BUDGET_FRACTION * total_tokens
+    assert abs(sum(r.allocated_tokens for r in rows) - budget) < 1.0
+    for r in rows:
+        assert r.allocated_tokens <= r.available_tokens + 0.01
+        if r.capped:
+            assert abs(r.fill_ratio - 1.0) < 1e-3
+        else:
+            assert r.fill_ratio < 1.0 + 1e-6
+    # sqrt tempering: the smallest source must reach a HIGHER fill ratio
+    # than the largest uncapped source
+    uncapped = [r for r in rows if not r.capped]
+    if len(uncapped) >= 2:
+        small = min(uncapped, key=lambda r: r.available_tokens)
+        large = max(uncapped, key=lambda r: r.available_tokens)
+        if small.available_tokens < large.available_tokens:
+            assert small.fill_ratio > large.fill_ratio
+
+
+def test_ensemble_consensus_ordering(spark, sf_dir):
+    """Consensus counts are nested (3-of-3 <= 2-of-3 <= any single
+    method's flags + the others), every count is bounded by n, and at
+    least one method flags something somewhere on the fixture."""
+    from flink_cookbook_spark.pipeline.prepared import anomaly_ensemble_consensus
+
+    rows = anomaly_ensemble_consensus(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_consensus3 <= r.n_consensus2 <= r.n
+        for c in (r.n_flag_z, r.n_flag_mad, r.n_flag_iqr):
+            assert 0 <= c <= r.n
+        assert r.n_consensus2 <= r.n_flag_z + r.n_flag_mad + r.n_flag_iqr
+    assert any(r.n_flag_z + r.n_flag_mad + r.n_flag_iqr > 0 for r in rows)
