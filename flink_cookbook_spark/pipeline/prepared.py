@@ -3344,3 +3344,17 @@ def _prepared() -> dict[str, tuple]:
 #: family module if desired). Until then tests/test_prepared.py holds
 #: every pair to the driver-identical comparison contract.
 PREPARED_R8 = _prepared()
+
+
+def activate() -> None:
+    """Round-8 activation: register every prepared pair with the live
+    registry in one call.  Kept OUT of ``registry._ensure_loaded`` until
+    round 8 so this round's driver window drains the re-proof backlog
+    (module docstring); the round-8 change is: import this module in
+    ``_ensure_loaded`` and call ``activate()`` at import time.  The
+    dry-run integration test (tests/test_prepared.py) exercises this
+    exact path in a subprocess today, so the flip cannot fail cold."""
+    from flink_cookbook_spark.registry import register
+
+    for name, (fn, oracle) in PREPARED_R8.items():
+        register(name, oracle=oracle, tags=("prepared-r8",))(fn)

@@ -885,3 +885,40 @@ def test_ensemble_consensus_ordering(spark, sf_dir):
             assert 0 <= c <= r.n
         assert r.n_consensus2 <= r.n_flag_z + r.n_flag_mad + r.n_flag_iqr
     assert any(r.n_flag_z + r.n_flag_mad + r.n_flag_iqr > 0 for r in rows)
+
+
+def test_round8_activation_dry_run(sf_dir):
+    """Full-contract dry run of the round-8 flip in a SUBPROCESS (the
+    live registry must stay un-polluted for this round's driver):
+    activate() must register every prepared pair without name/oracle
+    errors, the driver contract must then expose them all, and one
+    newly-activated query must run end-to-end through queries()."""
+    import json
+    import subprocess
+    import sys
+
+    code = f"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from flink_cookbook_spark.pipeline.prepared import PREPARED_R8, activate
+from flink_cookbook_spark.registry import all_specs
+before = len(all_specs())
+activate()
+after = len(all_specs())
+import __spark_entry__ as e
+qs, os_ = e.queries(), e.oracle_sql()
+assert set(PREPARED_R8) <= set(qs), "prepared queries missing from queries()"
+assert set(PREPARED_R8) <= set(os_), "prepared oracles missing from oracle_sql()"
+from flink_cookbook_spark.session import get_spark
+spark = get_spark()
+n = qs["kaplan_meier_survival"](spark, {sf_dir!r}).count()
+print(json.dumps({{"before": before, "after": after, "rows": n}}))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["after"] == res["before"] + len(PREPARED_R8)
+    assert res["rows"] > 0
