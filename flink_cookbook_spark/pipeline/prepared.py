@@ -3342,8 +3342,15 @@ def _prepared() -> dict[str, tuple]:
 #: name -> (query fn, oracle SQL). Round 8: for each entry,
 #: ``register(name, oracle=oracle)(fn)`` (and move the fn into its
 #: family module if desired). Until then tests/test_prepared.py holds
-#: every pair to the driver-identical comparison contract.
+#: every pair to the driver-identical comparison contract. Later
+#: round-7 batches live in sibling modules (prepared2, ...) and merge
+#: here so every consumer (tests, lints, activate) sees ONE cohort.
+from flink_cookbook_spark.pipeline.prepared2 import PREPARED_R8_BATCH2
+
 PREPARED_R8 = _prepared()
+_dups = set(PREPARED_R8) & set(PREPARED_R8_BATCH2)
+assert not _dups, f"prepared batches collide: {_dups}"
+PREPARED_R8.update(PREPARED_R8_BATCH2)
 
 
 def activate() -> None:

@@ -922,3 +922,81 @@ print(json.dumps({{"before": before, "after": after, "rows": n}}))
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["after"] == res["before"] + len(PREPARED_R8)
     assert res["rows"] > 0
+
+
+def test_ks_statistic_is_a_valid_distance(spark, sf_dir):
+    """D must be a [0,1] sup-distance and the verdict must equal the
+    D-vs-critical comparison the row itself reports."""
+    from flink_cookbook_spark.pipeline.prepared2 import ks_test_drift
+
+    rows = ks_test_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.ks_d <= 1.0 + 1e-9
+        assert r.ks_crit_95 > 0
+        assert r.drifted == (r.ks_d > r.ks_crit_95) or abs(
+            r.ks_d - r.ks_crit_95
+        ) < 2e-6  # rounding at the displayed dp may touch the boundary
+
+
+def test_contingency_measures_are_bounded(spark, sf_dir):
+    """chi2 >= 0, Cramer's V in [0,1], MI >= 0 (within display
+    rounding) — the textbook bounds for any contingency table."""
+    from flink_cookbook_spark.pipeline.prepared2 import contingency_association
+
+    [r] = contingency_association(spark, sf_dir).collect()
+    assert r.chi2 >= 0
+    assert -1e-6 <= r.cramers_v <= 1.0 + 1e-6
+    assert r.mutual_info_nats >= -1e-6
+    # MI <= ln(min(r, c)) always
+    import math
+
+    assert r.mutual_info_nats <= math.log(min(r.n_types, r.n_days)) + 1e-6
+
+
+def test_correlation_matrix_is_valid(spark, sf_dir):
+    """All |r| <= 1 and all six unordered pairs present exactly once
+    (the fixture's measures are synthesized independently, so no pair
+    is asserted to correlate — only validity bounds)."""
+    from flink_cookbook_spark.pipeline.prepared2 import CORR_COLS, correlation_matrix
+
+    rows = correlation_matrix(spark, sf_dir).collect()
+    pairs = {(r.col_a, r.col_b) for r in rows}
+    expected = {
+        (a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1:]
+    }
+    assert pairs == expected
+    for r in rows:
+        assert abs(r.pearson_r) <= 1.0 + 1e-6
+    assert all(r.n_rows > 0 for r in rows)
+
+
+def test_crosscorr_windows_are_full_and_bounded(spark, sf_dir):
+    """Only full 7-day windows emit, and every defined r is in [-1,1]."""
+    from flink_cookbook_spark.pipeline.prepared2 import crosscorr_daily_series
+
+    rows = crosscorr_daily_series(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.window_days == 7
+        if r.xcorr_7d is not None:
+            assert abs(r.xcorr_7d) <= 1.0 + 1e-6
+
+
+def test_ab_lift_internally_consistent(spark, sf_dir):
+    """Rates must equal conversions/users, lift must equal the rate
+    difference, and arm sizes must partition the user base."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared2 import ab_conversion_lift
+
+    [r] = ab_conversion_lift(spark, sf_dir).collect()
+    assert r.n_a + r.n_b == (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert abs(r.rate_a - r.c_a / r.n_a) < 2e-6
+    assert abs(r.rate_b - r.c_b / r.n_b) < 2e-6
+    assert abs(r.abs_lift - (r.rate_b - r.rate_a)) < 3e-6
+    if r.z_score is not None:
+        assert r.significant_95 == (abs(r.z_score) > 1.96) or abs(
+            abs(r.z_score) - 1.96
+        ) < 1e-3
