@@ -3346,11 +3346,13 @@ def _prepared() -> dict[str, tuple]:
 #: round-7 batches live in sibling modules (prepared2, ...) and merge
 #: here so every consumer (tests, lints, activate) sees ONE cohort.
 from flink_cookbook_spark.pipeline.prepared2 import PREPARED_R8_BATCH2
+from flink_cookbook_spark.pipeline.prepared3 import PREPARED_R8_BATCH3
 
 PREPARED_R8 = _prepared()
-_dups = set(PREPARED_R8) & set(PREPARED_R8_BATCH2)
-assert not _dups, f"prepared batches collide: {_dups}"
-PREPARED_R8.update(PREPARED_R8_BATCH2)
+for _batch in (PREPARED_R8_BATCH2, PREPARED_R8_BATCH3):
+    _dups = set(PREPARED_R8) & set(_batch)
+    assert not _dups, f"prepared batches collide: {_dups}"
+    PREPARED_R8.update(_batch)
 
 
 def activate() -> None:

@@ -1000,3 +1000,72 @@ def test_ab_lift_internally_consistent(spark, sf_dir):
         assert r.significant_95 == (abs(r.z_score) > 1.96) or abs(
             abs(r.z_score) - 1.96
         ) < 1e-3
+
+
+def test_skew_report_is_exactly_derived(spark, sf_dir):
+    """Totals must equal the table row count at every partition count,
+    max >= avg, and CV must be 0 exactly when every partition is equal."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared3 import (
+        SKEW_PARTITION_COUNTS, partition_skew_report,
+    )
+
+    rows = {r.n_partitions: r for r in partition_skew_report(spark, sf_dir).collect()}
+    assert set(rows) == set(SKEW_PARTITION_COUNTS)
+    n = load(spark, sf_dir, "lineitem").count()
+    for r in rows.values():
+        assert r.n_rows == n
+        assert r.max_rows >= r.n_rows / r.n_partitions - 1e-9
+        assert r.skew_ratio >= 1.0 - 1e-4
+        assert r.cv >= 0
+        assert r.nonempty_partitions <= r.n_partitions
+
+
+def test_compaction_plan_covers_corpus_and_respects_target(spark, sf_dir):
+    """Each cell's files must be enough to hold its bytes at the target
+    size, and the doc totals must cover the corpus exactly."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared3 import (
+        TARGET_FILE_BYTES, file_compaction_plan,
+    )
+
+    rows = file_compaction_plan(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == load(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r.target_files >= 1
+        assert r.target_files * TARGET_FILE_BYTES >= r.est_bytes
+        # one fewer file would NOT fit (tightness), unless at the floor
+        if r.target_files > 1:
+            assert (r.target_files - 1) * TARGET_FILE_BYTES < r.est_bytes
+        assert r.docs_per_file * r.target_files >= r.n_docs
+
+
+def test_bloom_fpr_tracks_the_analytic_formula(spark, sf_dir):
+    """More bits must not raise the expected FPR at fixed k, and the
+    measured rate must be a valid probability that broadly tracks the
+    formula (within a loose factor given small probe counts)."""
+    from flink_cookbook_spark.pipeline.prepared3 import bloom_fpr_calibration
+
+    rows = {(r.m_bits, r.k_hashes): r for r in bloom_fpr_calibration(spark, sf_dir).collect()}
+    assert len(rows) == 4
+    for (m, k), r in rows.items():
+        assert 0 <= r.fpr_actual <= 1
+        assert 0 <= r.fpr_expected <= 1
+        assert r.n_bits_set <= min(m, r.n_members * k)
+        assert r.n_false_hits <= r.n_probes
+    for k in (2, 4):
+        assert rows[(4096, k)].fpr_expected <= rows[(1024, k)].fpr_expected + 1e-9
+
+
+def test_fk_audit_covers_every_edge_cleanly(spark, sf_dir):
+    """The shipped fixture is referentially intact: every edge must
+    report zero orphans/NULLs and a match rate of 1."""
+    from flink_cookbook_spark.pipeline.prepared3 import FK_EDGES, fk_integrity_audit
+
+    rows = {r.edge: r for r in fk_integrity_audit(spark, sf_dir).collect()}
+    assert set(rows) == {e[0] for e in FK_EDGES}
+    for r in rows.values():
+        assert r.n_rows > 0
+        assert r.n_null_fk == 0
+        assert r.n_orphans == 0
+        assert abs(r.match_rate - 1.0) < 2e-6
