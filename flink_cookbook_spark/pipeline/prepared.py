@@ -3347,9 +3347,10 @@ def _prepared() -> dict[str, tuple]:
 #: here so every consumer (tests, lints, activate) sees ONE cohort.
 from flink_cookbook_spark.pipeline.prepared2 import PREPARED_R8_BATCH2
 from flink_cookbook_spark.pipeline.prepared3 import PREPARED_R8_BATCH3
+from flink_cookbook_spark.pipeline.prepared4 import PREPARED_R8_BATCH4
 
 PREPARED_R8 = _prepared()
-for _batch in (PREPARED_R8_BATCH2, PREPARED_R8_BATCH3):
+for _batch in (PREPARED_R8_BATCH2, PREPARED_R8_BATCH3, PREPARED_R8_BATCH4):
     _dups = set(PREPARED_R8) & set(_batch)
     assert not _dups, f"prepared batches collide: {_dups}"
     PREPARED_R8.update(_batch)

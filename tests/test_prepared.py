@@ -1069,3 +1069,78 @@ def test_fk_audit_covers_every_edge_cleanly(spark, sf_dir):
         assert r.n_null_fk == 0
         assert r.n_orphans == 0
         assert abs(r.match_rate - 1.0) < 2e-6
+
+
+def test_lexical_diversity_bounds(spark, sf_dir):
+    """TTR and hapax share are (0,1]; Yule's K is non-negative within
+    display rounding; token counts reconcile with the corpus."""
+    from flink_cookbook_spark.pipeline.prepared4 import lexical_diversity_profile
+
+    rows = lexical_diversity_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.ttr <= 1.0 + 1e-6
+        assert 0 < r.hapax_share <= 1.0 + 1e-6
+        assert r.yule_k >= -1e-4
+        assert r.n_types <= r.n_tokens
+        assert r.n_types > 0
+
+
+def test_degree_distribution_sums_to_node_count(spark, sf_dir):
+    """Histogram shares sum to 1, every slope value is the same
+    constant, and slope <= 0 (frequency cannot rise with degree on a
+    log-log OLS of a heavy-ish tail ... it CAN rise in principle, so
+    only assert the constant-ness and finiteness)."""
+    import math
+
+    from flink_cookbook_spark.pipeline.prepared4 import (
+        copurchase_degree_distribution,
+    )
+
+    rows = copurchase_degree_distribution(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.part_share for r in rows) - 1.0) < 1e-3
+    slopes = {r.powerlaw_slope for r in rows}
+    assert len(slopes) == 1
+    s = slopes.pop()
+    if s is not None:
+        assert math.isfinite(s)
+
+
+def test_rank_fusion_is_a_valid_ranking(spark, sf_dir):
+    """Each query must emit exactly RRF_TOP_K fused rows with distinct
+    fused ranks 1..k; the RRF score must be consistent with the two
+    input ranks; and the fused order must follow the score."""
+    from flink_cookbook_spark.pipeline.prepared4 import (
+        RRF_K, RRF_TOP_K, rank_fusion_topk,
+    )
+
+    rows = rank_fusion_topk(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q
+    for q, rs in by_q.items():
+        assert sorted(r.fused_rank for r in rs) == list(range(1, RRF_TOP_K + 1))
+        rs.sort(key=lambda r: r.fused_rank)
+        scores = [r.rrf_score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            expect = 1.0 / (RRF_K + r.rank_cos) + 1.0 / (RRF_K + r.rank_l2)
+            assert abs(r.rrf_score - expect) < 2e-6
+
+
+def test_bootstrap_ci_brackets_the_sample_median(spark, sf_dir):
+    """The bootstrap median band must be ordered (p05 <= p50 <= p95)
+    and the full-sample median must fall inside the CI (it is the
+    statistic being resampled)."""
+    from flink_cookbook_spark.pipeline.prepared4 import (
+        BOOT_RESAMPLES, bootstrap_median_ci,
+    )
+
+    [r] = bootstrap_median_ci(spark, sf_dir).collect()
+    assert r.n_resamples == BOOT_RESAMPLES
+    assert r.boot_p05 <= r.boot_p50 <= r.boot_p95
+    assert r.boot_p05 <= r.sample_median <= r.boot_p95
+    assert r.ci_width >= 0
+    assert r.n_sample > 0
