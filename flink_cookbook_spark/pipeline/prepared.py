@@ -3348,9 +3348,15 @@ def _prepared() -> dict[str, tuple]:
 from flink_cookbook_spark.pipeline.prepared2 import PREPARED_R8_BATCH2
 from flink_cookbook_spark.pipeline.prepared3 import PREPARED_R8_BATCH3
 from flink_cookbook_spark.pipeline.prepared4 import PREPARED_R8_BATCH4
+from flink_cookbook_spark.pipeline.prepared5 import PREPARED_R8_BATCH5
 
 PREPARED_R8 = _prepared()
-for _batch in (PREPARED_R8_BATCH2, PREPARED_R8_BATCH3, PREPARED_R8_BATCH4):
+for _batch in (
+    PREPARED_R8_BATCH2,
+    PREPARED_R8_BATCH3,
+    PREPARED_R8_BATCH4,
+    PREPARED_R8_BATCH5,
+):
     _dups = set(PREPARED_R8) & set(_batch)
     assert not _dups, f"prepared batches collide: {_dups}"
     PREPARED_R8.update(_batch)

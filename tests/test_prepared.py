@@ -1144,3 +1144,115 @@ def test_bootstrap_ci_brackets_the_sample_median(spark, sf_dir):
     assert r.boot_p05 <= r.sample_median <= r.boot_p95
     assert r.ci_width >= 0
     assert r.n_sample > 0
+
+
+def test_holt_winters_reduces_to_holt_when_unseasonal(spark, sf_dir):
+    """Outputs exist per key with enough points, the seasonal state is
+    finite, and the forecast decomposes exactly as l + b + s_next."""
+    import math
+
+    from flink_cookbook_spark.pipeline.prepared5 import (
+        HW_PERIOD, holt_winters_seasonal,
+    )
+
+    rows = holt_winters_seasonal(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_points > HW_PERIOD
+        for v in (r.level, r.trend, r.seasonal_next, r.forecast_next):
+            assert v is not None and math.isfinite(v)
+        assert abs(r.forecast_next - (r.level + r.trend + r.seasonal_next)) < 3e-4
+
+
+def test_theil_sen_matches_numpy_reference(spark, sf_dir):
+    """The discrete Theil-Sen slope must equal a direct numpy replay of
+    'lower median of pairwise slopes' on the same daily series."""
+    import numpy as np
+
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared5 import theil_sen_trend
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: r for r in theil_sen_trend(spark, sf_dir).collect()}
+    assert got
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("d"),
+        )
+        .agg(F.avg("value").alias("v"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.d, r.v))
+    for et, pts in series.items():
+        pts.sort()
+        slopes = sorted(
+            (
+                (v2 - v1) / (d2 - d1)
+                for i, (d1, v1) in enumerate(pts)
+                for (d2, v2) in pts[i + 1:]
+            )
+        )
+        lower_med = slopes[(len(slopes) + 1) // 2 - 1]
+        assert abs(got[et].slope_per_day - lower_med) < 2e-6, et
+        assert got[et].n_pairs == len(slopes)
+
+
+def test_benford_emits_all_digits_and_valid_shares(spark, sf_dir):
+    """All nine digits emit (zeros included), shares sum to 1 on both
+    axes, and chi2 is a single non-negative constant."""
+    from flink_cookbook_spark.pipeline.prepared5 import benford_law_check
+
+    rows = benford_law_check(spark, sf_dir).collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-3
+    chis = {r.chi2 for r in rows}
+    assert len(chis) == 1 and chis.pop() >= 0
+
+
+def test_runs_test_counts_reconcile(spark, sf_dir):
+    """Above+below must equal the observation count and the run count
+    must be between 1 and n_obs."""
+    from flink_cookbook_spark.pipeline.prepared5 import runs_test_randomness
+
+    rows = runs_test_randomness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_above + r.n_below == r.n_obs
+        assert 1 <= r.n_runs <= r.n_obs
+        assert r.expected_runs >= 1
+
+
+def test_coverage_curve_is_monotone(spark, sf_dir):
+    """Coverage must be non-decreasing in N and within (0, 1]."""
+    from flink_cookbook_spark.pipeline.prepared5 import (
+        COVERAGE_NS, vocab_coverage_curve,
+    )
+
+    rows = sorted(vocab_coverage_curve(spark, sf_dir).collect(),
+                  key=lambda r: r.n_top)
+    assert [r.n_top for r in rows] == sorted(COVERAGE_NS)
+    shares = [r.coverage_share for r in rows]
+    assert shares == sorted(shares)
+    for r in rows:
+        assert 0 < r.coverage_share <= 1.0 + 1e-6
+        assert r.covered_tokens <= r.total_tokens
+
+
+def test_token_savings_reconcile_with_exact_dedup(spark, sf_dir):
+    """Kept tokens never exceed total; savings in [0, 1); doc counts
+    reconcile with the corpus."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared5 import dedup_token_savings
+
+    rows = dedup_token_savings(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_docs for r in rows) == load(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r.n_unique_docs <= r.n_docs
+        assert r.tokens_kept <= r.tokens_total
+        assert 0 <= r.savings_share < 1
