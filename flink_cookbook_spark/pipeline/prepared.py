@@ -3349,6 +3349,7 @@ from flink_cookbook_spark.pipeline.prepared2 import PREPARED_R8_BATCH2
 from flink_cookbook_spark.pipeline.prepared3 import PREPARED_R8_BATCH3
 from flink_cookbook_spark.pipeline.prepared4 import PREPARED_R8_BATCH4
 from flink_cookbook_spark.pipeline.prepared5 import PREPARED_R8_BATCH5
+from flink_cookbook_spark.pipeline.prepared6 import PREPARED_R8_BATCH6
 
 PREPARED_R8 = _prepared()
 for _batch in (
@@ -3356,6 +3357,7 @@ for _batch in (
     PREPARED_R8_BATCH3,
     PREPARED_R8_BATCH4,
     PREPARED_R8_BATCH5,
+    PREPARED_R8_BATCH6,
 ):
     _dups = set(PREPARED_R8) & set(_batch)
     assert not _dups, f"prepared batches collide: {_dups}"

@@ -1256,3 +1256,81 @@ def test_token_savings_reconcile_with_exact_dedup(spark, sf_dir):
         assert r.n_unique_docs <= r.n_docs
         assert r.tokens_kept <= r.tokens_total
         assert 0 <= r.savings_share < 1
+
+
+def test_perplexity_is_bounded_by_vocab(spark, sf_dir):
+    """Laplace-smoothed perplexity over V outcomes is within [1, V+eps]
+    only if transitions were uniform-ish; assert the hard bounds:
+    perplexity >= 1 and avg_logp <= 0."""
+    from flink_cookbook_spark.pipeline.prepared6 import transition_perplexity
+
+    rows = transition_perplexity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_eval > 0
+        assert r.avg_logp <= 1e-6
+        assert r.perplexity >= 1.0 - 1e-4
+
+
+def test_backtest_scores_all_methods_on_same_set(spark, sf_dir):
+    """Each key must carry all three methods with identical n_evals and
+    exactly one winner (ties permitted only via exact mae equality)."""
+    from flink_cookbook_spark.pipeline.prepared6 import forecast_backtest
+
+    rows = forecast_backtest(spark, sf_dir).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.event_type, []).append(r)
+    assert by_key
+    for et, rs in by_key.items():
+        assert sorted(r.method for r in rs) == ["drift", "naive", "seasonal_naive"]
+        assert len({r.n_evals for r in rs}) == 1
+        winners = [r for r in rs if r.is_best]
+        assert winners, et
+        best_mae = min(r.mae for r in rs)
+        for w in winners:
+            assert abs(w.mae - best_mae) < 2e-4
+
+
+def test_mwu_u_is_in_valid_range(spark, sf_dir):
+    """0 <= U <= n_a * n_b, and the expectation is exactly n_a*n_b/2."""
+    from flink_cookbook_spark.pipeline.prepared6 import mann_whitney_u
+
+    rows = mann_whitney_u(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r.u_stat <= r.n_a * r.n_b + 1e-6
+        assert abs(r.u_expected - r.n_a * r.n_b / 2.0) < 0.51
+
+
+def test_revenue_hierarchy_shares_sum_to_one(spark, sf_dir):
+    """Within each region the nation shares sum to 1; the region global
+    shares (one distinct value per region) sum to 1 across regions."""
+    from flink_cookbook_spark.pipeline.prepared6 import revenue_share_hierarchy
+
+    rows = revenue_share_hierarchy(spark, sf_dir).collect()
+    assert rows
+    by_region: dict = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r)
+    for region, rs in by_region.items():
+        assert abs(sum(x.share_of_region for x in rs) - 1.0) < 1e-3, region
+        assert len({x.region_share_of_global for x in rs}) == 1
+    glob = sum({rs[0].region_share_of_global for rs in
+                (by_region[k] for k in by_region)})
+    assert abs(glob - 1.0) < 1e-3
+
+
+def test_elasticity_fits_are_well_formed(spark, sf_dir):
+    """r2 in [0,1]; level counts within the discount grid; slope defined
+    whenever at least two levels exist."""
+    from flink_cookbook_spark.pipeline.prepared6 import discount_elasticity
+
+    rows = discount_elasticity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_levels <= 11
+        if r.r2 is not None:
+            assert -1e-6 <= r.r2 <= 1.0 + 1e-6
+        if r.n_levels >= 2:
+            assert r.elasticity is not None
