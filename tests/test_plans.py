@@ -723,3 +723,57 @@ def test_prepared_cohort_no_plain_cartesian(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_skew_report_scans_lineitem_once(spark, sf_dir):
+    """partition_skew_report's docstring claims ONE scan serves every
+    candidate partition count (the divisor-derivation design) — pin it:
+    exactly one parquet scan of lineitem in the plan."""
+    from flink_cookbook_spark.pipeline.prepared3 import partition_skew_report
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    import re
+
+    plan = formatted_plan(partition_skew_report(spark, sf_dir))
+    # formatted mode lists each node twice (tree + details): count the
+    # uniquely-numbered detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_ks_window_runs_over_bins_not_rows(spark, sf_dir):
+    """ks_test_drift bins values BEFORE the ECDF window, so the window
+    input must be the bin-grain aggregate (an Aggregate below the
+    Window), never the raw scan — the bounded-sort-state design claim."""
+    from flink_cookbook_spark.pipeline.prepared2 import ks_test_drift
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(ks_test_drift(spark, sf_dir))
+    # order of appearance in the formatted tree: the scan feeds a
+    # HashAggregate before any Window node appears
+    import re
+
+    first_agg = plan.find("HashAggregate")
+    first_window = plan.find("Window")
+    assert first_agg != -1 and first_window != -1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_theil_sen_pairs_join_is_on_the_daily_grain(spark, sf_dir):
+    """theil_sen_trend must reduce to the daily grain BEFORE the
+    pairwise self-join (quadratic only in days, never in raw rows):
+    both join inputs must sit above aggregates, and the raw events
+    parquet is scanned exactly twice (once per self-join side), never
+    joined raw-to-raw."""
+    from flink_cookbook_spark.pipeline.prepared5 import theil_sen_trend
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(theil_sen_trend(spark, sf_dir))
+    joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin")
+    import re
+
+    assert joins >= 1
+    # every scan of events feeds an aggregate before any join: the plan
+    # must contain at least as many aggregates as scans
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    n_aggs = len(re.findall(r"\(\d+\) HashAggregate", plan))
+    assert n_aggs >= n_scans, (n_aggs, n_scans)

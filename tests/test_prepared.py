@@ -1334,3 +1334,76 @@ def test_elasticity_fits_are_well_formed(spark, sf_dir):
             assert -1e-6 <= r.r2 <= 1.0 + 1e-6
         if r.n_levels >= 2:
             assert r.elasticity is not None
+
+
+def test_anova_decomposition_is_consistent(spark, sf_dir):
+    """SSB + SSW must equal the total sum of squares computed directly,
+    eta-squared in [0,1], F >= 0."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared7 import anova_oneway
+    from pyspark.sql import functions as F
+
+    [r] = anova_oneway(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    [t] = ev.agg(
+        (F.sum(F.col("value") * F.col("value"))
+         - F.sum("value") * F.sum("value") / F.count("*")).alias("sst")
+    ).collect()
+    assert abs((r.ss_between + r.ss_within) - t.sst) < max(1e-4 * abs(t.sst), 1e-2)
+    assert -1e-6 <= r.eta_squared <= 1.0 + 1e-6
+    assert r.f_stat is None or r.f_stat >= 0
+
+
+def test_kmv_jaccard_tracks_exact(spark, sf_dir):
+    """The sketch estimate must be a valid probability and within the
+    k-bounded error band of the exact Jaccard (3 standard deviations
+    of the binomial at k draws)."""
+    from flink_cookbook_spark.pipeline.prepared7 import KMV_J_K, kmv_jaccard_overlap
+
+    [r] = kmv_jaccard_overlap(spark, sf_dir).collect()
+    # display rounding adds the +1e-6 tie nudge, so 1.0 prints 1.000001
+    assert 0 <= r.kmv_jaccard <= 1 + 2e-6
+    assert 0 <= r.exact_jaccard <= 1 + 2e-6
+    pj = min(max(r.exact_jaccard, 0.0), 1.0)  # un-nudge into [0,1]
+    sd = (pj * (1 - pj) / KMV_J_K) ** 0.5
+    assert r.abs_error <= 3 * sd + 3.0 / KMV_J_K + 1e-6
+    assert r.n_inter <= min(r.n_a, r.n_b)
+    assert r.n_union >= max(r.n_a, r.n_b)
+
+
+def test_entropy_rate_information_inequalities(spark, sf_dir):
+    """0 <= H_rate <= H_marginal <= ln(V); gain = difference >= 0."""
+    import math
+
+    from flink_cookbook_spark.pipeline.prepared7 import markov_entropy_rate
+
+    [r] = markov_entropy_rate(spark, sf_dir).collect()
+    assert -1e-6 <= r.h_rate_nats <= r.h_marginal_nats + 1e-6
+    assert r.h_marginal_nats <= math.log(5) + 1e-4
+    assert abs(
+        r.predictability_gain_nats - (r.h_marginal_nats - r.h_rate_nats)
+    ) < 3e-6
+    assert r.n_bigrams > 0
+
+
+def test_ltv_curve_is_monotone_per_cohort(spark, sf_dir):
+    """Cumulative LTV never decreases with age within a cohort, and
+    cohort sizes partition the user base."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared7 import cohort_ltv_curve
+
+    rows = cohort_ltv_curve(spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_wk, []).append(r)
+    for wk, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age_wk)
+        ltvs = [r.cum_ltv_per_user for r in rs]
+        assert ltvs == sorted(ltvs), wk
+        assert all(r.age_wk >= 0 for r in rs)
+        assert len({r.n_users for r in rs}) == 1
+    n_cohort_users = sum(rs[0].n_users for rs in by_cohort.values())
+    assert n_cohort_users <= (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
