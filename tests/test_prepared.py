@@ -1407,3 +1407,73 @@ def test_ltv_curve_is_monotone_per_cohort(spark, sf_dir):
     assert n_cohort_users <= (
         load(spark, sf_dir, "events").select("user_id").distinct().count()
     )
+
+
+def test_power_table_is_monotone_in_mde(spark, sf_dir):
+    """Bigger effects need fewer samples: n_required must be strictly
+    decreasing in the MDE, and every row carries the same baseline."""
+    from flink_cookbook_spark.pipeline.prepared8 import ab_power_analysis
+
+    rows = sorted(ab_power_analysis(spark, sf_dir).collect(),
+                  key=lambda r: r.mde_abs)
+    assert len(rows) == 3
+    reqs = [r.n_required_per_arm for r in rows]
+    assert reqs == sorted(reqs, reverse=True)
+    assert len({r.p_base for r in rows}) == 1
+    for r in rows:
+        assert r.n_required_per_arm > 0
+        assert r.powered == (r.n_available_per_arm >= r.n_required_per_arm)
+
+
+def test_sprt_decision_is_consistent_with_llr_path(spark, sf_dir):
+    """A reported crossing must match a direct replay of the LLR walk;
+    'continue' means the walk never left the boundaries."""
+    import math
+
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared8 import (
+        POWER_CONVERT_VALUE, SPRT_ALPHA, SPRT_BETA, SPRT_P0, SPRT_P1,
+        sprt_sequential_test,
+    )
+    from pyspark.sql import functions as F
+
+    [r] = sprt_sequential_test(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("double")).alias("t"),
+            F.max(((F.col("event_type") == "purchase")
+                   & (F.col("value") > POWER_CONVERT_VALUE)).cast("int")
+                  ).alias("x"),
+        )
+        .collect()
+    )
+    users.sort(key=lambda u: (u.t, u.user_id))
+    l1 = math.log(SPRT_P1 / SPRT_P0)
+    l0 = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+    upper = math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+    lower = math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+    llr, crossed_at, decision = 0.0, None, "continue"
+    for i, u in enumerate(users, 1):
+        llr += u.x * l1 + (1 - u.x) * l0
+        if crossed_at is None and (llr >= upper or llr <= lower):
+            crossed_at = i
+            decision = "accept_h1" if llr >= upper else "accept_h0"
+    assert r.n_total == len(users)
+    assert r.decided_at_n == crossed_at
+    assert r.decision == decision
+    assert abs(r.llr_final - llr) < 1e-3
+
+
+def test_chapman_estimate_is_at_least_the_union(spark, sf_dir):
+    """The estimator must be >= the observed union of the two windows
+    (it only ADDS unseen mass) and the recapture overlap is bounded by
+    both window sizes."""
+    from flink_cookbook_spark.pipeline.prepared8 import capture_recapture_estimate
+
+    [r] = capture_recapture_estimate(spark, sf_dir).collect()
+    union_observed = r.n1 + r.n2 - r.m_recaptured
+    assert r.m_recaptured <= min(r.n1, r.n2)
+    assert r.chapman_estimate >= union_observed - 1e-6
+    assert r.estimate_over_truth > 0
