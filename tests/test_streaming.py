@@ -883,3 +883,62 @@ def test_streaming_minute_rate_feeds_rate_profile(spark, sf_dir, events_stream_d
     want = {r.event_type: r.asDict()
             for r in event_rate_profile(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_streaming_sprt_equals_batch(spark, sf_dir, tmp_path_factory):
+    """The streaming SPRT must reach the batch twin's exact decision —
+    across TWO micro-batch phases separated by a checkpointed restart,
+    so cross-batch state persistence (not just single-pass folding) is
+    what's being proved."""
+    from flink_cookbook_spark.pipeline.prepared8 import sprt_sequential_test
+    from flink_cookbook_spark.streaming.sequential import (
+        sprt_observations, sprt_streaming,
+    )
+
+    obs = sprt_observations(spark, sf_dir).orderBy("first_ts", "user_id")
+    rows = obs.collect()
+    assert len(rows) > 3
+    half_ts = rows[len(rows) // 2].first_ts
+    base = tmp_path_factory.mktemp("sprt_stream")
+    data_dir, ckpt = str(base / "obs"), str(base / "ckpt")
+    out_dir = str(base / "out")
+    # phase 1: first half arrives
+    obs.where(F.col("first_ts") <= half_ts).write.parquet(
+        data_dir, mode="overwrite"
+    )
+    schema = spark.read.parquet(data_dir).schema
+
+    def run_phase(name):
+        # memory sinks cannot recover from a checkpoint; the parquet
+        # sink is the restart-capable path (and the production shape)
+        stream = spark.readStream.schema(schema).parquet(data_dir)
+        q = (
+            sprt_streaming(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return (
+            spark.read.parquet(out_dir)
+            .orderBy(F.col("n_total").desc())
+            .limit(1)
+            .collect()[0]
+        )
+
+    p1 = run_phase("sprt_p1")
+    assert p1.n_total == sum(1 for r in rows if r.first_ts <= half_ts)
+    # phase 2: the rest arrives after a restart from the checkpoint
+    obs.where(F.col("first_ts") > half_ts).write.parquet(
+        data_dir, mode="append"
+    )
+    p2 = run_phase("sprt_p2")
+    [batch] = sprt_sequential_test(spark, sf_dir).collect()
+    assert p2.n_total == batch.n_total == len(rows)
+    assert p2.decision == batch.decision
+    assert (p2.decided_at_n or None) == batch.decided_at_n
+    assert abs(p2.llr - (batch.llr_final - 1e-6)) < 1e-3
