@@ -3352,6 +3352,8 @@ from flink_cookbook_spark.pipeline.prepared5 import PREPARED_R8_BATCH5
 from flink_cookbook_spark.pipeline.prepared6 import PREPARED_R8_BATCH6
 from flink_cookbook_spark.pipeline.prepared7 import PREPARED_R8_BATCH7
 from flink_cookbook_spark.pipeline.prepared8 import PREPARED_R8_BATCH8
+from flink_cookbook_spark.pipeline.prepared9 import PREPARED_R8_BATCH9
+from flink_cookbook_spark.pipeline.prepared10 import PREPARED_R8_BATCH10
 
 PREPARED_R8 = _prepared()
 for _batch in (
@@ -3362,6 +3364,8 @@ for _batch in (
     PREPARED_R8_BATCH6,
     PREPARED_R8_BATCH7,
     PREPARED_R8_BATCH8,
+    PREPARED_R8_BATCH9,
+    PREPARED_R8_BATCH10,
 ):
     _dups = set(PREPARED_R8) & set(_batch)
     assert not _dups, f"prepared batches collide: {_dups}"

@@ -1477,3 +1477,138 @@ def test_chapman_estimate_is_at_least_the_union(spark, sf_dir):
     assert r.m_recaptured <= min(r.n1, r.n2)
     assert r.chapman_estimate >= union_observed - 1e-6
     assert r.estimate_over_truth > 0
+
+
+def test_fdr_rejections_form_a_prefix_of_sorted_pvalues(spark, sf_dir):
+    """BH rejections must be exactly the p-values at or below the
+    largest p meeting its critical value — i.e. a prefix of the sorted
+    p-value list — and every p is a valid probability."""
+    from flink_cookbook_spark.pipeline.prepared9 import fdr_segment_scan
+
+    rows = sorted(fdr_segment_scan(spark, sf_dir).collect(),
+                  key=lambda r: (r.p_value, r.event_type, r.dow))
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r.p_value <= 1.0 + 2e-6
+        assert r.bh_critical > 0
+    flags = [r.rejected for r in rows]
+    # once a False appears, no True may follow (prefix property)
+    if False in flags:
+        first_false = flags.index(False)
+        assert not any(flags[first_false:])
+
+
+def test_rate_limit_replay_matches_python(spark, sf_dir):
+    """The folded bucket must equal a direct Python replay of the same
+    recurrence on every user-day, and a burst of >RL_BURST events in
+    quick succession must throttle."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared9 import (
+        RL_BURST, RL_REFILL_S, rate_limit_simulation,
+    )
+    from pyspark.sql import functions as F
+
+    got = {(r.user_id, r.day): r for r in rate_limit_simulation(spark, sf_dir).collect()}
+    assert got
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id",
+                F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day"),
+                F.col("ts").cast("double").alias("t"))
+        .collect()
+    )
+    series: dict = {}
+    for r in ev:
+        series.setdefault((r.user_id, r.day), []).append(r.t)
+    assert set(series) == set(got)
+    for key, ts in series.items():
+        ts.sort()
+        tok, last, thr = RL_BURST - 1.0, ts[0], 0
+        for t in ts[1:]:
+            tok = min(RL_BURST, tok + (t - last) / RL_REFILL_S)
+            if tok >= 1.0:
+                tok -= 1.0
+            else:
+                thr += 1
+            last = t
+        assert got[key].n_requests == len(ts), key
+        assert got[key].n_throttled == thr, key
+
+
+def test_kappa_never_exceeds_raw_agreement(spark, sf_dir):
+    """kappa <= observed agreement always (chance correction can only
+    subtract), and both agreements are valid probabilities."""
+    from flink_cookbook_spark.pipeline.prepared9 import lang_id_agreement_kappa
+
+    [r] = lang_id_agreement_kappa(spark, sf_dir).collect()
+    assert 0 <= r.observed_agreement <= 1 + 2e-6
+    assert 0 <= r.chance_agreement <= 1 + 2e-6
+    if r.cohens_kappa is not None:
+        assert r.cohens_kappa <= r.observed_agreement + 1e-6
+        assert -1.0 - 1e-6 <= r.cohens_kappa <= 1.0 + 1e-6
+
+
+def test_return_levels_grow_with_period(spark, sf_dir):
+    """The 365-day return level must exceed the 30-day level (strictly,
+    when beta > 0), and both must exceed the Gumbel location mu."""
+    from flink_cookbook_spark.pipeline.prepared9 import extreme_value_return_levels
+
+    rows = extreme_value_return_levels(spark, sf_dir).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.event_type, {})[r.return_period_days] = r
+    assert by_key
+    for et, d in by_key.items():
+        assert set(d) == {30, 365}, et
+        if d[30].gumbel_beta and d[30].gumbel_beta > 0:
+            assert d[365].return_level > d[30].return_level
+            assert d[30].return_level > d[30].gumbel_mu
+
+
+def test_wasserstein_dominates_ks(spark, sf_dir):
+    """For binned distributions on a shared axis, W1 (sum of CDF gaps)
+    is >= the single largest gap (KS D) per key; both non-negative."""
+    from flink_cookbook_spark.pipeline.prepared2 import ks_test_drift
+    from flink_cookbook_spark.pipeline.prepared10 import wasserstein_drift
+
+    ks = {r.event_type: r for r in ks_test_drift(spark, sf_dir).collect()}
+    w1 = {r.event_type: r for r in wasserstein_drift(spark, sf_dir).collect()}
+    assert set(ks) == set(w1)
+    for et in ks:
+        assert w1[et].wasserstein_1 >= -1e-6
+        assert w1[et].wasserstein_1 >= ks[et].ks_d - 1e-3, et
+
+
+def test_logistic_training_improves_over_chance(spark, sf_dir):
+    """Five gradient steps from zero must produce a ranking no worse
+    than chance (AUC >= 0.5 within noise is NOT guaranteed in theory,
+    but the activity feature genuinely predicts conversion on this
+    generator, so require AUC > 0.5) and finite coefficients."""
+    import math
+
+    from flink_cookbook_spark.pipeline.prepared10 import logistic_churn_baseline
+
+    [r] = logistic_churn_baseline(spark, sf_dir).collect()
+    assert r.n_users > 0 and 0 < r.n_pos < r.n_users
+    for wv in (r.w_intercept, r.w_log_events, r.w_mean_value):
+        assert math.isfinite(wv)
+    assert r.auc is not None and r.auc > 0.5
+
+
+def test_smd_table_reports_every_feature(spark, sf_dir):
+    """All three features emit; the imbalance flag matches the |smd|
+    rule; parity arms on a uniform user grid should rarely flag, but
+    only the flag-consistency is asserted."""
+    from flink_cookbook_spark.pipeline.prepared10 import (
+        SMD_FLAG, covariate_balance_smd,
+    )
+
+    rows = covariate_balance_smd(spark, sf_dir).collect()
+    assert sorted(r.feature for r in rows) == [
+        "active_days", "mean_value", "n_events",
+    ]
+    for r in rows:
+        if r.smd is not None:
+            assert r.imbalanced == (abs(r.smd) > SMD_FLAG) or abs(
+                abs(r.smd) - SMD_FLAG
+            ) < 2e-4
