@@ -1612,3 +1612,62 @@ def test_smd_table_reports_every_feature(spark, sf_dir):
             assert r.imbalanced == (abs(r.smd) > SMD_FLAG) or abs(
                 abs(r.smd) - SMD_FLAG
             ) < 2e-4
+
+
+def test_assortativity_is_a_valid_correlation(spark, sf_dir):
+    """|r| <= 1 and the directed edge count is exactly twice the
+    undirected one (symmetrized scoring)."""
+    from flink_cookbook_spark.pipeline.prepared11 import graph_assortativity
+
+    [r] = graph_assortativity(spark, sf_dir).collect()
+    assert r.n_nodes > 0 and r.n_edges > 0
+    if r.assortativity is not None:
+        assert abs(r.assortativity) <= 1.0 + 1e-6
+
+
+def test_concurrency_peaks_are_feasible(spark, sf_dir):
+    """Each day's peak is at least 1 and never exceeds the number of
+    users; the sweep's global invariant (total starts == total ends)
+    forces every day's running count to stay non-negative."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared11 import concurrent_sessions_profile
+
+    rows = concurrent_sessions_profile(spark, sf_dir).collect()
+    assert rows
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    for r in rows:
+        assert 1 <= r.peak_concurrent <= n_users
+        assert 0 <= r.peak_hour_utc <= 23
+
+
+def test_burn_rate_matches_share(spark, sf_dir):
+    """burn == (1 - share) / (1 - target) and the alarm flag matches."""
+    from flink_cookbook_spark.pipeline.prepared11 import SLO_TARGET, slo_burn_rate
+
+    rows = slo_burn_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.within_slo_share <= 1 + 2e-6
+        expect = (1.0 - r.within_slo_share) / (1.0 - SLO_TARGET)
+        assert abs(r.burn_rate - expect) < 5e-4
+        assert r.n_within_slo <= r.n_converted
+
+
+def test_nb_fit_recovers_moments(spark, sf_dir):
+    """Where overdispersed, the NB parameters must reproduce the
+    observed moments: mean = r(1-p)/p and var = mean/p."""
+    from flink_cookbook_spark.pipeline.prepared11 import negative_binomial_fit
+
+    rows = negative_binomial_fit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.overdispersed == (r.var_count > r.mean_count) or abs(
+            r.var_count - r.mean_count
+        ) < 2e-4
+        if r.nb_r is not None:
+            assert r.nb_r > 0 and 0 < r.nb_p <= 1 + 1e-6
+            mean_back = r.nb_r * (1 - r.nb_p) / r.nb_p
+            assert abs(mean_back - r.mean_count) < max(2e-3 * r.mean_count, 2e-3)
+            assert abs(r.mean_count / r.nb_p - r.var_count) < max(
+                2e-3 * r.var_count, 2e-3
+            )
