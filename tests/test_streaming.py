@@ -942,3 +942,72 @@ def test_streaming_sprt_equals_batch(spark, sf_dir, tmp_path_factory):
     assert p2.decision == batch.decision
     assert (p2.decided_at_n or None) == batch.decided_at_n
     assert abs(p2.llr - (batch.llr_final - 1e-6)) < 1e-3
+
+
+def test_streaming_rate_limiter_equals_replay(spark, sf_dir, tmp_path_factory):
+    """Per-USER stateful streaming at key cardinality: the token bucket
+    folded across two micro-batch phases with a checkpointed restart
+    must equal a continuous Python replay of the same recurrence for
+    EVERY user."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared9 import RL_BURST, RL_REFILL_S
+    from flink_cookbook_spark.streaming.ratelimit import rate_limiter_streaming
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("double").alias("t")
+    )
+    rows = ev.orderBy("t").collect()
+    split_t = rows[len(rows) // 2].t
+    base = tmp_path_factory.mktemp("rl_stream")
+    data_dir, ckpt, out_dir = (
+        str(base / "req"), str(base / "ckpt"), str(base / "out"),
+    )
+    ev.where(F.col("t") <= split_t).write.parquet(data_dir, mode="overwrite")
+    schema = spark.read.parquet(data_dir).schema
+
+    def run_phase():
+        stream = spark.readStream.schema(schema).parquet(data_dir)
+        q = (
+            rate_limiter_streaming(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_phase()
+    ev.where(F.col("t") > split_t).write.parquet(data_dir, mode="append")
+    run_phase()
+    # latest cumulative row per user
+    from pyspark.sql import Window
+
+    out = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_requests").desc())
+    got = {
+        r.user_id: r
+        for r in out.withColumn("rk", F.row_number().over(w))
+        .where("rk = 1")
+        .collect()
+    }
+    # continuous Python replay (no day slicing)
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append(r.t)
+    assert set(series) == set(got)
+    for uid, ts in series.items():
+        ts.sort()
+        tok, last, thr = RL_BURST - 1.0, ts[0], 0
+        for t in ts[1:]:
+            tok = min(RL_BURST, tok + (t - last) / RL_REFILL_S)
+            if tok >= 1.0:
+                tok -= 1.0
+            else:
+                thr += 1
+            last = t
+        assert got[uid].n_requests == len(ts), uid
+        assert got[uid].n_throttled == thr, uid
+        assert abs(got[uid].tokens_left - tok) < 1e-9, uid
