@@ -1671,3 +1671,74 @@ def test_nb_fit_recovers_moments(spark, sf_dir):
             assert abs(r.mean_count / r.nb_p - r.var_count) < max(
                 2e-3 * r.var_count, 2e-3
             )
+
+
+def test_sliding_kmv_tracks_exact_within_sketch_error(spark, sf_dir):
+    """Every windowed estimate must be positive and within the coarse
+    KMV error envelope (~3/sqrt(K) relative) of the exact distinct,
+    and full windows only (no partial head days)."""
+    from flink_cookbook_spark.pipeline.prepared12 import (
+        KMV_W_K, sliding_kmv_distinct,
+    )
+
+    rows = sliding_kmv_distinct(spark, sf_dir).collect()
+    assert rows
+    envelope = 4.0 / (KMV_W_K ** 0.5)
+    for r in rows:
+        assert r.n_exact > 0 and r.kmv_estimate > 0
+        # exact when the whole window fits in one sketch
+        if r.n_exact <= KMV_W_K:
+            assert abs(r.kmv_estimate - r.n_exact) <= max(
+                1.0, 0.05 * r.n_exact
+            )
+        else:
+            assert r.rel_error <= envelope, (r, envelope)
+
+
+def test_cdc_chunks_are_stable_under_insertion(spark, sf_dir):
+    """The content-defined property: chunk fingerprints of a document
+    far from an edit are unchanged when a token is prepended, while
+    fixed-stride chunking (doc_chunking) would shift every window.
+    Verified directly on the boundary rule in Python."""
+    from flink_cookbook_spark.pipeline.dedup import _portable_hash  # noqa: F401
+    import hashlib
+
+    from flink_cookbook_spark.pipeline.prepared12 import CDC_MOD
+
+    def hash60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def chunks(tokens):
+        out, cur = [], []
+        for i, t in enumerate(tokens):
+            cur.append(t)
+            tri = "|".join(tokens[max(0, i - 2): i + 1])
+            if hash60(tri) % CDC_MOD == 0:
+                out.append(tuple(cur))
+                cur = []
+        if cur:
+            out.append(tuple(cur))
+        return out
+
+    base = [f"w{i * 7 % 23}" for i in range(200)]
+    edited = ["zzz"] + base
+    c1, c2 = set(chunks(base)), set(chunks(edited))
+    # all chunks beyond the first boundary survive the edit
+    shared = c1 & c2
+    assert len(shared) >= len(c1) - 2
+
+
+def test_column_matching_finds_the_fk_pairs(spark, sf_dir):
+    """The known join keys must score as same-domain candidates; a
+    cross-domain pair (orderkey vs partkey) must not."""
+    from flink_cookbook_spark.pipeline.prepared12 import column_similarity_matching
+
+    rows = {
+        (r.col_a, r.col_b): r
+        for r in column_similarity_matching(spark, sf_dir).collect()
+    }
+    assert rows[("orders.o_orderkey", "lineitem.l_orderkey")].same_domain_candidate
+    assert rows[("orders.o_custkey", "customer.c_custkey")].same_domain_candidate
+    assert not rows[("orders.o_orderkey", "lineitem.l_partkey")].same_domain_candidate
+    for r in rows.values():
+        assert -1e-6 <= r.est_jaccard <= 1 + 2e-6
