@@ -3356,6 +3356,7 @@ from flink_cookbook_spark.pipeline.prepared9 import PREPARED_R8_BATCH9
 from flink_cookbook_spark.pipeline.prepared10 import PREPARED_R8_BATCH10
 from flink_cookbook_spark.pipeline.prepared11 import PREPARED_R8_BATCH11
 from flink_cookbook_spark.pipeline.prepared12 import PREPARED_R8_BATCH12
+from flink_cookbook_spark.pipeline.prepared13 import PREPARED_R8_BATCH13
 
 PREPARED_R8 = _prepared()
 for _batch in (
@@ -3370,6 +3371,7 @@ for _batch in (
     PREPARED_R8_BATCH10,
     PREPARED_R8_BATCH11,
     PREPARED_R8_BATCH12,
+    PREPARED_R8_BATCH13,
 ):
     _dups = set(PREPARED_R8) & set(_batch)
     assert not _dups, f"prepared batches collide: {_dups}"

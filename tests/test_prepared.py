@@ -1742,3 +1742,65 @@ def test_column_matching_finds_the_fk_pairs(spark, sf_dir):
     assert not rows[("orders.o_orderkey", "lineitem.l_partkey")].same_domain_candidate
     for r in rows.values():
         assert -1e-6 <= r.est_jaccard <= 1 + 2e-6
+
+
+def test_ucb_replay_accounting_is_consistent(spark, sf_dir):
+    """Plays sum to matched steps; matched <= total steps; per-arm mean
+    rewards are valid probabilities; every arm row emits."""
+    from flink_cookbook_spark.pipeline.prepared13 import (
+        BANDIT_ARMS, ucb_bandit_replay,
+    )
+
+    rows = ucb_bandit_replay(spark, sf_dir).collect()
+    assert sorted(r.arm for r in rows) == sorted(BANDIT_ARMS)
+    total_plays = sum(r.n_plays for r in rows)
+    assert len({r.n_matched for r in rows}) == 1
+    assert total_plays == rows[0].n_matched <= rows[0].n_steps
+    for r in rows:
+        if r.mean_reward is not None:
+            assert -1e-6 <= r.mean_reward <= 1 + 2e-6
+            assert r.ucb_score >= r.mean_reward - 1e-6
+
+
+def test_simpson_check_has_aggregate_row(spark, sf_dir):
+    """The __all__ row exists, never reverses itself, and segment rows
+    cover the observed first-event segments."""
+    from flink_cookbook_spark.pipeline.prepared13 import simpson_reversal_check
+
+    rows = {r.segment: r for r in simpson_reversal_check(spark, sf_dir).collect()}
+    assert "__all__" in rows
+    assert not rows["__all__"].reverses_aggregate
+    for seg, r in rows.items():
+        assert r.n_high_activity + r.n_low_activity > 0
+
+
+def test_dp_table_scales_inversely_with_epsilon(spark, sf_dir):
+    """Laplace scale must be exactly 1/eps and relative error must fall
+    as epsilon rises for every statistic."""
+    from flink_cookbook_spark.pipeline.prepared13 import dp_noise_calibration
+
+    rows = dp_noise_calibration(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        assert abs(r.laplace_scale - 1.0 / r.epsilon) < 0.02
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.epsilon)
+        errs = [r.expected_rel_error for r in rs]
+        assert errs == sorted(errs, reverse=True), et
+
+
+def test_k_anonymity_shares_reconcile(spark, sf_dir):
+    """Class sizes sum to the corpus; the sub-k share equals the direct
+    recomputation; min class size is the true minimum."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared13 import K_ANON, k_anonymity_report
+
+    rows = k_anonymity_report(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.class_size for r in rows) == n_docs
+    sub_k = sum(r.class_size for r in rows if r.class_size < K_ANON)
+    assert abs(rows[0].sub_k_doc_share - sub_k / n_docs) < 2e-6
+    assert rows[0].min_class_size == min(r.class_size for r in rows)
+    for r in rows:
+        assert r.k_anonymous == (r.class_size >= K_ANON)
