@@ -3357,6 +3357,7 @@ from flink_cookbook_spark.pipeline.prepared10 import PREPARED_R8_BATCH10
 from flink_cookbook_spark.pipeline.prepared11 import PREPARED_R8_BATCH11
 from flink_cookbook_spark.pipeline.prepared12 import PREPARED_R8_BATCH12
 from flink_cookbook_spark.pipeline.prepared13 import PREPARED_R8_BATCH13
+from flink_cookbook_spark.pipeline.prepared14 import PREPARED_R8_BATCH14
 
 PREPARED_R8 = _prepared()
 for _batch in (
@@ -3372,6 +3373,7 @@ for _batch in (
     PREPARED_R8_BATCH11,
     PREPARED_R8_BATCH12,
     PREPARED_R8_BATCH13,
+    PREPARED_R8_BATCH14,
 ):
     _dups = set(PREPARED_R8) & set(_batch)
     assert not _dups, f"prepared batches collide: {_dups}"

@@ -1804,3 +1804,76 @@ def test_k_anonymity_shares_reconcile(spark, sf_dir):
     assert rows[0].min_class_size == min(r.class_size for r in rows)
     for r in rows:
         assert r.k_anonymous == (r.class_size >= K_ANON)
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """Efficiency: the Shapley values must sum to v(full coalition) -
+    v(empty) computed directly from the coalition table; every channel
+    row must emit."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline.prepared14 import (
+        SHAPLEY_CHANNELS, shapley_attribution,
+    )
+    from pyspark.sql import functions as F
+
+    rows = shapley_attribution(spark, sf_dir).collect()
+    assert sorted(r.channel for r in rows) == sorted(SHAPLEY_CHANNELS)
+    # recompute v(full) and v(empty) directly
+    ev = load(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    first_p = ev.where("event_type = 'purchase'").groupBy("user_id").agg(
+        F.min(sec).alias("t_conv")
+    )
+    touches = ev.join(first_p, "user_id", "left").where(
+        F.col("event_type").isin(*SHAPLEY_CHANNELS)
+        & (F.col("t_conv").isNull() | (sec < F.col("t_conv")))
+    )
+    per_user = touches.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("event_type") == ch, 1 << i).otherwise(0)).alias(f"b{i}")
+            for i, ch in enumerate(SHAPLEY_CHANNELS)
+        ],
+        F.max(F.col("t_conv").isNotNull().cast("int")).alias("conv"),
+    )
+    mask = sum(F.col(f"b{i}") for i in range(len(SHAPLEY_CHANNELS)))
+    co = {
+        r.mask: r.v
+        for r in per_user.groupBy(mask.alias("mask"))
+        .agg(F.avg("conv").alias("v"))
+        .collect()
+    }
+    full = (1 << len(SHAPLEY_CHANNELS)) - 1
+    expected_total = co.get(full, 0.0) - co.get(0, 0.0)
+    got_total = sum(r.shapley_value for r in rows)
+    assert abs(got_total - expected_total) < 1e-4
+
+
+def test_burrows_delta_is_a_metricish_distance(spark, sf_dir):
+    """Delta >= 0 for all pairs; all source pairs present exactly once;
+    symmetric by construction (only a < b emitted)."""
+    from flink_cookbook_spark.pipeline.prepared14 import burrows_delta
+
+    rows = burrows_delta(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r.burrows_delta >= -1e-6
+        assert r.src_a < r.src_b
+        assert (r.src_a, r.src_b) not in seen
+        seen.add((r.src_a, r.src_b))
+    n_sources = len({s for pair in seen for s in pair})
+    assert len(seen) == n_sources * (n_sources - 1) // 2
+
+
+def test_laspeyres_base_year_is_unity(spark, sf_dir):
+    """The base year's own index is exactly 1 and every index is
+    positive with a non-trivial common basket."""
+    from flink_cookbook_spark.pipeline.prepared14 import (
+        LASPEYRES_BASE_YEAR, laspeyres_price_index,
+    )
+
+    rows = {r.ship_year: r for r in laspeyres_price_index(spark, sf_dir).collect()}
+    assert LASPEYRES_BASE_YEAR in rows
+    assert abs(rows[LASPEYRES_BASE_YEAR].laspeyres_index - 1.0) < 2e-6
+    for r in rows.values():
+        assert r.laspeyres_index > 0
+        assert r.n_common_parts > 0
