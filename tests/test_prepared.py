@@ -1877,3 +1877,58 @@ def test_laspeyres_base_year_is_unity(spark, sf_dir):
     for r in rows.values():
         assert r.laspeyres_index > 0
         assert r.n_common_parts > 0
+
+
+def test_hurst_is_in_unit_interval(spark, sf_dir):
+    """H estimates land in (0, 1) for any real series and the regime
+    label matches the estimate's band."""
+    from flink_cookbook_spark.pipeline.prepared15 import hurst_exponent
+
+    rows = hurst_exponent(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.hurst_h is not None:
+            assert -0.2 < r.hurst_h < 1.2
+            if r.hurst_h > 0.55:
+                assert r.regime == "persistent"
+            elif r.hurst_h < 0.45:
+                assert r.regime == "mean_reverting"
+            else:
+                assert r.regime == "memoryless"
+
+
+def test_western_electric_counts_are_bounded(spark, sf_dir):
+    """Violation counts cannot exceed the hour count and the in-control
+    share reconciles with them."""
+    from flink_cookbook_spark.pipeline.prepared15 import western_electric_rules
+
+    rows = western_electric_rules(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.rule1_beyond_3sigma <= r.n_hours
+        assert 0 <= r.rule4_nine_one_side <= r.n_hours
+        assert 0 <= r.in_control_share <= 1 + 2e-6
+        # share >= 1 - (r1 + r4)/n (violations may overlap)
+        assert r.in_control_share >= 1 - (
+            r.rule1_beyond_3sigma + r.rule4_nine_one_side
+        ) / r.n_hours - 1e-4
+
+
+def test_var_cvar_ordering(spark, sf_dir):
+    """CVaR <= VaR always (the tail mean cannot beat its own
+    threshold) and the tail count matches the level roughly."""
+    from flink_cookbook_spark.pipeline.prepared15 import value_at_risk
+
+    [r] = value_at_risk(spark, sf_dir).collect()
+    assert r.cvar_daily_change <= r.var_daily_change + 1e-6
+    assert 1 <= r.n_tail <= max(1, int(0.10 * r.n_days) + 1)
+
+
+def test_kendall_tau_bounds_and_reconciliation(spark, sf_dir):
+    """|tau| <= 1 and concordant + discordant <= n_pairs (ties absorb
+    the remainder)."""
+    from flink_cookbook_spark.pipeline.prepared15 import kendall_tau_daily
+
+    [r] = kendall_tau_daily(spark, sf_dir).collect()
+    assert abs(r.kendall_tau) <= 1 + 2e-6
+    assert r.concordant + r.discordant <= r.n_pairs
