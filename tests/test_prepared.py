@@ -156,15 +156,20 @@ def test_contrastive_pairs_are_valid(spark, sf_dir):
 
 
 def test_rate_profile_moment_ordering(spark, sf_dir):
-    """mean <= p95 <= peak and the peak-to-mean ratio >= 1 per type."""
+    """p95 <= peak, mean <= peak, peak/mean >= 1, and mean >= 1 per
+    observed minute. NOTE mean <= p95 is NOT asserted: it is not a
+    theorem — a near-constant rate with a thin upper tail (almost all
+    minutes at 1 event, a few at 2) puts the mean strictly above p95,
+    which the sf0.01 fixture legitimately produces."""
     from flink_cookbook_spark.pipeline.prepared import event_rate_profile
 
     rows = event_rate_profile(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r.mean_per_min <= r.p95_per_min + 1e-6
+        assert r.mean_per_min <= r.peak_per_min + 1e-6
         assert r.p95_per_min <= r.peak_per_min + 1e-6
         assert r.peak_to_mean >= 1.0 - 1e-6
+        assert r.mean_per_min >= 1.0 - 1e-6
         assert r.n_events >= r.n_minutes
 
 
