@@ -126,3 +126,46 @@ def test_sprt_accepts_h1_when_everyone_converts(spark, tmp_path_factory):
     step = math.log(SPRT_P1 / SPRT_P0)
     assert r.decision == "accept_h1"
     assert r.decided_at_n == math.ceil(upper / step)
+
+
+def test_shapley_axioms_on_constructed_corpus(spark, tmp_path_factory):
+    """Construct a corpus where conversion depends ONLY on having seen
+    'click' and check the axioms in the form the zero-fill convention
+    (unobserved coalition -> v=0) actually guarantees: symmetry for
+    identically-absent channels, click as the strict maximum, and
+    efficiency against the zero-filled lattice."""
+    from flink_cookbook_spark.pipeline.prepared14 import shapley_attribution
+
+    base = str(tmp_path_factory.mktemp("edge_fx4") / "shap")
+    rows = []
+    eid = 0
+    # 40 users: half see {click, view}, half see {view} only; exactly
+    # the click-seers convert (purchase value 95 AFTER the touches)
+    for u in range(40):
+        t0 = MONTH_START + u * 1000
+        rows.append((eid, t0, u, "view", 10.0)); eid += 1
+        if u % 2 == 0:
+            rows.append((eid, t0 + 10, u, "click", 10.0)); eid += 1
+            rows.append((eid, t0 + 100, u, "purchase", 95.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, tsec long, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.timestamp_seconds("tsec").alias("ts"),
+        "user_id", "event_type", "value", F.lit("{}").alias("props"),
+    )
+    df.write.parquet(f"{base}/events.parquet")
+    got = {r.channel: r for r in shapley_attribution(spark, base).collect()}
+    # Under the data-driven zero-fill convention (unobserved coalition
+    # -> v = 0), exact axioms take this form on this corpus:
+    # symmetry — error and signup interact identically (never seen),
+    # so their values are EQUAL; click is the only channel whose
+    # presence raises any observed coalition's rate, so it is the
+    # strict maximum; efficiency — the values sum to
+    # v(full) - v(empty) over the zero-filled lattice, both 0 here.
+    assert abs(got["error"].shapley_value - got["signup"].shapley_value) < 2e-6
+    assert got["click"].shapley_value == max(
+        r.shapley_value for r in got.values()
+    )
+    assert got["click"].shapley_value > 0
+    total = sum(r.shapley_value for r in got.values())
+    assert abs(total) < 1e-4  # v(full coalition) is unobserved -> 0
