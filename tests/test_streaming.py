@@ -1011,3 +1011,45 @@ def test_streaming_rate_limiter_equals_replay(spark, sf_dir, tmp_path_factory):
         assert got[uid].n_requests == len(ts), uid
         assert got[uid].n_throttled == thr, uid
         assert abs(got[uid].tokens_left - tok) < 1e-9, uid
+
+
+def test_streaming_drift_monitor_equals_batch(spark, sf_dir, events_stream_dir, tmp_path_factory):
+    """The live drift monitor's per-window KS gaps must equal the batch
+    computation of the same windowed histograms against the same
+    reference — streaming aggregation + foreachBatch parity."""
+    from flink_cookbook_spark.streaming.driftmon import (
+        drift_gap, drift_monitor, reference_histogram, windowed_histogram,
+    )
+
+    base = tmp_path_factory.mktemp("driftmon")
+    out_dir, ckpt = str(base / "out"), str(base / "ckpt")
+    ref = reference_histogram(spark, sf_dir)
+    stream = _read_stream(spark, events_stream_dir)
+    q = drift_monitor(stream, ref, out_dir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.w_start, r.event_type): r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got
+    # batch twin: identical logic over the batch-read events
+    batch_hist = (
+        windowed_histogram(spark.read.parquet(events_stream_dir))
+    )
+    expected = {
+        (r.w_start, r.event_type): r
+        for r in drift_gap(batch_hist, ref).collect()
+    }
+    # append-mode watermark semantics: the FINAL window is still open
+    # when the stream drains (nothing later ever advances the watermark
+    # past its end), so it legitimately never emits — every closed
+    # window must match the batch twin exactly
+    last_w = max(w for w, _ in expected)
+    closed = {k for k in expected if k[0] < last_w}
+    assert set(got) == closed
+    for k, r in got.items():
+        e = expected[k]
+        assert r.n_events == e.n_events, k
+        assert abs(r.ks_d - e.ks_d) < 1e-9, k
+        assert r.drifted == e.drifted, k
