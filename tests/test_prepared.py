@@ -1937,3 +1937,36 @@ def test_kendall_tau_bounds_and_reconciliation(spark, sf_dir):
     [r] = kendall_tau_daily(spark, sf_dir).collect()
     assert abs(r.kendall_tau) <= 1 + 2e-6
     assert r.concordant + r.discordant <= r.n_pairs
+
+
+def test_conformal_coverage_is_near_target(spark, sf_dir):
+    """The split-conformal guarantee: empirical coverage should land
+    near 1 - alpha (binomial noise bounds at the eval size) and never
+    collapse; q_alpha must be a calibration score (non-negative)."""
+    from flink_cookbook_spark.pipeline.prepared16 import (
+        CONFORMAL_ALPHA, conformal_prediction_interval,
+    )
+
+    rows = conformal_prediction_interval(spark, sf_dir).collect()
+    assert rows
+    target = 1.0 - CONFORMAL_ALPHA
+    for r in rows:
+        assert r.q_alpha >= 0
+        assert r.n_cal > 0 and r.n_eval > 0
+        # 4 sigma binomial band around the target (exchangeability is
+        # imperfect on a seasonal series, so the band is generous)
+        sd = (target * (1 - target) / r.n_eval) ** 0.5
+        assert abs(r.empirical_coverage - target) <= 4 * sd + 0.08, r
+
+
+def test_chao1_never_below_observed(spark, sf_dir):
+    """The richness estimate is >= the observed vocabulary and the
+    unseen share is in [0, 1)."""
+    from flink_cookbook_spark.pipeline.prepared16 import chao1_vocabulary_richness
+
+    rows = chao1_vocabulary_richness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.chao1_estimate >= r.v_obs - 1e-6
+        assert 0 <= r.unseen_share < 1
+        assert r.f1 + r.f2 <= r.v_obs
