@@ -1970,3 +1970,16 @@ def test_chao1_never_below_observed(spark, sf_dir):
         assert r.chao1_estimate >= r.v_obs - 1e-6
         assert 0 <= r.unseen_share < 1
         assert r.f1 + r.f2 <= r.v_obs
+
+
+def test_ess_never_exceeds_n(spark, sf_dir):
+    """With the positive-rho convention, n_eff <= n always and the
+    ratio is in (0, 1]."""
+    from flink_cookbook_spark.pipeline.prepared17 import effective_sample_size
+
+    rows = effective_sample_size(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_effective <= r.n_obs + 1e-6
+        assert 0 < r.ess_ratio <= 1 + 2e-6
+        assert r.rho_sum_pos >= -1e-6
