@@ -3361,6 +3361,7 @@ from flink_cookbook_spark.pipeline.prepared14 import PREPARED_R8_BATCH14
 from flink_cookbook_spark.pipeline.prepared15 import PREPARED_R8_BATCH15
 from flink_cookbook_spark.pipeline.prepared16 import PREPARED_R8_BATCH16
 from flink_cookbook_spark.pipeline.prepared17 import PREPARED_R8_BATCH17
+from flink_cookbook_spark.pipeline.prepared18 import PREPARED_R8_BATCH18
 
 PREPARED_R8 = _prepared()
 for _batch in (
@@ -3380,6 +3381,7 @@ for _batch in (
     PREPARED_R8_BATCH15,
     PREPARED_R8_BATCH16,
     PREPARED_R8_BATCH17,
+    PREPARED_R8_BATCH18,
 ):
     _dups = set(PREPARED_R8) & set(_batch)
     assert not _dups, f"prepared batches collide: {_dups}"
