@@ -1053,3 +1053,84 @@ def test_streaming_drift_monitor_equals_batch(spark, sf_dir, events_stream_dir, 
         assert r.n_events == e.n_events, k
         assert abs(r.ks_d - e.ks_d) < 1e-9, k
         assert r.drifted == e.drifted, k
+
+
+def test_streaming_heavy_hitters_equals_replay(spark, sf_dir, tmp_path_factory):
+    """Sharded Space-Saving folded across two micro-batch phases with a
+    checkpointed restart must equal one continuous Python pass of the
+    SAME shared fold — and the classic sketch guarantees must hold
+    against exact counts."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.streaming.heavyhitters import (
+        HH_CAPACITY, HH_SHARDS, heavy_hitters_streaming, space_saving_fold,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("item"),
+        F.col("ts").cast("double").alias("t"),
+        "event_id",
+    )
+    rows = ev.orderBy("t", "event_id").collect()
+    split_t = rows[len(rows) // 2].t
+    base = tmp_path_factory.mktemp("hh_stream")
+    data_dir, ckpt, out_dir = (
+        str(base / "items"), str(base / "ckpt"), str(base / "out"),
+    )
+    ev.where(F.col("t") <= split_t).write.parquet(data_dir, mode="overwrite")
+    schema = spark.read.parquet(data_dir).schema
+
+    def run_phase():
+        stream = spark.readStream.schema(schema).parquet(data_dir)
+        q = (
+            heavy_hitters_streaming(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_phase()
+    ev.where(F.col("t") > split_t).write.parquet(data_dir, mode="append")
+    run_phase()
+
+    from pyspark.sql import Window
+
+    out = spark.read.parquet(out_dir)
+    w = Window.partitionBy("shard").orderBy(F.col("n_processed").desc())
+    final = (
+        out.withColumn("rk", F.dense_rank().over(w))
+        .where("rk = 1")
+        .collect()
+    )
+    got: dict = {}
+    for r in final:
+        got.setdefault(r.shard, {})[r.item] = (r.count_est, r.err_bound)
+        assert r.n_processed == sum(
+            1 for x in rows if x.item % HH_SHARDS == r.shard
+        )
+
+    # continuous replay through the SAME shared fold
+    per_shard: dict = {}
+    for r in rows:
+        per_shard.setdefault(r.item % HH_SHARDS, []).append(r.item)
+    assert set(got) == set(per_shard)
+    truth: dict = {}
+    for r in rows:
+        truth[r.item] = truth.get(r.item, 0) + 1
+    for shard, items in per_shard.items():
+        expected = space_saving_fold({}, items)
+        assert got[shard] == expected, shard
+        assert len(got[shard]) <= HH_CAPACITY
+        n_shard = len(items)
+        for it, (c, e) in got[shard].items():
+            # over-estimate only, certified error, capacity-bounded error
+            assert c >= truth[it], (shard, it)
+            assert c - e <= truth[it], (shard, it)
+            assert e <= n_shard // HH_CAPACITY + 1, (shard, it)
+        # eviction must actually have exercised at fixture scale
+        if len({i for i in items}) > HH_CAPACITY:
+            assert any(e > 0 for _, e in got[shard].values()), shard
