@@ -24,11 +24,13 @@ y_km = (lat - 40) * 111.195 use fixed literals, so both engines floor
 the same doubles.
 
 Completeness of the 3x3 probe is a theorem, not a hope: the cell edge
-is 30 km while the bucketing projection distorts true distances by at
-most 85.18/82.0 = 1.039x (km-per-degree-longitude ranges over
-[78.63, 85.18] across lat 40..45), so any pair within 25 km true
-distance projects to <= 26.0 km < 30 km per axis and lands within one
-cell in each direction.  The DuckDB oracle is the UNBUCKETED brute
+is 30 km and the binding distortion for completeness is the projected
+OVERESTIMATE of a true distance — worst at high latitude, where a
+degree of longitude is only 78.63 km but the projection charges 82.0:
+82.0/78.63 = 1.043x (km-per-degree-longitude ranges over
+[78.63, 85.18] across lat 40..45).  Any pair within 25 km true
+distance therefore projects to <= 25 * 82.0/78.63 = 26.07 km < 30 km
+per axis and lands within one cell in each direction.  The DuckDB oracle is the UNBUCKETED brute
 force, so every driver run re-proves no-lost-pairs end to end.
 """
 
@@ -46,12 +48,16 @@ GEO_SPAN_DEG = 5.0
 GEO_COIN_MOD = 1_000_000
 #: km per degree latitude (spherical earth), and the FIXED bucketing
 #: constant for km per degree longitude inside the box (true value
-#: ranges over [78.63, 85.18] for lat 40..45; 82.0 keeps the projection
-#: distortion under 1.039x — see module docstring).
+#: ranges over [78.63, 85.18] for lat 40..45; the completeness-binding
+#: overestimate is 82.0/78.63 = 1.043x — see module docstring).
 GEO_LAT_KM = 111.195
 GEO_LON_KM = 82.0
-#: grid cell edge and the radius-join threshold.  CELL > RADIUS * 1.039
-#: is the completeness margin for 3x3 probing.
+#: true km per degree longitude at the box's high-latitude edge (lat
+#: 45) — the denominator of the completeness margin.
+GEO_LON_KM_MIN = 78.63
+#: grid cell edge and the radius-join threshold.  CELL > RADIUS *
+#: (GEO_LON_KM / GEO_LON_KM_MIN) = RADIUS * 1.043 is the completeness
+#: margin for 3x3 probing.
 GEO_CELL_KM = 30.0
 GEO_RADIUS_KM = 25.0
 GEO_EARTH_R = 6371.0088

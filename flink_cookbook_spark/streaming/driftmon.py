@@ -83,34 +83,37 @@ def windowed_histogram(stream: DataFrame) -> DataFrame:
 
 def drift_gap(hist: DataFrame, ref: DataFrame) -> DataFrame:
     """KS-style sup-gap between each (window, type) histogram and the
-    reference: full-outer align on bin (zero-filled), cumulate both
-    CDFs over the union bin axis, take the max |gap|. Pure batch
-    DataFrame logic — reused identically by the foreachBatch monitor
-    and the batch parity twin."""
+    reference: per (window, type) group PRESENT in ``hist``, align the
+    window histogram against the COMPLETE reference bin axis for that
+    type (zero-filled on both sides), cumulate both CDFs over the union
+    axis, take the max |gap|. Pure batch DataFrame logic — reused
+    identically by the foreachBatch monitor and the batch parity twin.
+
+    The axis is built as (distinct (w_start, event_type) in the batch)
+    x (that type's full reference bin table), full-outer-joined with
+    the window histogram — NOT by fanning globally-unmatched reference
+    bins across windows. The latter makes a window's reference CDF
+    depend on which OTHER windows share its micro-batch (a bin matched
+    by any window is never fanned to windows lacking it), violating the
+    streaming==batch contract, and emits n_events=0 / ks_d~1 rows for
+    (window, type) groups with no data at all. A (window, type) group
+    only exists here if the window actually observed that type."""
     from pyspark.sql import Window as W
 
-    joined = hist.join(
-        ref.select("event_type", "bin", "ref_n"),
-        ["event_type", "bin"],
-        "full_outer",
+    pairs = hist.select("w_start", "event_type").distinct()
+    ref_axis = pairs.join(
+        F.broadcast(ref.select("event_type", "bin", "ref_n")),
+        "event_type",
+        "inner",
+    )
+    aligned = ref_axis.join(
+        hist, ["w_start", "event_type", "bin"], "full_outer"
     ).select(
+        "w_start",
         "event_type",
         "bin",
-        F.coalesce("w_start", F.lit(None)).alias("w_start"),
         F.coalesce("n", F.lit(0)).alias("n"),
         F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
-    )
-    # a bin absent from THIS window but present in the reference must
-    # still advance the reference CDF inside the window's axis: fan the
-    # reference-only rows into every window present in the batch
-    windows = hist.select("w_start").distinct()
-    ref_only = (
-        joined.where(F.col("w_start").isNull())
-        .drop("w_start")
-        .crossJoin(F.broadcast(windows))
-    )
-    aligned = joined.where(F.col("w_start").isNotNull()).unionByName(
-        ref_only.select("event_type", "bin", "w_start", "n", "ref_n")
     )
     wc = (
         W.partitionBy("w_start", "event_type")

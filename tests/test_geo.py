@@ -11,6 +11,7 @@ from flink_cookbook_spark.pipeline.prepared18 import (
     GEO_CELL_KM,
     GEO_LAT_KM,
     GEO_LON_KM,
+    GEO_LON_KM_MIN,
     GEO_RADIUS_KM,
     _geo_located,
     _haversine_km,
@@ -23,8 +24,9 @@ from flink_cookbook_spark.pipeline.prepared18 import (
 def test_probe_covers_every_true_pair_in_spark(spark, sf_dir):
     """In-engine brute force (cross join, no bucketing) == the bucketed
     radius join.  The 3x3 margin theorem (module docstring), executed:
-    CELL > RADIUS * max-projection-distortion, so nothing is lost."""
-    assert GEO_CELL_KM > GEO_RADIUS_KM * (85.18 / GEO_LON_KM)
+    CELL > RADIUS * max-projected-overestimate (GEO_LON_KM/78.63 at lat
+    45 — the direction that binds completeness), so nothing is lost."""
+    assert GEO_CELL_KM > GEO_RADIUS_KM * (GEO_LON_KM / GEO_LON_KM_MIN)
     cust = _geo_located(load(spark, sf_dir, "customer"), "c_custkey", "c", "ck")
     supp = _geo_located(load(spark, sf_dir, "supplier"), "s_suppkey", "s", "sk")
     brute = (

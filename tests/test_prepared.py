@@ -1,6 +1,12 @@
-"""Round-8-prepared operators, held to the driver-identical comparison
-contract NOW (see flink_cookbook_spark/pipeline/prepared.py for why
-their register() calls are deferred one round)."""
+"""Semantic property tests for the round-7-prepared operator cohort.
+
+The cohort has been REGISTERED since round 8 (registry._ensure_loaded
+calls prepared.activate()), so the driver-identical oracle comparison
+for every pair now runs through tests/test_oracle.py like any other
+registered query — duplicating it here would double the suite cost for
+103 queries. This module keeps the ground-truth property tests plus a
+registration-integrity check (every prepared pair live, with the SAME
+oracle string it was verified under)."""
 
 from __future__ import annotations
 
@@ -17,15 +23,23 @@ def con(sf_dir):
     c.close()
 
 
-@pytest.mark.parametrize("name", sorted(PREPARED_R8))
-def test_prepared_matches_oracle(name, spark, sf_dir, con):
-    fn, oracle = PREPARED_R8[name]
-    df = fn(spark, sf_dir)
-    problems = compare(df, con, oracle, name)
-    assert not problems, "\n".join(problems)
-    # the vacuous-green lint, applied early: a prepared query must have
-    # a non-empty answer at the fixture SF or it cannot register
-    assert df.count() > 0, f"{name}: empty at fixture SF — vacuous oracle"
+def test_prepared_cohort_registered_verbatim():
+    """Every prepared pair must be live in the registry under its own
+    name with the exact oracle string it was harness-verified with —
+    a silent oracle drift between the prepared table and the registry
+    would invalidate the round-7 verification."""
+    from flink_cookbook_spark.registry import all_specs
+
+    specs = all_specs()
+    missing = set(PREPARED_R8) - set(specs)
+    assert not missing, f"prepared pairs not registered: {sorted(missing)}"
+    drift = [
+        name
+        for name, (fn, oracle) in PREPARED_R8.items()
+        if specs[name].oracle != oracle or specs[name].fn is not fn
+    ]
+    assert not drift, f"registered form differs from verified form: {drift}"
+    assert all("prepared-r8" in specs[n].tags for n in PREPARED_R8)
 
 
 def test_asof_tolerance_actually_filters(spark, sf_dir):
@@ -83,19 +97,12 @@ def test_pq_code_compresses_and_reconstructs(spark, sf_dir):
     assert any(r.mse > 0 for r in rows)
 
 
-def test_prepared_names_do_not_collide_with_registry():
-    """A prepared name colliding with a registered query would make the
-    round-8 activation a duplicate-registration error; also hold
-    prepared oracles to the HUGEINT lint early (same DESCRIBE check the
-    registry enforces)."""
-    import duckdb
-
-    from flink_cookbook_spark.registry import all_specs
+def test_prepared_oracles_pass_hugeint_lint():
+    """Hold prepared oracles to the HUGEINT lint (same DESCRIBE check
+    the registry-wide lint enforces — kept here too so a future batch
+    added to PREPARED_R8 fails fast even before registration)."""
     from tests.conftest import SF_DIR
 
-    registered = set(all_specs())
-    clashes = registered & set(PREPARED_R8)
-    assert not clashes, clashes
     con = duckdb_connection(SF_DIR)
     offenders = []
     for name, (_, oracle) in sorted(PREPARED_R8.items()):
@@ -892,12 +899,12 @@ def test_ensemble_consensus_ordering(spark, sf_dir):
     assert any(r.n_flag_z + r.n_flag_mad + r.n_flag_iqr > 0 for r in rows)
 
 
-def test_round8_activation_dry_run(sf_dir):
-    """Full-contract dry run of the round-8 flip in a SUBPROCESS (the
-    live registry must stay un-polluted for this round's driver):
-    activate() must register every prepared pair without name/oracle
-    errors, the driver contract must then expose them all, and one
-    newly-activated query must run end-to-end through queries()."""
+def test_round8_activation_live_and_idempotent(sf_dir):
+    """The round-8 flip is live: a cold process exposes every prepared
+    pair through the driver contract (queries()/oracle_sql()), a second
+    explicit activate() is a no-op (idempotent — _ensure_loaded calls
+    it on every invocation), and a newly-activated query runs
+    end-to-end through queries()."""
     import json
     import subprocess
     import sys
@@ -905,15 +912,15 @@ def test_round8_activation_dry_run(sf_dir):
     code = f"""
 import json, sys
 sys.path.insert(0, "/root/repo")
-from flink_cookbook_spark.pipeline.prepared import PREPARED_R8, activate
-from flink_cookbook_spark.registry import all_specs
-before = len(all_specs())
-activate()
-after = len(all_specs())
 import __spark_entry__ as e
 qs, os_ = e.queries(), e.oracle_sql()
+from flink_cookbook_spark.pipeline.prepared import PREPARED_R8, activate
 assert set(PREPARED_R8) <= set(qs), "prepared queries missing from queries()"
 assert set(PREPARED_R8) <= set(os_), "prepared oracles missing from oracle_sql()"
+from flink_cookbook_spark.registry import all_specs
+before = len(all_specs())
+activate()  # explicit second call must be a no-op
+after = len(all_specs())
 from flink_cookbook_spark.session import get_spark
 spark = get_spark()
 n = qs["kaplan_meier_survival"](spark, {sf_dir!r}).count()
@@ -925,7 +932,7 @@ print(json.dumps({{"before": before, "after": after, "rows": n}}))
     )
     assert out.returncode == 0, out.stderr[-2000:]
     res = json.loads(out.stdout.strip().splitlines()[-1])
-    assert res["after"] == res["before"] + len(PREPARED_R8)
+    assert res["after"] == res["before"]
     assert res["rows"] > 0
 
 

@@ -1055,6 +1055,43 @@ def test_streaming_drift_monitor_equals_batch(spark, sf_dir, events_stream_dir, 
         assert r.drifted == e.drifted, k
 
 
+def test_drift_gap_batch_composition_invariant(spark):
+    """A window's KS gap must not depend on which OTHER windows share
+    its micro-batch: a reference bin matched by any window must still
+    advance the reference CDF of windows that lack it, and (window,
+    type) groups with zero events must not be fabricated from
+    reference-only types."""
+    from flink_cookbook_spark.streaming.driftmon import drift_gap
+
+    ref = spark.createDataFrame(
+        [("a", 0, 5), ("a", 1, 5), ("c", 0, 7)],
+        "event_type string, bin long, ref_n long",
+    )
+    # window 1 observed only bin 0, window 2 only bin 1: in a combined
+    # batch the old full-outer construction matched both bins globally
+    # and fanned NOTHING, truncating each window's reference axis
+    hist = spark.createDataFrame(
+        [(100, "a", 0, 10), (200, "a", 1, 10)],
+        "w_start long, event_type string, bin long, n long",
+    )
+    combined = {
+        (r.w_start, r.event_type): r for r in drift_gap(hist, ref).collect()
+    }
+    # no fabricated rows for reference-only type "c"
+    assert set(combined) == {(100, "a"), (200, "a")}
+    # window 1: cdf_w=[1,1] vs cdf_r=[.5,1] over the union axis -> D=.5
+    assert abs(combined[(100, "a")].ks_d - 0.5) < 1e-4
+    assert abs(combined[(200, "a")].ks_d - 0.5) < 1e-4
+    for w_start in (100, 200):
+        alone = drift_gap(
+            hist.where(F.col("w_start") == w_start), ref
+        ).collect()
+        assert len(alone) == 1
+        r = alone[0]
+        assert abs(r.ks_d - combined[(w_start, "a")].ks_d) < 1e-12
+        assert r.n_events == combined[(w_start, "a")].n_events
+
+
 def test_streaming_heavy_hitters_equals_replay(spark, sf_dir, tmp_path_factory):
     """Sharded Space-Saving folded across two micro-batch phases with a
     checkpointed restart must equal one continuous Python pass of the
