@@ -44,6 +44,9 @@ def main() -> None:
     from flink_cookbook_spark.registry import all_specs
     from flink_cookbook_spark.session import get_spark
 
+    if "--tier2" in sys.argv:
+        sys.exit(_tier2())
+
     spark = get_spark(app_name="fcs-bench")
     specs = all_specs()
     names = [n for n in HEADLINE if n in specs]
@@ -111,14 +114,19 @@ def _check(out: dict, budget_path: str) -> int:
         return 0
     # normalize out host-speed noise: this container's wall-clock swings
     # ~±25% run to run (shared host), which would flag every query on a
-    # slow run. Scale measured times by the common-set total ratio first —
-    # a GLOBAL slowdown then cancels, while a single query regressing
-    # relative to its peers still trips the gate.
+    # slow run. Scale measured times by the MEDIAN per-query
+    # budget/measured ratio over the common set — a GLOBAL slowdown then
+    # cancels, while a single query regressing relative to its peers
+    # still trips the gate. Median, not total ratio (round-8 verdict):
+    # one heavy outlier regressing would otherwise drag the whole
+    # normalization factor with it and partially mask itself.
+    import statistics
+
     common = [n for n in out["queries"] if n in ref["budgets"]]
-    speed = (
-        sum(ref["budgets"][n] for n in common) / sum(out["queries"][n] for n in common)
-        if common else 1.0
-    )
+    ratios = [
+        ref["budgets"][n] / out["queries"][n] for n in common if out["queries"][n] > 0
+    ]
+    speed = statistics.median(ratios) if ratios else 1.0
     flagged = []
     for name, sec in sorted(out["queries"].items()):
         budget = ref["budgets"].get(name)
@@ -133,6 +141,79 @@ def _check(out: dict, budget_path: str) -> int:
         print(f"--check: {len(new)} unbudgeted queries (run --write-budgets): {new}", file=sys.stderr)
     if not flagged:
         print("--check: all queries within budget", file=sys.stderr)
+    return 1 if flagged else 0
+
+
+#: tier-2 drift bar: one timed run per query (no min-of-2), so the
+#: noise floor is higher than the headline tier's — the gate exists to
+#: catch a QUADRATIC blowup hiding off the headline bench, not 30%
+#: drifts (the headline tier owns those).
+TIER2_DRIFT = 2.0
+
+
+def _tier2() -> int:
+    """Coverage tier (round-8 verdict #5): time EVERY registered query
+    once at $SPARK_GRAFT_SF_DIR so no operator's cost is invisible to
+    the bench. Writes ``perf_tier2.json``; with ``--check``, compares
+    against the committed snapshot (median-speed-normalized, generous
+    2x bar) instead of writing."""
+    from flink_cookbook_spark.registry import all_specs
+    from flink_cookbook_spark.session import get_spark
+
+    spark = get_spark(app_name="fcs-bench-tier2")
+    specs = all_specs()
+    spark.range(1).count()
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        t0 = time.perf_counter()
+        spec.fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    from flink_cookbook_spark.pipeline._cache import clear
+
+    clear()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "tier2_all_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    print(json.dumps(out))
+    path = os.path.join(REPO_ROOT, "perf_tier2.json")
+    if "--check" not in sys.argv:
+        with open(path, "w") as f:
+            json.dump({"sf": out["sf"], "budgets": timings}, f, indent=1, sort_keys=True)
+        print(f"wrote {path}", file=sys.stderr)
+        return 0
+    if not os.path.exists(path):
+        print("--tier2 --check: no perf_tier2.json; run --tier2 first", file=sys.stderr)
+        return 1
+    import statistics
+
+    with open(path) as f:
+        ref = json.load(f)
+    if ref.get("sf") != out["sf"]:
+        print(f"--tier2 --check: snapshot is sf={ref.get('sf')}, run is sf={out['sf']}; skipping", file=sys.stderr)
+        return 0
+    common = [n for n in timings if n in ref["budgets"] and timings[n] > 0]
+    ratios = [ref["budgets"][n] / timings[n] for n in common]
+    speed = statistics.median(ratios) if ratios else 1.0
+    flagged = []
+    for name, sec in sorted(timings.items()):
+        budget = ref["budgets"].get(name)
+        if budget is not None and sec * speed > max(budget, 0.5) * TIER2_DRIFT:
+            flagged.append((name, sec * speed, budget))
+    for name, sec, budget in flagged:
+        print(f"--tier2 DRIFT {name}: {sec:.3f}s (normalized x{speed:.2f}) "
+              f"vs snapshot {budget:.3f}s ({sec / budget:.2f}x)", file=sys.stderr)
+    new = [n for n in timings if n not in ref["budgets"]]
+    if new:
+        print(f"--tier2 --check: {len(new)} unsnapshotted queries: {sorted(new)}", file=sys.stderr)
+    if not flagged:
+        print("--tier2 --check: all queries within the 2x coverage bar", file=sys.stderr)
     return 1 if flagged else 0
 
 

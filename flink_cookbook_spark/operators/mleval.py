@@ -1,8 +1,9 @@
 """Model-evaluation operators: calibration, threshold sweeps, CUPED.
 
-The evaluation side of the engine's model surface: the corpus already
-trains simple models in-plan (``logistic_churn_baseline``) and scores
-rankings (``retrieval_ndcg_mrr``); this module adds the three
+The evaluation side of the engine's model surface: the engine already
+trains simple models in-plan (``logistic_churn_baseline``), and this
+round-8 change set adds ranking scores alongside it (the retrieval
+family's ``retrieval_ndcg_mrr``); this module adds the three
 classifier/experiment evaluation tables every ML platform materializes:
 
 - ``calibration_report`` — reliability diagram bins + ECE

@@ -831,14 +831,23 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     count) and Monetary (total spend), plus the composite segment label —
     the canonical warehouse cohorting query.
 
-    Shape: one aggregate to per-customer metrics, then three ntile
-    windows over the SAME unpartitioned ordering set. ntile over an
-    un-keyed window is a single-partition sort of the per-customer
-    AGGREGATE (one row per customer, not raw orders) — at 100 TB the
-    aggregate is customer-cardinality, and a production variant swaps
-    ntile for broadcast percentile cutpoints (the ``winsorized_stats``
-    pattern) to drop even that sort. Ties rank deterministically by
-    customer key on both engines.
+    Scale design (the reason this is NOT three global ntile windows):
+    quartile BOUNDARIES come from one exact-percentile aggregate (a
+    1-row, 3x3-value result, broadcast), and scoring is a map-only
+    comparison against those arrays — no global sort, no
+    single-partition ranking window (the ``decile_lift_table``
+    pattern). Boundaries are DISCRETE percentiles (actual stored
+    values, identical doubles on both engines — Spark
+    ``percentile_disc`` and DuckDB ``quantile_disc`` agree on the
+    smallest-value-with-cume_dist>=q definition, verified across edge
+    cardinalities), so boundary ties can never reclassify between
+    engines. Unlike ntile, TIED values share a score (quartiles are
+    value-quantiles, not equal-count buckets) — the semantics a
+    segmentation actually wants: two customers with identical behavior
+    land in the same segment. Descending dimensions (frequency,
+    monetary: score 1 = best) bucket on the NEGATED value ascending,
+    which is IEEE-exact. Monetary buckets on the 2-dp-rounded spend so
+    engine summation-order noise can never straddle a cutpoint.
     """
     orders = load(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
@@ -852,22 +861,42 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(anchor))
         .select(
             F.col("o_custkey").alias("c_custkey"),
-            F.datediff("anchor", "last_order").alias("recency_days"),
+            F.datediff("anchor", "last_order").cast("int").alias("recency_days"),
             "frequency",
-            "monetary_raw",
+            rnd("monetary_raw", 2).alias("monetary"),
         )
     )
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey").asc())
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("c_custkey").asc())
-    m_w = Window.orderBy(F.col("monetary_raw").desc(), F.col("c_custkey").asc())
-    scored = per_cust.select(
+    per_cust.createOrReplaceTempView("_rfm_per_cust")
+    qs = (0.25, 0.5, 0.75)
+
+    def _disc(expr: str) -> str:
+        return ", ".join(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY {expr})" for q in qs
+        )
+
+    bounds = spark.sql(
+        "SELECT "
+        f"array({_disc('CAST(recency_days AS DOUBLE)')}) AS r_bounds, "
+        f"array({_disc('-CAST(frequency AS DOUBLE)')}) AS f_bounds, "
+        f"array({_disc('-monetary')}) AS m_bounds "
+        "FROM _rfm_per_cust"
+    )
+
+    def _score(value, bounds_col):
+        return 1 + F.aggregate(
+            F.transform(bounds_col, lambda b: (value > b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = per_cust.crossJoin(F.broadcast(bounds)).select(
         "c_custkey",
         "recency_days",
         "frequency",
-        rnd("monetary_raw", 2).alias("monetary"),
-        F.ntile(4).over(r_w).alias("r_score"),
-        F.ntile(4).over(f_w).alias("f_score"),
-        F.ntile(4).over(m_w).alias("m_score"),
+        "monetary",
+        _score(F.col("recency_days").cast("double"), "r_bounds").alias("r_score"),
+        _score(-F.col("frequency").cast("double"), "f_bounds").alias("f_score"),
+        _score(-F.col("monetary"), "m_bounds").alias("m_score"),
     )
     return scored.withColumn(
         "segment",
@@ -881,24 +910,37 @@ register(
 WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
 per_cust AS (
   SELECT o_custkey AS c_custkey,
-         date_diff('day', max(o_orderdate), (SELECT a FROM anchor)) AS recency_days,
+         CAST(date_diff('day', max(o_orderdate), (SELECT a FROM anchor))
+              AS INTEGER) AS recency_days,
          count(*) AS frequency,
-         sum(o_totalprice) AS monetary_raw
+         round(sum(o_totalprice) + 1e-6, 2) AS monetary
   FROM orders GROUP BY 1
+),
+bounds AS (
+  SELECT quantile_disc(CAST(recency_days AS DOUBLE), [0.25, 0.5, 0.75]) AS r_bounds,
+         quantile_disc(-CAST(frequency AS DOUBLE), [0.25, 0.5, 0.75]) AS f_bounds,
+         quantile_disc(-monetary, [0.25, 0.5, 0.75]) AS m_bounds
+  FROM per_cust
+),
+scored AS (
+  SELECT c_custkey, recency_days, frequency, monetary,
+         1 + list_sum([CASE WHEN CAST(recency_days AS DOUBLE) > b
+                            THEN 1 ELSE 0 END for b in r_bounds]) AS r_score,
+         1 + list_sum([CASE WHEN -CAST(frequency AS DOUBLE) > b
+                            THEN 1 ELSE 0 END for b in f_bounds]) AS f_score,
+         1 + list_sum([CASE WHEN -monetary > b
+                            THEN 1 ELSE 0 END for b in m_bounds]) AS m_score
+  FROM per_cust CROSS JOIN bounds
 )
-SELECT c_custkey,
-       CAST(recency_days AS INTEGER) AS recency_days,
-       frequency,
-       round(monetary_raw + 1e-6, 2) AS monetary,
-       CAST(ntile(4) OVER (ORDER BY recency_days ASC, c_custkey ASC) AS INTEGER) AS r_score,
-       CAST(ntile(4) OVER (ORDER BY frequency DESC, c_custkey ASC) AS INTEGER) AS f_score,
-       CAST(ntile(4) OVER (ORDER BY monetary_raw DESC, c_custkey ASC) AS INTEGER) AS m_score,
-       CAST(ntile(4) OVER (ORDER BY recency_days ASC, c_custkey ASC) AS VARCHAR)
-         || '-' || CAST(ntile(4) OVER (ORDER BY frequency DESC, c_custkey ASC) AS VARCHAR)
-         || '-' || CAST(ntile(4) OVER (ORDER BY monetary_raw DESC, c_custkey ASC) AS VARCHAR) AS segment
-FROM per_cust
+SELECT c_custkey, recency_days, frequency, monetary,
+       CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+         || '-' || CAST(m_score AS VARCHAR) AS segment
+FROM scored
 """,
-    tags=("agg", "window", "segmentation"),
+    tags=("agg", "segmentation", "broadcast-cutpoints"),
 )(rfm_segments)
 
 
@@ -1123,14 +1165,19 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cms = rows.groupBy("h.d", "h.bucket").agg(F.count("*").alias("c"))
     exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    # TakeOrderedAndProject (orderBy + limit), not a global row_number
+    # window: the planner streams per-partition top-CMS_TOP heaps to the
+    # driver — unconditionally safe at any key cardinality. The rank is
+    # then re-derived by a window over the CMS_TOP-row result only.
     top = (
-        exact.withColumn(
+        exact.orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(CMS_TOP)
+        .withColumn(
             "rank",
             F.row_number().over(
                 Window.orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
             ),
         )
-        .where(F.col("rank") <= CMS_TOP)
     )
     probes = top.select(
         "user_id",

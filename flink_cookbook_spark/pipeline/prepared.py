@@ -3395,10 +3395,21 @@ def activate() -> None:
     """Register every prepared pair with the live registry — called by
     ``registry._ensure_loaded`` since round 8. Idempotent: repeated
     calls (every ``_ensure_loaded`` invocation, plus explicit calls in
-    tests) skip names already registered rather than raising the
-    registry's duplicate-name error."""
+    tests) skip a name only when the existing spec IS this prepared
+    pair (same fn) — a FOREIGN module registering a colliding name
+    would otherwise silently shadow the harness-verified pair, so that
+    case raises at activation time instead of waiting for the verbatim
+    cohort test to notice."""
     from flink_cookbook_spark import registry
 
     for name, (fn, oracle) in PREPARED_R8.items():
-        if name not in registry._REGISTRY:
-            registry.register(name, oracle=oracle, tags=("prepared-r8",))(fn)
+        existing = registry._REGISTRY.get(name)
+        if existing is not None:
+            if existing.fn is not fn:
+                raise ValueError(
+                    f"prepared query {name!r} is shadowed by a foreign "
+                    f"registration ({existing.fn.__module__}."
+                    f"{existing.fn.__qualname__}) — rename one of them"
+                )
+            continue
+        registry.register(name, oracle=oracle, tags=("prepared-r8",))(fn)

@@ -108,6 +108,11 @@ FROM cdf GROUP BY event_type
 LOGIT_ITERS = 5  #: full-batch gradient steps
 LOGIT_LR = 1.0  #: learning rate
 LOGIT_CONVERT_VALUE = 90.0  #: conversion predicate threshold
+LOGIT_AUC_BINS = 1_000_000  #: fixed score-histogram grid for the binned AUC
+#  1e-6-wide cells: finer than the 9-dp score rounding is discriminative
+#  at this score spread, so the binned AUC tracks the exact Mann-Whitney
+#  value; the histogram is still bounded by the grid (and in practice by
+#  the distinct-score count), never by user cardinality.
 
 
 def _user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,18 +136,22 @@ def logistic_churn_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (activity volume, mean metric), unrolled for ``LOGIT_ITERS`` fixed
     steps from zero init — the Lloyd-k-means discipline applied to a
     supervised model, so an ITERATIVE trainer gets a full value-hash
-    oracle. The fit finishes with a rank-based AUC computed in-plan
-    (midranks of the fitted scores by label — the Mann-Whitney
-    identity), making this the engine's first train-and-evaluate
-    loop: coefficient recovery AND ranking quality, both
-    driver-checkable.
+    oracle. The fit finishes with a BINNED Mann-Whitney AUC computed
+    in-plan over a fixed ``LOGIT_AUC_BINS``-cell score histogram
+    (within-bin positive/negative ties counted half), making this the
+    engine's first train-and-evaluate loop: coefficient recovery AND
+    ranking quality, both driver-checkable.
 
     Scale shape: each step is ONE combinable aggregate producing the
     3-scalar mean gradient (the only driver state — the k-means
-    centroid contract); scoring is zero-shuffle arithmetic; the AUC is
-    one ordered window over scores (rounded to 9 dp first, so rank
-    order is identical on both engines despite 1e-15 gradient-sum
-    divergence)."""
+    centroid contract); scoring is zero-shuffle arithmetic; the AUC
+    reduces the corpus to a <= ``LOGIT_AUC_BINS``-row histogram in one
+    combinable aggregate, and the only ordered window runs over that
+    BOUNDED histogram — never a user-cardinality sort (the global
+    score-midrank window this replaces was the engine's last
+    single-partition sort at entity cardinality). Scores are rounded
+    to 9 dp before binning, so the bin index is the same integer on
+    both engines despite 1e-15 gradient-sum divergence."""
     feats = _user_features(spark, sf_dir).persist()
     w0 = w1 = w2 = 0.0
     try:
@@ -162,26 +171,37 @@ def logistic_churn_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = feats.select(
             "y", F.round(1.0 / (1.0 + F.exp(-z)), 9).alias("s")
         )
-        wv = Window.orderBy("s")
-        wt = Window.partitionBy("s")
-        ranked = scored.select(
-            "y",
-            (
-                F.rank().over(wv).cast("double")
-                + (F.count("*").over(wt).cast("double") - 1.0) / 2.0
-            ).alias("midrank"),
+        b = F.least(
+            F.floor(F.col("s") * LOGIT_AUC_BINS), F.lit(LOGIT_AUC_BINS - 1)
+        ).cast("long")
+        hist = scored.groupBy(b.alias("bin")).agg(
+            F.count("*").alias("n"),
+            F.sum("y").cast("long").alias("np"),
         )
-        agg = ranked.agg(
-            F.count("*").alias("n_users"),
-            F.sum("y").cast("long").alias("n_pos"),
-            F.sum(F.col("y") * F.col("midrank")).alias("r_pos"),
+        w_below = Window.orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cum = hist.select(
+            "n",
+            "np",
+            F.coalesce(
+                F.sum(F.col("n") - F.col("np")).over(w_below), F.lit(0)
+            ).alias("neg_below"),
+        )
+        agg = cum.agg(
+            F.sum("n").alias("n_users"),
+            F.sum("np").alias("n_pos"),
+            F.sum(
+                F.col("np").cast("double")
+                * (
+                    F.col("neg_below").cast("double")
+                    + (F.col("n") - F.col("np")).cast("double") / 2.0
+                )
+            ).alias("u_stat"),
         )
         n1 = F.col("n_pos").cast("double")
         n0 = (F.col("n_users") - F.col("n_pos")).cast("double")
-        auc = F.when(
-            (n1 > 0) & (n0 > 0),
-            (F.col("r_pos") - n1 * (n1 + 1.0) / 2.0) / (n1 * n0),
-        )
+        auc = F.when((n1 > 0) & (n0 > 0), F.col("u_stat") / (n1 * n0))
         return agg.select(
             "n_users",
             "n_pos",
@@ -228,25 +248,34 @@ scored AS (
          round(1.0 / (1.0 + exp(-(w.b0 + w.b1 * f.x1 + w.b2 * f.x2))), 9) AS s
   FROM feats f CROSS JOIN {final} w
 ),
-ranked AS (
-  SELECT y,
-         CAST(rank() OVER (ORDER BY s) AS DOUBLE)
-           + (CAST(count(*) OVER (PARTITION BY s) AS DOUBLE) - 1.0) / 2.0
-           AS midrank
-  FROM scored
+hist AS (
+  SELECT CAST(least(floor(s * {LOGIT_AUC_BINS}), {LOGIT_AUC_BINS - 1})
+              AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS np
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT n, np,
+         COALESCE(sum(n - np) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS neg_below
+  FROM hist
 ),
 agg AS (
-  SELECT count(*) AS n_users,
-         CAST(sum(y) AS BIGINT) AS n_pos,
-         sum(y * midrank) AS r_pos
-  FROM ranked
+  SELECT CAST(sum(n) AS BIGINT) AS n_users,
+         CAST(sum(np) AS BIGINT) AS n_pos,
+         sum(CAST(np AS DOUBLE)
+             * (CAST(neg_below AS DOUBLE)
+                + CAST(n - np AS DOUBLE) / 2.0)) AS u_stat
+  FROM cum
 )
 SELECT a.n_users, a.n_pos,
        round(w.b0 + 1e-6, 6) AS w_intercept,
        round(w.b1 + 1e-6, 6) AS w_log_events,
        round(w.b2 + 1e-6, 6) AS w_mean_value,
        round(CASE WHEN a.n_pos > 0 AND a.n_users > a.n_pos
-                  THEN (a.r_pos - a.n_pos * (a.n_pos + 1.0) / 2.0)
+                  THEN a.u_stat
                        / (CAST(a.n_pos AS DOUBLE)
                           * (a.n_users - a.n_pos)) END + 1e-6, 6) AS auc
 FROM agg a CROSS JOIN {final} w

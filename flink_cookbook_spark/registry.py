@@ -132,6 +132,11 @@ REVERIFY_AFTER: dict[str, int] = {
     # threshold moved inside the fixture's cosine range (0.95 -> 0.35)
     "join_anti": 6,
     "embedding_cosine_dup_pairs": 6,
+    # round 9: quartile scores now come from broadcast discrete
+    # percentile cutpoints instead of three global ntile windows — tied
+    # values share a score (value-quantiles, not equal-count buckets),
+    # so r/f/m_score and segment values differ from the ntile form
+    "rfm_segments": 8,
 }
 
 

@@ -47,6 +47,16 @@ _DEFAULT_QUERIES = (
     "pipeline_alerts_fallback_oracle",
     "ivf_topk",
     "sessionize",
+    # round-9 additions (r8 verdict ask #6): the r8 families — grid
+    # cell-bucketed haversine join, BM25 inverted-postings join, mleval
+    # bin histograms — plus the two round-9 de-weakened rewrites
+    # (broadcast-cutpoint RFM, binned-AUC logistic) at 10x.
+    "geo_radius_join",
+    "bm25_scores",
+    "calibration_report",
+    "roc_threshold_sweep",
+    "rfm_segments",
+    "logistic_churn_baseline",
 )
 QUERIES = tuple(
     q.strip()

@@ -69,8 +69,18 @@ def _canon_dtype(dt: str) -> str:
     return _DTYPE_EQUIV.get(dt, dt)
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty == pass)."""
+def compare(
+    spark_df,
+    con: duckdb.DuckDBPyConnection,
+    sql: str,
+    name: str,
+    require_rows: bool = False,
+) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass).
+
+    ``require_rows`` flags a 0-row == 0-row match as a problem (the
+    vacuous-green class: both engines agreeing on the empty set
+    verifies nothing about the query's logic)."""
     problems: list[str] = []
     got = spark_df.toPandas()
     want = con.execute(sql).fetchdf()
@@ -107,6 +117,13 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str) -> li
         return problems
     if len(got) != len(want):
         problems.append(f"{name}: row count spark={len(got)} oracle={len(want)}")
+        return problems
+    if require_rows and len(got) == 0:
+        problems.append(
+            f"{name}: 0-row == 0-row oracle match — vacuous green; fix "
+            "the query/fixture interaction or whitelist in VACUOUS_OK "
+            "with a reason"
+        )
         return problems
     g, w = _normalize(got), _normalize(want)
     for c in g.columns:

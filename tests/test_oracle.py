@@ -25,5 +25,14 @@ def test_query_matches_oracle(spec, spark, sf_dir, con):
     if spec.oracle is None:
         assert df.count() >= 0  # rows-only contract
         return
-    problems = compare(df, con, spec.oracle, spec.name)
+    # require_rows = vacuous-green guard at WHATEVER SF this suite runs
+    # at (the registry lint in test_robustness.py covers sf0.01 only
+    # and skips when those fixtures are absent): a 0-row == 0-row
+    # oracle match verifies nothing about the query's logic, so any
+    # oracled query not explicitly whitelisted must produce rows here.
+    from tests.test_robustness import VACUOUS_OK
+
+    problems = compare(
+        df, con, spec.oracle, spec.name, require_rows=spec.name not in VACUOUS_OK
+    )
     assert not problems, "\n".join(problems)

@@ -777,3 +777,37 @@ def test_theil_sen_pairs_join_is_on_the_daily_grain(spark, sf_dir):
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     n_aggs = len(re.findall(r"\(\d+\) HashAggregate", plan))
     assert n_aggs >= n_scans, (n_aggs, n_scans)
+
+
+def test_rfm_segments_no_global_ranking_window(spark, sf_dir):
+    """Round-9 de-weak (r8 verdict #3): quartile scores must come from
+    broadcast discrete percentile cutpoints, never a global ntile — the
+    plan must contain NO Window node at all (the old form had three
+    unpartitioned ntile windows = a single-partition sort at customer
+    cardinality), and the cutpoint join must be a broadcast."""
+    from flink_cookbook_spark.operators.relational import rfm_segments
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    df = rfm_segments(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, "rfm_segments regained a ranking window"
+    assert "ntile(" not in plan
+    # the only joins are the 1-row anchor / 1-row cutpoint-array
+    # broadcasts (IdentityBroadcastMode NLJ — the decile_lift_table
+    # shape); a real cartesian would be CartesianProduct
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_count_min_topk_is_take_ordered(spark, sf_dir):
+    """Round-9 tightening (r8 verdict #7): the heavy-hitter probe set
+    must come from orderBy().limit() — TakeOrderedAndProject, a
+    per-partition heap merge — not a global row_number filter. The only
+    Window left runs over the CMS_TOP-row limited result."""
+    from flink_cookbook_spark.operators.relational import (
+        count_min_heavy_hitters,
+    )
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(count_min_heavy_hitters(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan

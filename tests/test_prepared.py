@@ -1990,3 +1990,29 @@ def test_ess_never_exceeds_n(spark, sf_dir):
         assert r.n_effective <= r.n_obs + 1e-6
         assert 0 < r.ess_ratio <= 1 + 2e-6
         assert r.rho_sum_pos >= -1e-6
+
+
+def test_activate_raises_on_foreign_collision():
+    """activate() skips a name only when the registered fn IS the
+    prepared fn (idempotency); a FOREIGN registration colliding with a
+    prepared name must raise at activation time, not be silently
+    shadowed (round-8 ADVICE)."""
+    import pytest
+
+    from flink_cookbook_spark import registry
+    from flink_cookbook_spark.pipeline.prepared import PREPARED_R8, activate
+
+    registry._ensure_loaded()
+    name = sorted(PREPARED_R8)[0]
+    original = registry._REGISTRY[name]
+
+    def impostor(spark, sf_dir):  # pragma: no cover - never called
+        raise AssertionError
+
+    try:
+        registry._REGISTRY[name] = registry.QuerySpec(name=name, fn=impostor)
+        with pytest.raises(ValueError, match="foreign"):
+            activate()
+    finally:
+        registry._REGISTRY[name] = original
+    activate()  # restored state must activate cleanly again
