@@ -367,51 +367,88 @@ def minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     config, how many candidate pairs the band join would generate and
     how many TRUE near-dup pairs (exact Jaccard >= 0.5) it covers —
     the precision/recall dial operators turn before an LSH rollout.
-    Every config reuses the one signature table; candidates are
-    band-key equi-joins (never corpus^2); true pairs come from the
-    exact inverted-index join, computed once."""
+
+    ONE distributed plan for the whole sweep (round-9 tier-2 bench
+    finding: the per-config driver loop ran 8 separate actions, each
+    re-deriving the band fan-out AND the exact inverted-index join —
+    10.7 s warm; this form runs the self-join once over a config-tagged
+    key space and aggregates per config): every config's band keys fan
+    out of the one signature table tagged with the config's band count,
+    the candidate join is a (config, band_key) equi-join (never
+    corpus^2), and coverage is a left-join marker aggregated per
+    config. True pairs come from the exact inverted-index join,
+    computed once and memoized (``ngram_jaccard_pairs`` is also a
+    registered query — same session reuse)."""
+    from flink_cookbook_spark.pipeline._cache import memo_persist
     from flink_cookbook_spark.pipeline.dedup import (
         _minhash_signatures_df, ngram_jaccard_pairs,
     )
 
     sigs = _minhash_signatures_df(spark, sf_dir)
-    true_pairs = (
-        ngram_jaccard_pairs(spark, sf_dir).select("doc1", "doc2").distinct()
+    true_pairs = memo_persist(
+        spark,
+        "band_true_pairs",
+        sf_dir,
+        lambda: ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc1", "doc2")
+        .distinct(),
     )
-    legs = []
+    tagged = []
     for b, r in BAND_CONFIGS:
-        keys = [
-            F.concat_ws(
-                ":", F.lit(band), *[F.col(f"mh{band * r + i}") for i in range(r)]
+        for band in range(b):
+            tagged.append(
+                F.struct(
+                    F.lit(b).alias("bands"),
+                    F.concat_ws(
+                        ":",
+                        F.lit(band),
+                        *[F.col(f"mh{band * r + i}") for i in range(r)],
+                    ).alias("band_key"),
+                )
             )
-            for band in range(b)
-        ]
-        banded = sigs.select(
-            "doc_id", F.explode(F.array(*keys)).alias("band_key")
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*tagged)).alias("t")
+    ).select("doc_id", "t.bands", "t.band_key")
+    cands = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.bands") == F.col("b.bands"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        cands = (
-            banded.alias("a")
-            .join(
-                banded.alias("b"),
-                (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
-            )
-            .distinct()
+        .select(
+            F.col("a.bands").alias("bands"),
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
         )
-        covered = cands.join(true_pairs, ["doc1", "doc2"]).count()
-        n_cands = cands.count()
-        legs.append((b, r, n_cands, covered))
-    n_true = true_pairs.count()
-    out = spark.createDataFrame(
-        [
-            (b, r, n, c, n_true)
-            for b, r, n, c in legs
-        ],
-        "bands int, rows_per_band int, n_candidate_pairs long, "
-        "n_true_covered long, n_true_pairs long",
+        .distinct()
+    )
+    marked = cands.join(
+        true_pairs.withColumn("is_true", F.lit(1)), ["doc1", "doc2"], "left"
+    )
+    per = marked.groupBy("bands").agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.sum(F.coalesce(F.col("is_true"), F.lit(0)))
+        .cast("long")
+        .alias("n_true_covered"),
+    )
+    conf = spark.createDataFrame(
+        list(BAND_CONFIGS), "bands int, rows_per_band int"
+    )
+    n_true = true_pairs.agg(F.count("*").alias("n_true_pairs"))
+    out = (
+        conf.join(per, "bands", "left")
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_candidate_pairs", F.lit(0)).alias(
+                "n_candidate_pairs"
+            ),
+            F.coalesce("n_true_covered", F.lit(0)).alias("n_true_covered"),
+            "n_true_pairs",
+        )
     )
     return out.select(
         "bands", "rows_per_band", "n_candidate_pairs", "n_true_covered",

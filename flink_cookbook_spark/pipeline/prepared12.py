@@ -324,70 +324,90 @@ def column_similarity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each column reduces to a K-row sketch (rank-limited
     window over per-column distinct hashes) regardless of table size;
     the all-pairs comparison runs over bounded sketch unions (pairs x
-    K rows). Adding a column costs one scan of ITS table only."""
-    sketches = []
-    for table, col in COLSIM_COLUMNS:
-        t = load(spark, sf_dir, table)
-        h = _portable_hash(
-            F.concat(F.lit("colsim:"), F.col(col).cast("string"))
-        )
-        w = Window.orderBy("h")
-        sketches.append(
-            t.select(h.alias("h"))
-            .distinct()
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= COLSIM_K)
-            .select(
-                F.lit(f"{table}.{col}").alias("col_name"), "h"
+    K rows). Adding a column costs one scan of ITS table only — and
+    only ONE: the sketch union is memoized (round-9 tier-2 bench
+    finding: each of the P*(P-1)/2 pair arms filters the union, and
+    left lazy, Catalyst re-scanned all P source tables per arm —
+    O(P^3) scans for a table whose physical size is P x K rows)."""
+    from flink_cookbook_spark.pipeline._cache import memo_persist
+
+    def _build_sketches() -> DataFrame:
+        sketches = []
+        for table, col in COLSIM_COLUMNS:
+            t = load(spark, sf_dir, table)
+            h = _portable_hash(
+                F.concat(F.lit("colsim:"), F.col(col).cast("string"))
             )
-        )
-    allsk = sketches[0]
-    for s in sketches[1:]:
-        allsk = allsk.unionAll(s)
-    # for each unordered column pair: re-take K smallest of the union,
-    # count sketch members present on both sides (the KMV Jaccard
-    # estimator of ``kmv_jaccard_overlap``, applied all-pairs)
-    names = [f"{t}.{c}" for t, c in COLSIM_COLUMNS]
-    rows = []
-    for i, na in enumerate(names):
-        for nb in names[i + 1:]:
-            sa = allsk.where(F.col("col_name") == na).select(
-                "h", F.lit(1).alias("a")
-            )
-            sb = allsk.where(F.col("col_name") == nb).select(
-                "h", F.lit(1).alias("b")
-            )
-            m = sa.join(sb, "h", "full_outer").select(
-                "h",
-                F.coalesce("a", F.lit(0)).alias("a"),
-                F.coalesce("b", F.lit(0)).alias("b"),
-            )
-            wu = Window.orderBy("h")
-            unionk = m.withColumn("rk", F.row_number().over(wu)).where(
-                F.col("rk") <= COLSIM_K
-            )
-            rows.append(
-                unionk.agg(
-                    F.count("*").alias("k_used"),
-                    F.sum((F.col("a") * F.col("b")).cast("long")).alias(
-                        "n_both"
-                    ),
-                ).select(
-                    F.lit(na).alias("col_a"),
-                    F.lit(nb).alias("col_b"),
-                    rnd(
-                        F.col("n_both") / F.col("k_used").cast("double"), 6
-                    ).alias("est_jaccard"),
-                    (
-                        F.col("n_both") / F.col("k_used").cast("double")
-                        > 0.5
-                    ).alias("same_domain_candidate"),
+            w = Window.orderBy("h")
+            sketches.append(
+                t.select(h.alias("h"))
+                .distinct()
+                .withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= COLSIM_K)
+                .select(
+                    F.lit(f"{table}.{col}").alias("col_name"), "h"
                 )
             )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+        out = sketches[0]
+        for s in sketches[1:]:
+            out = out.unionAll(s)
+        return out
+
+    allsk = memo_persist(spark, "colsim_sketches", sf_dir, _build_sketches)
+    # for each unordered column pair: re-take K smallest of the union,
+    # count sketch members present on both sides (the KMV Jaccard
+    # estimator of ``kmv_jaccard_overlap``, applied all-pairs). ONE
+    # plan for every pair (round-9: the per-pair full-outer-join arms
+    # ran 3 tiny stages each — P*(P-1)/2 * 3 stages of scheduling
+    # overhead): the 15-row pair list broadcast-joins the persisted
+    # sketch union twice (once per side), membership is a (pair, h)
+    # groupBy, the re-take-K is a window PARTITIONED by pair, and the
+    # estimate is one grouped aggregate.
+    names = [f"{t}.{c}" for t, c in COLSIM_COLUMNS]
+    pairs = spark.createDataFrame(
+        [
+            (na, nb)
+            for i, na in enumerate(names)
+            for nb in names[i + 1:]
+        ],
+        "col_a string, col_b string",
+    )
+    sides = (
+        F.broadcast(pairs)
+        .join(allsk, F.col("col_name") == F.col("col_a"))
+        .select("col_a", "col_b", "h", F.lit(1).alias("a"), F.lit(0).alias("b"))
+        .unionAll(
+            F.broadcast(pairs)
+            .join(allsk, F.col("col_name") == F.col("col_b"))
+            .select(
+                "col_a", "col_b", "h", F.lit(0).alias("a"), F.lit(1).alias("b")
+            )
+        )
+    )
+    members = sides.groupBy("col_a", "col_b", "h").agg(
+        F.max("a").alias("a"), F.max("b").alias("b")
+    )
+    wu = Window.partitionBy("col_a", "col_b").orderBy("h")
+    unionk = members.withColumn("rk", F.row_number().over(wu)).where(
+        F.col("rk") <= COLSIM_K
+    )
+    return (
+        unionk.groupBy("col_a", "col_b")
+        .agg(
+            F.count("*").alias("k_used"),
+            F.sum((F.col("a") * F.col("b")).cast("long")).alias("n_both"),
+        )
+        .select(
+            "col_a",
+            "col_b",
+            rnd(F.col("n_both") / F.col("k_used").cast("double"), 6).alias(
+                "est_jaccard"
+            ),
+            (
+                F.col("n_both") / F.col("k_used").cast("double") > 0.5
+            ).alias("same_domain_candidate"),
+        )
+    )
 
 
 def _colsim_oracle() -> str:

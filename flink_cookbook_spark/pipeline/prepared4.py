@@ -107,16 +107,30 @@ def copurchase_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     part x part), degrees and the histogram are combinable hash
     aggregates, and the OLS fit is a 1-row aggregate over the bounded
     histogram broadcast back onto it."""
-    li = load(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # basket lines and the edge set share the part_affinity /
+    # graph_assortativity memo entries: the pair self-join runs once
+    # per session, and `edges` here feeds two union legs that would
+    # otherwise each re-run it.
+    from flink_cookbook_spark.pipeline._cache import memo_persist
+
+    li = memo_persist(
+        spark,
+        "basket_lines",
+        sf_dir,
+        lambda: load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct(),
+    ).select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
     a = li.select("ok", F.col("pk").alias("p1"))
     b = li.select("ok", F.col("pk").alias("p2"))
-    edges = (
-        a.join(b, "ok")
+    edges = memo_persist(
+        spark,
+        "copurchase_edges",
+        sf_dir,
+        lambda: a.join(b, "ok")
         .where(F.col("p1") < F.col("p2"))
         .select("p1", "p2")
-        .distinct()
+        .distinct(),
     )
     both = edges.select(F.col("p1").alias("p"), F.col("p2").alias("q")).unionAll(
         edges.select(F.col("p2").alias("p"), F.col("p1").alias("q"))
