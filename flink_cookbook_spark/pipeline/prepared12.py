@@ -338,12 +338,14 @@ def column_similarity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             h = _portable_hash(
                 F.concat(F.lit("colsim:"), F.col(col).cast("string"))
             )
-            w = Window.orderBy("h")
+            # k smallest distinct hashes via orderBy().limit() —
+            # TakeOrderedAndProject, never a global ranking window over
+            # the column's distinct cardinality (billions at 100 TB)
             sketches.append(
                 t.select(h.alias("h"))
                 .distinct()
-                .withColumn("rk", F.row_number().over(w))
-                .where(F.col("rk") <= COLSIM_K)
+                .orderBy("h")
+                .limit(COLSIM_K)
                 .select(
                     F.lit(f"{table}.{col}").alias("col_name"), "h"
                 )

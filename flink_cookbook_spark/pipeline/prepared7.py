@@ -128,14 +128,10 @@ def kmv_jaccard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = flags.select("in_a", "in_b", h.alias("h"))
 
     def sketch(side: str) -> DataFrame:
-        w = Window.orderBy("h")
-        return (
-            hashed.where(F.col(side) == 1)
-            .select("h")
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= KMV_J_K)
-            .select("h")
-        )
+        # k smallest hashes via orderBy().limit() — TakeOrderedAndProject
+        # (per-partition heaps), not a global ranking window (r9: the
+        # count_min_heavy_hitters tightening applied here too)
+        return hashed.where(F.col(side) == 1).select("h").orderBy("h").limit(KMV_J_K)
 
     sa = sketch("in_a").withColumn("a", F.lit(1))
     sb = sketch("in_b").withColumn("b", F.lit(1))
