@@ -1,0 +1,977 @@
+"""Round-9-prepared operators, DEFERRED for round-10 registration.
+
+Round 9 froze registrations so the driver's ~50-slot correctness window
+can drain the 59-query pending backlog (round-8 verdict ask #1). This
+module follows the round-7 discipline that the r8 verdict endorsed:
+build the next cohort NOW, verify every pair through the
+driver-identical harness in pytest (tests/test_prepared19.py), and keep
+it OUT of the live registry until the backlog clears — ``PREPARED_R10``
+is deliberately NOT merged into ``prepared.PREPARED_R8`` and
+``registry._ensure_loaded`` does not import this module. Flipping in
+round 10 is one line (merge + REVERIFY untouched — these names have no
+prior driver record).
+
+The seven operators close real gaps:
+
+- ``welch_t_test`` — the unequal-variance two-sample test the A/B
+  battery lacked (t, Welch-Satterthwaite df) next to
+  ``ab_conversion_lift``/``covariate_balance_smd``;
+- ``pacf_durbin_levinson`` — partial autocorrelations from the ACF via
+  the closed-form Durbin-Levinson recursion (the statistic that picks
+  AR orders; the reference hardcodes its SARIMAX orders — ACF/PACF is
+  how those orders get picked from data);
+- ``nelson_aalen_hazard`` — the cumulative-hazard counterpart of
+  ``kaplan_meier_survival`` (NA is the estimator of choice when
+  hazards, not survival curves, are compared);
+- ``ewma_control_chart`` — the per-day EWMA SPC chart with
+  time-varying control limits, completing the SPC trio (CUSUM detects,
+  Western Electric patterns flag, EWMA tracks small sustained shifts);
+- ``matryoshka_recall`` — recall@k of PREFIX-dimension (truncated)
+  embeddings vs the full-dimension ranking: the measurement behind
+  matryoshka-representation truncation decisions in vector stores;
+- ``decision_stump_split`` — the best single (feature, threshold)
+  split by information gain over bounded feature histograms: an
+  in-plan trained model (the depth-1 tree) with every candidate split
+  and its gain hash-checked;
+- ``retrieval_precision_recall_at_k`` — P@k / R@k / F1 for the BM25
+  ranking, completing the IR metric set next to NDCG/MRR.
+
+Engine-parity disciplines reused from the live cohort: registry.rnd /
+NUDGE rounding on both sides; ACF values rounded to 9 dp BEFORE the
+Durbin-Levinson recursion so the downstream algebra runs on identical
+doubles; EWMA weights precomputed as Python-float literals embedded on
+BOTH sides (pow(0.8, j) in two libms can differ in the last ulp — a
+literal cannot); ranking on bit-identical sequential-fold dot products
+(the ``cosine_topk`` contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.registry import NUDGE, rnd
+
+
+# --------------------------------------------------------------------------
+# 1. Welch's unequal-variance t-test between the A/B arms
+# --------------------------------------------------------------------------
+
+#: two-sided normal-approximation critical value at alpha = 0.05. The
+#: Welch df on this fixture is in the thousands, where t and normal
+#: quantiles agree to 3 decimals — and neither engine ships a t-CDF.
+WELCH_CRIT = 1.96
+
+
+def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S T-TEST of ``value`` between the deterministic A/B arms
+    (user_id parity), per event type: the unequal-variance two-sample
+    test (t statistic + Welch-Satterthwaite df) that belongs between
+    ``ab_conversion_lift`` (which assumes pooled proportions) and
+    ``mann_whitney_u`` (which drops the parametric assumption
+    entirely). Significance is judged on the ROUNDED t against the
+    normal-approx critical value so a last-ulp variance divergence can
+    never flip the flag between engines.
+
+    Scale shape: one combinable (event_type, arm) moment aggregate,
+    then a conditional-aggregation pivot to one row per event type —
+    no joins, no windows."""
+    ev = load(spark, sf_dir, "events")
+    arms = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        "value",
+    ).groupBy("event_type", "arm").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("s2"),
+    )
+    one = arms.groupBy("event_type").agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 0, F.col("m"))).alias("mean_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("m"))).alias("mean_b"),
+        F.max(F.when(F.col("arm") == 0, F.col("s2"))).alias("v_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("s2"))).alias("v_b"),
+    )
+    va_n = F.col("v_a") / F.col("n_a")
+    vb_n = F.col("v_b") / F.col("n_b")
+    se2 = va_n + vb_n
+    t = F.when(se2 > 0, (F.col("mean_b") - F.col("mean_a")) / F.sqrt(se2))
+    df_w = F.when(
+        se2 > 0,
+        (se2 * se2)
+        / (
+            va_n * va_n / (F.col("n_a") - 1)
+            + vb_n * vb_n / (F.col("n_b") - 1)
+        ),
+    )
+    t_r = rnd(t, 4)
+    return one.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        rnd("mean_a", 4).alias("mean_a"),
+        rnd("mean_b", 4).alias("mean_b"),
+        t_r.alias("t_stat"),
+        rnd(df_w, 2).alias("df_welch"),
+        (F.abs(t_r) > WELCH_CRIT).alias("significant"),
+    )
+
+
+_WELCH_ORACLE = f"""
+WITH arms AS (
+  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS arm,
+         count(*) AS n, avg(value) AS m, var_samp(value) AS s2
+  FROM events GROUP BY 1, 2
+),
+one AS (
+  SELECT event_type,
+         max(CASE WHEN arm = 0 THEN n END) AS n_a,
+         max(CASE WHEN arm = 1 THEN n END) AS n_b,
+         max(CASE WHEN arm = 0 THEN m END) AS mean_a,
+         max(CASE WHEN arm = 1 THEN m END) AS mean_b,
+         max(CASE WHEN arm = 0 THEN s2 END) AS v_a,
+         max(CASE WHEN arm = 1 THEN s2 END) AS v_b
+  FROM arms GROUP BY event_type
+),
+calc AS (
+  SELECT *,
+         v_a / n_a + v_b / n_b AS se2
+  FROM one
+)
+SELECT event_type, n_a, n_b,
+       round(mean_a + {NUDGE}, 4) AS mean_a,
+       round(mean_b + {NUDGE}, 4) AS mean_b,
+       round(CASE WHEN se2 > 0
+                  THEN (mean_b - mean_a) / sqrt(se2) END + {NUDGE}, 4)
+         AS t_stat,
+       round(CASE WHEN se2 > 0
+                  THEN se2 * se2
+                       / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                          + (v_b / n_b) * (v_b / n_b) / (n_b - 1)) END
+             + {NUDGE}, 2) AS df_welch,
+       abs(round(CASE WHEN se2 > 0
+                      THEN (mean_b - mean_a) / sqrt(se2) END + {NUDGE}, 4))
+         > {WELCH_CRIT} AS significant
+FROM calc
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. PACF via the Durbin-Levinson recursion (lags 1..4)
+# --------------------------------------------------------------------------
+
+#: number of PACF lags emitted (the Durbin-Levinson recursion is
+#: unrolled in closed form to this depth on both engines).
+PACF_LAGS = 4
+#: decimals the raw ACF values are rounded to BEFORE the recursion —
+#: identical doubles in, bit-identical recursion out (the
+#: logistic-score discipline applied to correlation inputs).
+PACF_ACF_DP = 9
+
+
+def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL AUTOCORRELATIONS of the corpus hourly mean-value series
+    at lags 1..4, from the sample ACF via the closed-form
+    Durbin-Levinson recursion — the companion statistic to
+    ``autocorrelation``: ACF says WHICH lags correlate, PACF says which
+    correlate DIRECTLY (the AR-order picker; the reference hardcodes
+    its (1,1,1)x(0,1,1,288) SARIMAX orders, and PACF cutoff is how an
+    AR order is read off data).
+
+    Scale shape: one combinable (hour) aggregate reduces the corpus to
+    a calendar-bounded series; four lag columns ride ONE ordered window
+    over those hours (calendar-bounded, not data-bounded — the
+    ``kaplan_meier_survival`` argument); four corr aggregates reduce to
+    a 1-row ACF vector; the recursion is pure column algebra on that
+    row; a 4-row stack unpivots. ACF values are rounded to
+    ``PACF_ACF_DP`` before the recursion so its divisions amplify
+    nothing engine-specific."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            (F.floor(F.col("ts").cast("double") / 3600) * 3600).alias("h"),
+            "value",
+        )
+        .groupBy("h")
+        .agg(F.avg("value").alias("x"))
+    )
+    w = Window.orderBy("h")
+    lagged = hourly.select(
+        "x",
+        *[F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, PACF_LAGS + 1)],
+    )
+    acf = lagged.agg(
+        F.count("x").alias("n_hours"),
+        *[
+            F.round(F.corr("x", f"x{k}") + F.lit(NUDGE), PACF_ACF_DP).alias(
+                f"r{k}"
+            )
+            for k in range(1, PACF_LAGS + 1)
+        ],
+    )
+    # Durbin-Levinson unrolled: phi_kk columns from r1..r4
+    p11 = F.col("r1")
+    step1 = acf.withColumn("p11", p11)
+    p22 = (F.col("r2") - F.col("p11") * F.col("r1")) / (
+        1 - F.col("p11") * F.col("r1")
+    )
+    step2 = step1.withColumn("p22", p22).withColumn(
+        "p21", F.col("p11") - F.col("p22") * F.col("p11")
+    )
+    p33 = (
+        F.col("r3") - F.col("p21") * F.col("r2") - F.col("p22") * F.col("r1")
+    ) / (1 - F.col("p21") * F.col("r1") - F.col("p22") * F.col("r2"))
+    step3 = (
+        step2.withColumn("p33", p33)
+        .withColumn("p31", F.col("p21") - F.col("p33") * F.col("p22"))
+        .withColumn("p32", F.col("p22") - F.col("p33") * F.col("p21"))
+    )
+    p44 = (
+        F.col("r4")
+        - F.col("p31") * F.col("r3")
+        - F.col("p32") * F.col("r2")
+        - F.col("p33") * F.col("r1")
+    ) / (
+        1
+        - F.col("p31") * F.col("r1")
+        - F.col("p32") * F.col("r2")
+        - F.col("p33") * F.col("r3")
+    )
+    step4 = step3.withColumn("p44", p44)
+    return step4.select(
+        "n_hours",
+        F.expr(
+            "stack(4, 1, r1, p11, 2, r2, p22, 3, r3, p33, 4, r4, p44) "
+            "as (lag, acf_raw, pacf_raw)"
+        ),
+    ).select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_hours",
+        (rnd("acf_raw", 6) + F.lit(0.0)).alias("acf"),
+        (rnd("pacf_raw", 6) + F.lit(0.0)).alias("pacf"),
+    )
+
+
+_PACF_ORACLE = f"""
+WITH hourly AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS h,
+         avg(value) AS x
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT x,
+         lag(x, 1) OVER (ORDER BY h) AS x1,
+         lag(x, 2) OVER (ORDER BY h) AS x2,
+         lag(x, 3) OVER (ORDER BY h) AS x3,
+         lag(x, 4) OVER (ORDER BY h) AS x4
+  FROM hourly
+),
+acf AS (
+  SELECT count(x) AS n_hours,
+         round(corr(x, x1) + {NUDGE}, {PACF_ACF_DP}) AS r1,
+         round(corr(x, x2) + {NUDGE}, {PACF_ACF_DP}) AS r2,
+         round(corr(x, x3) + {NUDGE}, {PACF_ACF_DP}) AS r3,
+         round(corr(x, x4) + {NUDGE}, {PACF_ACF_DP}) AS r4
+  FROM lagged
+),
+s1 AS (SELECT *, r1 AS p11 FROM acf),
+s2 AS (
+  SELECT *, (r2 - p11 * r1) / (1 - p11 * r1) AS p22 FROM s1
+),
+s2b AS (SELECT *, p11 - p22 * p11 AS p21 FROM s2),
+s3 AS (
+  SELECT *, (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2) AS p33
+  FROM s2b
+),
+s3b AS (
+  SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32 FROM s3
+),
+s4 AS (
+  SELECT *, (r4 - p31 * r3 - p32 * r2 - p33 * r1)
+            / (1 - p31 * r1 - p32 * r2 - p33 * r3) AS p44
+  FROM s3b
+),
+stacked AS (
+  SELECT 1 AS lag, n_hours, r1 AS acf_raw, p11 AS pacf_raw FROM s4
+  UNION ALL SELECT 2, n_hours, r2, p22 FROM s4
+  UNION ALL SELECT 3, n_hours, r3, p33 FROM s4
+  UNION ALL SELECT 4, n_hours, r4, p44 FROM s4
+)
+SELECT CAST(lag AS INTEGER) AS lag, n_hours,
+       round(acf_raw + {NUDGE}, 6) + 0.0 AS acf,
+       round(pacf_raw + {NUDGE}, 6) + 0.0 AS pacf
+FROM stacked
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. Nelson-Aalen cumulative hazard
+# --------------------------------------------------------------------------
+
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN CUMULATIVE HAZARD over the signup -> first-purchase
+    delay, right-censored at corpus end — the estimator companion of
+    ``kaplan_meier_survival``: KM multiplies survival factors, NA sums
+    hazard increments d/n, and NA is the standard choice when hazard
+    CURVES (not survival probabilities) are compared or fed to
+    regression. The per-time variance increment d/n² rides along
+    (Poisson-type variance), so the estimator's uncertainty contract is
+    itself hash-checked.
+
+    Scale shape: identical to KM — two keyed min-aggs, a 1-row
+    corpus-max broadcast, and ordered windows over DISTINCT hour
+    durations (calendar-bounded, never user-bounded)."""
+    ev = load(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    s0 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("t0"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", sec.alias("tp")
+    )
+    first_p = (
+        s0.join(purch, "user_id")
+        .where(F.col("tp") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    tmax = ev.agg(F.max(sec).alias("tmax"))
+    subj = (
+        s0.join(first_p, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.floor(
+                (F.coalesce("tp", "tmax") - F.col("t0")) / 3600
+            ).alias("dur"),
+            F.col("tp").isNotNull().cast("int").alias("obs"),
+        )
+    )
+    g = subj.groupBy("dur").agg(
+        F.count("*").alias("n_all"), F.sum("obs").alias("d")
+    )
+    w_ord = Window.orderBy("dur")
+    w_before = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "dur",
+        "d",
+        (
+            F.sum("n_all").over(
+                w_ord.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            - F.coalesce(F.sum("n_all").over(w_before), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    dn = F.col("d").cast("double") / F.col("n_at_risk")
+    dn2 = F.col("d").cast("double") / (
+        F.col("n_at_risk").cast("double") * F.col("n_at_risk").cast("double")
+    )
+    h = r.select(
+        "dur",
+        "d",
+        "n_at_risk",
+        F.sum(dn).over(w_ord).alias("na_raw"),
+        F.sum(dn2).over(w_ord).alias("var_raw"),
+    )
+    return h.where(F.col("d") > 0).select(
+        F.col("dur").alias("t_hours"),
+        "n_at_risk",
+        F.col("d").alias("n_events"),
+        rnd("na_raw", 6).alias("cum_hazard"),
+        rnd("var_raw", 8).alias("var_hazard"),
+    )
+
+
+_NA_ORACLE = f"""
+WITH sec AS (SELECT user_id, event_type, epoch(ts) AS s FROM events),
+s0 AS (
+  SELECT user_id, min(s) AS t0 FROM sec
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+fp AS (
+  SELECT p.user_id, min(p.s) AS tp
+  FROM sec p JOIN s0 ON p.user_id = s0.user_id
+  WHERE p.event_type = 'purchase' AND p.s >= s0.t0
+  GROUP BY p.user_id
+),
+tmax AS (SELECT max(s) AS tmax FROM sec),
+subj AS (
+  SELECT CAST(floor((COALESCE(fp.tp, t.tmax) - s0.t0) / 3600) AS BIGINT)
+           AS dur,
+         CASE WHEN fp.tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+  FROM s0 LEFT JOIN fp ON s0.user_id = fp.user_id CROSS JOIN tmax t
+),
+g AS (
+  SELECT dur, count(*) AS n_all, CAST(sum(obs) AS BIGINT) AS d
+  FROM subj GROUP BY dur
+),
+r AS (
+  SELECT dur, d,
+         CAST(sum(n_all) OVER ()
+              - COALESCE(sum(n_all) OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_at_risk
+  FROM g
+),
+h AS (
+  SELECT dur, d, n_at_risk,
+         sum(CAST(d AS DOUBLE) / n_at_risk)
+           OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS na_raw,
+         sum(CAST(d AS DOUBLE)
+             / (CAST(n_at_risk AS DOUBLE) * CAST(n_at_risk AS DOUBLE)))
+           OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS var_raw
+  FROM r
+)
+SELECT dur AS t_hours, n_at_risk, d AS n_events,
+       round(na_raw + {NUDGE}, 6) AS cum_hazard,
+       round(var_raw + {NUDGE}, 8) AS var_hazard
+FROM h WHERE d > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. EWMA control chart with time-varying limits
+# --------------------------------------------------------------------------
+
+EWMA_LAMBDA = 0.2  #: smoothing weight
+EWMA_L = 3.0  #: control-limit width in sigma units
+#: truncation horizon: weight beyond W days is (1-lambda)^W ~ 1.5e-6 of
+#: a day's mean — the truncated chart IS the exact recursion whenever
+#: the series is shorter than W (true at every fixture SF), and a
+#: bounded-memory, bounded-fan-in operator at any corpus age.
+EWMA_W = 60
+
+#: weights embedded as PYTHON-FLOAT LITERALS on both engines: pow(0.8,j)
+#: evaluated by two different libms can differ in the last ulp, a
+#: repr'd literal cannot (the decile-boundary lesson applied to
+#: exponential weights).
+_EWMA_DECAY = [(1.0 - EWMA_LAMBDA) ** j for j in range(EWMA_W + 1)]
+
+
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA CONTROL CHART over each event type's daily mean-value
+    series: z_t = lambda*x_t + (1-lambda)*z_{t-1} anchored at the
+    series mean, with the exact time-varying control limits
+    mu +- L*sigma*sqrt(lambda/(2-lambda)*(1-(1-lambda)^(2t))) — the SPC
+    chart for SMALL SUSTAINED shifts, completing the trio with CUSUM
+    (changepoint excursions) and the Western Electric run rules.
+
+    The recursion is computed in CLOSED FORM as a ``EWMA_W``-term
+    weighted sum of lagged daily means (weights are Python-float
+    literals, identical on both engines), so each output row is a
+    single window pass — no sequential state, no recursive CTE on the
+    Spark side, bounded fan-in at any series length. Out-of-control is
+    judged on ROUNDED z vs rounded limits so a last-ulp divergence can
+    never flip the flag.
+
+    Scale shape: one combinable (event_type, day) aggregate; per-key
+    series stats via one more aggregate broadcast back; one ordered
+    window per key carrying ``EWMA_W`` lag expressions (a single
+    window pass) over the calendar-bounded day axis."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("double") / 86400) * 86400)
+            .cast("long")
+            .alias("day_start"),
+            "value",
+        )
+        .groupBy("event_type", "day_start")
+        .agg(F.avg("value").alias("x"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("x").alias("mu0"), F.stddev_samp("x").alias("sigma")
+    )
+    w = Window.partitionBy("event_type").orderBy("day_start")
+    seq = daily.select(
+        "event_type",
+        "day_start",
+        F.col("x").alias("l0"),
+        F.row_number().over(w).alias("t"),
+        *[F.lag("x", j).over(w).alias(f"l{j}") for j in range(1, EWMA_W)],
+    )
+    joined = seq.join(F.broadcast(stats), "event_type")
+    z = None
+    for j in range(EWMA_W):
+        term = F.when(
+            F.col(f"l{j}").isNotNull(),
+            F.lit(EWMA_LAMBDA * _EWMA_DECAY[j]) * F.col(f"l{j}"),
+        ).otherwise(F.lit(0.0))
+        z = term if z is None else z + term
+    anchor_arr = F.array(*[F.lit(v) for v in _EWMA_DECAY])
+    anchor_w = F.element_at(anchor_arr, F.least(F.col("t"), F.lit(EWMA_W)) + 1)
+    z = z + anchor_w * F.col("mu0")
+    sig_t = F.col("sigma") * F.sqrt(
+        F.lit(EWMA_LAMBDA / (2.0 - EWMA_LAMBDA))
+        * (1.0 - anchor_w * anchor_w)
+    )
+    z_r = rnd(z, 4)
+    ucl_r = rnd(F.col("mu0") + EWMA_L * sig_t, 4)
+    lcl_r = rnd(F.col("mu0") - EWMA_L * sig_t, 4)
+    return joined.select(
+        "event_type",
+        "day_start",
+        F.col("t").alias("t"),
+        rnd("l0", 4).alias("x"),
+        z_r.alias("ewma"),
+        lcl_r.alias("lcl"),
+        ucl_r.alias("ucl"),
+        ((z_r > ucl_r) | (z_r < lcl_r)).alias("out_of_control"),
+    )
+
+
+def _ewma_oracle() -> str:
+    lam = EWMA_LAMBDA
+    terms = []
+    for j in range(EWMA_W):
+        lag = "x" if j == 0 else f"lag(x, {j}) OVER w"
+        terms.append(
+            f"COALESCE({lam * _EWMA_DECAY[j]!r} * ({lag}), 0.0)"
+        )
+    zsum = "\n           + ".join(terms)
+    anchors = ", ".join(repr(v) for v in _EWMA_DECAY)
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
+         avg(value) AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(x) AS mu0, stddev_samp(x) AS sigma
+  FROM daily GROUP BY event_type
+),
+seq AS (
+  SELECT d.event_type, d.day_start, d.x,
+         CAST(row_number() OVER w AS BIGINT) AS t,
+         {zsum} AS zpart
+  FROM daily d
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day_start)
+),
+calc AS (
+  SELECT s.event_type, s.day_start, s.t, s.x,
+         s.zpart + ([{anchors}])[least(s.t, {EWMA_W}) + 1] * st.mu0 AS z,
+         st.mu0,
+         st.sigma
+           * sqrt({lam / (2.0 - lam)!r}
+                  * (1.0 - ([{anchors}])[least(s.t, {EWMA_W}) + 1]
+                           * ([{anchors}])[least(s.t, {EWMA_W}) + 1]))
+           AS sig_t
+  FROM seq s JOIN stats st ON s.event_type = st.event_type
+)
+SELECT event_type, day_start, CAST(t AS INTEGER) AS t,
+       round(x + {NUDGE}, 4) AS x,
+       round(z + {NUDGE}, 4) AS ewma,
+       round(mu0 - {EWMA_L} * sig_t + {NUDGE}, 4) AS lcl,
+       round(mu0 + {EWMA_L} * sig_t + {NUDGE}, 4) AS ucl,
+       round(z + {NUDGE}, 4) > round(mu0 + {EWMA_L} * sig_t + {NUDGE}, 4)
+         OR round(z + {NUDGE}, 4) < round(mu0 - {EWMA_L} * sig_t + {NUDGE}, 4)
+         AS out_of_control
+FROM calc
+"""
+
+
+# --------------------------------------------------------------------------
+# 5. matryoshka (prefix-dimension) recall vs the full-dimension ranking
+# --------------------------------------------------------------------------
+
+MAT_DIMS = (8, 16, 32)  #: prefix dimensionalities evaluated
+MAT_FULL_DIM = 64  #: ground-truth dimensionality (the fixture's)
+MAT_QUERIES = 8  #: deterministic query set: vec_id < MAT_QUERIES
+MAT_K = 10  #: ranking depth for truth and test lists
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA TRUNCATION RECALL: for each prefix dimensionality d,
+    the recall@k of the top-k neighbor list computed on the FIRST d
+    embedding components against the full-dimension top-k — the
+    measurement behind every "can we store 8x fewer floats" truncation
+    decision on matryoshka-trained embeddings. Emitted per (d, query)
+    so the variance across queries is visible, not averaged away.
+
+    Scale shape: the ``cosine_topk`` contract — the bounded query set
+    is broadcast, the corpus side never moves, prefix dot products use
+    the same sequential fold as DuckDB's list_dot_product so ranking
+    ties cannot flip between engines; per-(d, query) top-k windows
+    partition on (dim, query). Brute force by design: this is the
+    small-query-set measurement tool, not the serving path (that is
+    ``ivf_topk``)."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.col("embedding").cast("array<double>")
+    )
+    dims = list(MAT_DIMS) + [MAT_FULL_DIM]
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _norm(a):
+        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+    queries = emb.where(F.col("vec_id") < MAT_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    pairs = (
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("cemb"))
+        .crossJoin(F.broadcast(queries))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.explode(F.array(*[F.lit(d) for d in dims])).alias("dim"),
+            "qemb",
+            "cemb",
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            "dim",
+            F.slice("qemb", 1, F.col("dim")).alias("q"),
+            F.slice("cemb", 1, F.col("dim")).alias("c"),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            "dim",
+            (
+                _dot(F.col("q"), F.col("c"))
+                / (_norm(F.col("q")) * _norm(F.col("c")))
+            ).alias("cosine_raw"),
+        )
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.col("cosine_raw").desc(), F.col("cand_id").asc()
+    )
+    topk = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= MAT_K)
+        .select("dim", "query_id", "cand_id")
+    )
+    truth = topk.where(F.col("dim") == MAT_FULL_DIM).select(
+        "query_id", "cand_id"
+    )
+    test = topk.where(F.col("dim") != MAT_FULL_DIM)
+    overlap = (
+        test.join(truth, ["query_id", "cand_id"], "left_semi")
+        .groupBy("dim", "query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    grid = queries.select("query_id").crossJoin(
+        F.broadcast(spark.createDataFrame([(d,) for d in MAT_DIMS], "dim int"))
+    )
+    return (
+        grid.join(overlap, ["dim", "query_id"], "left")
+        .select(
+            "dim",
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            rnd(
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / MAT_K, 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+_MAT_ORACLE = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, d.dim,
+         list_dot_product(q.e[1:d.dim], c.e[1:d.dim])
+           / (sqrt(list_dot_product(q.e[1:d.dim], q.e[1:d.dim]))
+              * sqrt(list_dot_product(c.e[1:d.dim], c.e[1:d.dim])))
+           AS cosine_raw
+  FROM emb q
+  JOIN emb c ON q.vec_id < {MAT_QUERIES} AND c.vec_id != q.vec_id
+  CROSS JOIN (SELECT unnest([{", ".join(str(d) for d in list(MAT_DIMS) + [MAT_FULL_DIM])}]) AS dim) d
+),
+topk AS (
+  SELECT dim, query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY dim, query_id
+                ORDER BY cosine_raw DESC, cand_id ASC) AS rk
+    FROM pairs
+  ) WHERE rk <= {MAT_K}
+),
+truth AS (
+  SELECT query_id, cand_id FROM topk WHERE dim = {MAT_FULL_DIM}
+),
+overlap AS (
+  SELECT t.dim, t.query_id, count(*) AS n_overlap
+  FROM topk t JOIN truth tr
+    ON t.query_id = tr.query_id AND t.cand_id = tr.cand_id
+  WHERE t.dim != {MAT_FULL_DIM}
+  GROUP BY t.dim, t.query_id
+),
+grid AS (
+  SELECT d.dim, q.vec_id AS query_id
+  FROM (SELECT unnest([{", ".join(str(d) for d in MAT_DIMS)}]) AS dim) d
+  CROSS JOIN (SELECT vec_id FROM emb WHERE vec_id < {MAT_QUERIES}) q
+)
+SELECT CAST(g.dim AS INTEGER) AS dim, g.query_id,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(COALESCE(o.n_overlap, 0) / CAST({MAT_K} AS DOUBLE) + {NUDGE}, 4)
+         AS recall_at_k
+FROM grid g LEFT JOIN overlap o
+  ON g.dim = o.dim AND g.query_id = o.query_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 6. decision stump: best single split by information gain
+# --------------------------------------------------------------------------
+
+STUMP_CONVERT_VALUE = 90.0  #: label predicate, shared with the logistic
+STUMP_COUNT_CAP = 30  #: n_events feature bins capped at this count
+STUMP_VALUE_BIN = 5.0  #: mean-value feature bin width
+
+
+def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION STUMP TRAINED IN-PLAN: every candidate (feature,
+    threshold) split of the user conversion label, scored by
+    information gain over BOUNDED feature histograms, with the winning
+    split flagged — the depth-1 tree next to
+    ``logistic_churn_baseline``'s linear model, and the exact shape of
+    a gradient-boosting split finder's inner loop (histogram-based
+    split enumeration, the LightGBM discipline).
+
+    Scale shape: one corpus pass reduces users to (feature, bin)
+    histograms (bins capped by construction: event counts clip at
+    ``STUMP_COUNT_CAP``, mean values bin at width ``STUMP_VALUE_BIN``
+    over the generator's bounded value range); thresholds ARE the bin
+    edges, so candidate enumeration and gain evaluation touch only the
+    bounded histogram — never the corpus. Split sides are prefix sums
+    along each feature's ordered bins (window over the bins)."""
+    ev = load(spark, sf_dir, "events")
+    feats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_ev"),
+        F.avg("value").alias("mv"),
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > STUMP_CONVERT_VALUE)
+            ).cast("int")
+        ).alias("y"),
+    )
+    binned = feats.select(
+        F.expr(
+            f"stack(2, 'n_events', CAST(least(n_ev, {STUMP_COUNT_CAP}) AS DOUBLE), "
+            f"'mean_value', CAST(floor(mv / {STUMP_VALUE_BIN}) AS DOUBLE) "
+            f"* {STUMP_VALUE_BIN}) "
+            "as (feature, bin)"
+        ),
+        "y",
+    )
+    hist = binned.groupBy("feature", "bin").agg(
+        F.count("*").alias("n"), F.sum("y").cast("long").alias("np")
+    )
+    wf = Window.partitionBy("feature").orderBy("bin")
+    wtot = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature",
+        F.col("bin").alias("threshold"),
+        F.sum("n").over(wf).alias("nl"),
+        F.sum("np").over(wf).alias("npl"),
+        F.sum("n").over(wtot).alias("nt"),
+        F.sum("np").over(wtot).alias("npt"),
+    ).where(F.col("nl") < F.col("nt"))  # right side must be non-empty
+
+    def _ent(pos, n):
+        p = pos.cast("double") / n.cast("double")
+        q = 1.0 - p
+        return -(
+            F.when(p > 0, p * F.log(p)).otherwise(F.lit(0.0))
+            + F.when(q > 0, q * F.log(q)).otherwise(F.lit(0.0))
+        )
+
+    nr = F.col("nt") - F.col("nl")
+    npr = F.col("npt") - F.col("npl")
+    gain = (
+        _ent(F.col("npt"), F.col("nt"))
+        - (F.col("nl").cast("double") / F.col("nt")) * _ent(F.col("npl"), F.col("nl"))
+        - (nr.cast("double") / F.col("nt")) * _ent(npr, nr)
+    )
+    scored = cum.select(
+        "feature",
+        rnd("threshold", 4).alias("threshold"),
+        F.col("nl").alias("n_left"),
+        nr.alias("n_right"),
+        rnd(gain, 6).alias("info_gain"),
+    )
+    wbest = Window.orderBy(
+        F.col("info_gain").desc(), F.col("feature").asc(), F.col("threshold").asc()
+    )
+    return scored.withColumn(
+        "is_best", F.row_number().over(wbest) == 1
+    )
+
+
+_STUMP_ORACLE = f"""
+WITH feats AS (
+  SELECT user_id, count(*) AS n_ev, avg(value) AS mv,
+         max(CASE WHEN event_type = 'purchase'
+                       AND value > {STUMP_CONVERT_VALUE}
+                  THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+binned AS (
+  SELECT 'n_events' AS feature,
+         CAST(least(n_ev, {STUMP_COUNT_CAP}) AS DOUBLE) AS bin, y
+  FROM feats
+  UNION ALL
+  SELECT 'mean_value', floor(mv / {STUMP_VALUE_BIN}) * {STUMP_VALUE_BIN}, y
+  FROM feats
+),
+hist AS (
+  SELECT feature, bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS np
+  FROM binned GROUP BY 1, 2
+),
+cum AS (
+  SELECT feature, bin AS threshold,
+         sum(n) OVER (PARTITION BY feature ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS nl,
+         sum(np) OVER (PARTITION BY feature ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING) AS npl,
+         sum(n) OVER (PARTITION BY feature) AS nt,
+         sum(np) OVER (PARTITION BY feature) AS npt
+  FROM hist
+),
+sides AS (SELECT * FROM cum WHERE nl < nt),
+scored AS (
+  SELECT feature,
+         round(threshold + {NUDGE}, 4) AS threshold,
+         CAST(nl AS BIGINT) AS n_left,
+         CAST(nt - nl AS BIGINT) AS n_right,
+         round(
+           (CASE WHEN npt > 0 AND npt < nt
+                 THEN -(CAST(npt AS DOUBLE) / nt) * ln(CAST(npt AS DOUBLE) / nt)
+                      - (1.0 - CAST(npt AS DOUBLE) / nt)
+                        * ln(1.0 - CAST(npt AS DOUBLE) / nt)
+                 ELSE 0.0 END)
+           - (CAST(nl AS DOUBLE) / nt)
+             * (CASE WHEN npl > 0 AND npl < nl
+                     THEN -(CAST(npl AS DOUBLE) / nl) * ln(CAST(npl AS DOUBLE) / nl)
+                          - (1.0 - CAST(npl AS DOUBLE) / nl)
+                            * ln(1.0 - CAST(npl AS DOUBLE) / nl)
+                     ELSE 0.0 END)
+           - (CAST(nt - nl AS DOUBLE) / nt)
+             * (CASE WHEN npt - npl > 0 AND npt - npl < nt - nl
+                     THEN -(CAST(npt - npl AS DOUBLE) / (nt - nl))
+                            * ln(CAST(npt - npl AS DOUBLE) / (nt - nl))
+                          - (1.0 - CAST(npt - npl AS DOUBLE) / (nt - nl))
+                            * ln(1.0 - CAST(npt - npl AS DOUBLE) / (nt - nl))
+                     ELSE 0.0 END)
+           + {NUDGE}, 6) AS info_gain
+  FROM sides
+)
+SELECT feature, threshold, n_left, n_right, info_gain,
+       row_number() OVER (ORDER BY info_gain DESC, feature ASC,
+                          threshold ASC) = 1 AS is_best
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# 7. precision / recall / F1 at k for the BM25 ranking
+# --------------------------------------------------------------------------
+
+
+def retrieval_precision_recall_at_k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """P@k / R@k / F1 for the BM25 ranking against the same binary
+    relevance bar as MRR (tf >= REL_TF) — the set-based IR metrics
+    next to ``retrieval_ndcg_mrr``'s rank-weighted ones: precision says
+    how clean the page is, recall how much of the relevant pool it
+    found, and the denominator of recall is the query's FULL relevant
+    count over all postings, not just the retrieved ones.
+
+    Scale shape: rides the shared BM25 scored-postings derivation
+    (broadcast bounded query set, inverted-postings equi-join,
+    per-token windows over that token's postings only); the metric
+    aggregation is one grouped pass over the scored postings."""
+    from flink_cookbook_spark.pipeline.retrieval import (
+        REL_TF, TOP_K, _scored,
+    )
+
+    scored = _scored(spark, sf_dir)
+    rel = (F.col("tf") >= REL_TF).cast("int")
+    per = scored.groupBy("token").agg(
+        F.sum(rel).cast("long").alias("n_rel_total"),
+        F.sum(F.when(F.col("rank") <= TOP_K, rel).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_rel_topk"),
+    )
+    p = F.col("n_rel_topk").cast("double") / TOP_K
+    r = F.col("n_rel_topk").cast("double") / F.greatest(
+        F.col("n_rel_total"), F.lit(1)
+    ).cast("double")
+    f1 = F.when(p + r > 0, 2.0 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return per.select(
+        "token",
+        "n_rel_total",
+        "n_rel_topk",
+        rnd(p, 6).alias("precision_at_k"),
+        rnd(r, 6).alias("recall_at_k"),
+        rnd(f1, 6).alias("f1_at_k"),
+    )
+
+
+def _pr_oracle() -> str:
+    from flink_cookbook_spark.pipeline.retrieval import (
+        _BM25_CTES, REL_TF, TOP_K,
+    )
+
+    return (
+        _BM25_CTES
+        + f"""
+, per AS (
+  SELECT token,
+         CAST(sum(CASE WHEN tf >= {REL_TF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel_total,
+         CAST(sum(CASE WHEN rank <= {TOP_K} AND tf >= {REL_TF}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_topk
+  FROM ranked GROUP BY token
+),
+calc AS (
+  SELECT *,
+         CAST(n_rel_topk AS DOUBLE) / {TOP_K} AS p,
+         CAST(n_rel_topk AS DOUBLE) / greatest(n_rel_total, 1) AS r
+  FROM per
+)
+SELECT token, n_rel_total, n_rel_topk,
+       round(p + {NUDGE}, 6) AS precision_at_k,
+       round(r + {NUDGE}, 6) AS recall_at_k,
+       round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+                  ELSE 0.0 END + {NUDGE}, 6) AS f1_at_k
+FROM calc
+"""
+    )
+
+
+#: name -> (query fn, oracle SQL). DELIBERATELY NOT merged into
+#: prepared.PREPARED_R8 and NOT imported by registry._ensure_loaded:
+#: round 9 froze registrations (r8 verdict ask #1). Round 10 flips the
+#: cohort by merging this dict into the activation path once the
+#: pending backlog has drained.
+PREPARED_R10: dict = {
+    "welch_t_test": (welch_t_test, _WELCH_ORACLE),
+    "pacf_durbin_levinson": (pacf_durbin_levinson, _PACF_ORACLE),
+    "nelson_aalen_hazard": (nelson_aalen_hazard, _NA_ORACLE),
+    "ewma_control_chart": (ewma_control_chart, _ewma_oracle()),
+    "matryoshka_recall": (matryoshka_recall, _MAT_ORACLE),
+    "decision_stump_split": (decision_stump_split, _STUMP_ORACLE),
+    "retrieval_precision_recall_at_k": (
+        retrieval_precision_recall_at_k,
+        _pr_oracle(),
+    ),
+}

@@ -75,16 +75,26 @@ def main() -> None:
         _scale(spark, out_dir)
         clear()
         specs = all_specs()
-        if os.environ.get("SPARK_GRAFT_PROBE_PREPARED"):
-            # also hold the round-8-prepared pairs to the gate at scale
-            from flink_cookbook_spark.pipeline.prepared import PREPARED_R8
+        which = os.environ.get("SPARK_GRAFT_PROBE_PREPARED")
+        if which:
+            # also hold a prepared cohort to the gate at scale:
+            # "r10" = the round-9-built deferred cohort (prepared19),
+            # anything else = the live round-8 cohort
             from flink_cookbook_spark.registry import QuerySpec
 
+            if which == "r10":
+                from flink_cookbook_spark.pipeline.prepared19 import (
+                    PREPARED_R10 as _cohort,
+                )
+            else:
+                from flink_cookbook_spark.pipeline.prepared import (
+                    PREPARED_R8 as _cohort,
+                )
             specs = dict(specs)
-            for n, (fn, oracle) in PREPARED_R8.items():
+            for n, (fn, oracle) in _cohort.items():
                 specs[n] = QuerySpec(name=n, fn=fn, oracle=oracle)
             if names == _DEFAULT:
-                names = tuple(PREPARED_R8)
+                names = tuple(_cohort)
         # Spark writes each table as a DIRECTORY of part files — glob it
         con = duckdb.connect()
         for t in TABLES:

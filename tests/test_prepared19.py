@@ -1,0 +1,177 @@
+"""Round-9-prepared (round-10-deferred) cohort: driver-identical oracle
+comparison + semantic property tests + registration-freeze pin.
+
+These seven pairs are verified through the exact harness the driver
+uses (tests.oracle_harness.compare) but are NOT registered: round 9
+froze registrations so the driver's correctness window can drain the
+pending backlog (r8 verdict ask #1). test_r10_cohort_not_registered
+pins the freeze; flipping the cohort in round 10 must flip that test.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from flink_cookbook_spark.pipeline.prepared19 import PREPARED_R10
+from tests.oracle_harness import compare, duckdb_connection
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_connection(sf_dir)
+    yield c
+    c.close()
+
+
+def test_r10_cohort_not_registered():
+    """Round-9 registration freeze: the deferred cohort must be absent
+    from the live registry (and collide with no live name)."""
+    from flink_cookbook_spark.registry import all_specs
+
+    live = set(all_specs())
+    leaked = set(PREPARED_R10) & live
+    assert not leaked, (
+        f"deferred r10 cohort leaked into the live registry: {sorted(leaked)}"
+        " — the round-9 freeze is broken (or round 10 flipped the cohort"
+        " without flipping this test)"
+    )
+
+
+@pytest.mark.parametrize(
+    "name", sorted(PREPARED_R10), ids=sorted(PREPARED_R10)
+)
+def test_r10_pair_matches_oracle(name, spark, sf_dir, con):
+    """Driver-identical comparison (row count + schema dtype kinds +
+    order-insensitive value hash + non-empty guard) for every deferred
+    pair — the same bar the live registry passes in test_oracle.py."""
+    fn, oracle = PREPARED_R10[name]
+    problems = compare(fn(spark, sf_dir), con, oracle, name, require_rows=True)
+    assert not problems, "\n".join(problems)
+
+
+def test_welch_df_and_flag_are_consistent(spark, sf_dir):
+    from flink_cookbook_spark.pipeline.prepared19 import WELCH_CRIT, welch_t_test
+
+    rows = welch_t_test(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.t_stat is None:
+            continue
+        # Welch df is bounded by the two-sample extremes
+        assert min(r.n_a, r.n_b) - 1 <= r.df_welch <= r.n_a + r.n_b - 2 + 1e-6
+        assert r.significant == (abs(r.t_stat) > WELCH_CRIT)
+
+
+def test_pacf_lag1_equals_acf_and_bounded(spark, sf_dir):
+    from flink_cookbook_spark.pipeline.prepared19 import pacf_durbin_levinson
+
+    rows = {r.lag: r for r in pacf_durbin_levinson(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    # phi_11 == r_1 is the Durbin-Levinson base case, exactly
+    assert abs(rows[1].pacf - rows[1].acf) < 1e-9
+    for r in rows.values():
+        assert abs(r.acf) <= 1.0 + 1e-6
+        assert abs(r.pacf) <= 1.0 + 1e-6
+
+
+def test_nelson_aalen_dominates_km_and_is_monotone(spark, sf_dir):
+    """H(t) must be non-decreasing, and exp(-H) >= KM survival at every
+    shared event time (-ln(1-x) >= x termwise), with equality only as
+    d/n -> 0."""
+    from flink_cookbook_spark.pipeline.prepared import kaplan_meier_survival
+    from flink_cookbook_spark.pipeline.prepared19 import nelson_aalen_hazard
+
+    na = {
+        r.t_hours: r for r in nelson_aalen_hazard(spark, sf_dir).collect()
+    }
+    km = {r.t_hours: r for r in kaplan_meier_survival(spark, sf_dir).collect()}
+    assert na and set(na) == set(km)
+    prev = 0.0
+    for t in sorted(na):
+        r = na[t]
+        assert r.cum_hazard >= prev - 1e-9
+        prev = r.cum_hazard
+        assert r.var_hazard >= 0
+        assert math.exp(-r.cum_hazard) >= km[t].survival - 1e-4, t
+
+
+def test_ewma_first_point_and_bounds(spark, sf_dir):
+    """z_1 must equal lambda*x_1 + (1-lambda)*mu0 exactly (the closed
+    form at t=1), and every z must sit inside the convex hull of the
+    observed daily means and the anchor."""
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        EWMA_LAMBDA, ewma_control_chart,
+    )
+
+    rows = ewma_control_chart(spark, sf_dir).collect()
+    assert rows
+    by_et: dict = {}
+    for r in rows:
+        by_et.setdefault(r.event_type, []).append(r)
+    for et, rs in by_et.items():
+        rs.sort(key=lambda r: r.t)
+        xs = [r.x for r in rs]
+        # recover mu0 from the t=1 identity
+        r1 = rs[0]
+        mu0 = (r1.ewma - EWMA_LAMBDA * r1.x) / (1 - EWMA_LAMBDA)
+        lo = min(min(xs), mu0) - 1e-3
+        hi = max(max(xs), mu0) + 1e-3
+        for r in rs:
+            assert lo <= r.ewma <= hi, (et, r.t)
+            assert r.lcl <= r.ucl
+            assert r.out_of_control == (r.ewma > r.ucl or r.ewma < r.lcl)
+
+
+def test_matryoshka_grid_complete_and_bounded(spark, sf_dir):
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        MAT_DIMS, MAT_K, MAT_QUERIES, matryoshka_recall,
+    )
+
+    rows = matryoshka_recall(spark, sf_dir).collect()
+    assert len(rows) == len(MAT_DIMS) * MAT_QUERIES
+    for r in rows:
+        assert 0 <= r.n_overlap <= MAT_K
+        assert 0.0 <= r.recall_at_k <= 1.0 + 1e-9
+    # the full-dim list is its own truth: a degenerate sanity anchor —
+    # at least one prefix dim should recover something at any SF
+    assert any(r.n_overlap > 0 for r in rows)
+
+
+def test_stump_has_one_best_and_nonneg_gains(spark, sf_dir):
+    from flink_cookbook_spark.pipeline.prepared19 import decision_stump_split
+
+    rows = decision_stump_split(spark, sf_dir).collect()
+    assert rows
+    best = [r for r in rows if r.is_best]
+    assert len(best) == 1
+    top = max(r.info_gain for r in rows)
+    assert abs(best[0].info_gain - top) < 1e-9
+    for r in rows:
+        # information gain is non-negative up to display rounding
+        assert r.info_gain >= -1e-4
+        assert r.n_left > 0 and r.n_right > 0
+    # each feature's splits partition the same population
+    totals = {(r.feature): r.n_left + r.n_right for r in rows}
+    assert len(set(totals.values())) == 1
+
+
+def test_precision_recall_identities(spark, sf_dir):
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        retrieval_precision_recall_at_k,
+    )
+    from flink_cookbook_spark.pipeline.retrieval import TOP_K
+
+    rows = retrieval_precision_recall_at_k(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_rel_topk <= min(TOP_K, max(r.n_rel_total, 1))
+        # the display nudge (+1e-6 before rounding) can carry an exact
+        # 1.0 to 1.000001 — the driver hash is unaffected (both sides
+        # nudge identically); the bound here allows it
+        assert 0.0 <= r.precision_at_k <= 1.0 + 2e-6
+        assert 0.0 <= r.recall_at_k <= 1.0 + 2e-6
+        p, rr = r.n_rel_topk / TOP_K, r.n_rel_topk / max(r.n_rel_total, 1)
+        if p + rr > 0:
+            assert abs(r.f1_at_k - 2 * p * rr / (p + rr)) < 1e-4
