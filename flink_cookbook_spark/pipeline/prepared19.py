@@ -975,3 +975,571 @@ PREPARED_R10: dict = {
         _pr_oracle(),
     ),
 }
+
+
+# ==========================================================================
+# batch 2 (same deferred contract)
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# 8. Page-Hinkley drift replay
+# --------------------------------------------------------------------------
+
+PH_DELTA = 0.1  #: magnitude tolerance subtracted per step (value units)
+PH_LAMBDA = 10.0  #: alarm threshold on the PH excursion
+
+
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE-HINKLEY DRIFT REPLAY over each event type's daily mean
+    series: m_t = sum_{i<=t}(x_i - xbar_i - delta) with xbar_i the
+    RUNNING mean at step i, excursion PH_t = m_t - min_{i<=t} m_i,
+    alarm when PH_t exceeds lambda — the classic sequential mean-shift
+    detector, completing the drift battery's SEQUENTIAL corner (CUSUM
+    here is a two-half excursion test; PH is the online form that
+    names its alarm day). Alarmed on the ROUNDED excursion so a
+    last-ulp running-mean divergence cannot flip the flag.
+
+    Scale shape: one combinable (event_type, day) aggregate; three
+    window passes (running mean, running sum, prefix min) over the SAME
+    per-key ordering — one exchange, calendar-bounded partitions."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("double") / 86400) * 86400)
+            .cast("long")
+            .alias("day_start"),
+            "value",
+        )
+        .groupBy("event_type", "day_start")
+        .agg(F.avg("value").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_start")
+    wp = w.rowsBetween(Window.unboundedPreceding, 0)
+    dev = daily.select(
+        "event_type",
+        "day_start",
+        "x",
+        (F.col("x") - F.avg("x").over(wp) - PH_DELTA).alias("dev"),
+    )
+    m = dev.select(
+        "event_type",
+        "day_start",
+        "x",
+        F.sum("dev").over(wp).alias("m"),
+    )
+    ph = m.select(
+        "event_type",
+        "day_start",
+        rnd("x", 4).alias("x"),
+        (F.col("m") - F.min("m").over(wp)).alias("ph_raw"),
+    )
+    ph_r = rnd("ph_raw", 4)
+    return ph.select(
+        "event_type",
+        "day_start",
+        "x",
+        ph_r.alias("ph_stat"),
+        (ph_r > PH_LAMBDA).alias("alarm"),
+    )
+
+
+_PH_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
+         avg(value) AS x
+  FROM events GROUP BY 1, 2
+),
+dev AS (
+  SELECT event_type, day_start, x,
+         x - avg(x) OVER (PARTITION BY event_type ORDER BY day_start
+                          ROWS UNBOUNDED PRECEDING) - {PH_DELTA} AS dev
+  FROM daily
+),
+m AS (
+  SELECT event_type, day_start, x,
+         sum(dev) OVER (PARTITION BY event_type ORDER BY day_start
+                        ROWS UNBOUNDED PRECEDING) AS m
+  FROM dev
+),
+ph AS (
+  SELECT event_type, day_start, round(x + {NUDGE}, 4) AS x,
+         m - min(m) OVER (PARTITION BY event_type ORDER BY day_start
+                          ROWS UNBOUNDED PRECEDING) AS ph_raw
+  FROM m
+)
+SELECT event_type, day_start, x,
+       round(ph_raw + {NUDGE}, 4) AS ph_stat,
+       round(ph_raw + {NUDGE}, 4) > {PH_LAMBDA} AS alarm
+FROM ph
+"""
+
+
+# --------------------------------------------------------------------------
+# 9. Theil inequality index with between/within decomposition
+# --------------------------------------------------------------------------
+
+
+def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-T INEQUALITY of document token counts, DECOMPOSED by
+    source: T = (1/N) sum (x/mu) ln(x/mu) splits EXACTLY into
+    between-group + within-group components — the property Gini lacks
+    (``revenue_concentration_gini`` compresses to one number; Theil
+    says how much inequality lives BETWEEN sources vs INSIDE them,
+    which is the actionable split for corpus balancing). The exact
+    additivity T = B + W is itself a pytest invariant.
+
+    Scale shape: ONE combinable per-source aggregate carrying
+    (n, sum x, sum x*ln x) — sufficient statistics for every component
+    — then pure algebra over the source-bounded rows. Per-source rows
+    emit group stats + contribution; the global T/B/W ride along as
+    constant columns."""
+    docs = load(spark, sf_dir, "documents")
+    x = F.size(F.split("text", " ")).cast("double")
+    per = (
+        docs.select("source", x.alias("x"))
+        .where(F.col("x") > 0)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum("x").alias("s_g"),
+            F.sum(F.col("x") * F.log("x")).alias("sxlx_g"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("sxlx_g").alias("sxlx"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    mu = F.col("s") / F.col("n")
+    mu_g = F.col("s_g") / F.col("n_g")
+    # T_g = (1/(n_g*mu_g)) * (sxlx_g - ln(mu_g)*s_g)
+    t_g = (F.col("sxlx_g") - F.log(mu_g) * F.col("s_g")) / (
+        F.col("n_g") * mu_g
+    )
+    share_g = F.col("s_g") / F.col("s")  # = (n_g/N)(mu_g/mu)
+    between = F.log(mu_g / mu) * share_g  # summed over groups -> B
+    total_t = (F.col("sxlx") - F.log(mu) * F.col("s")) / (F.col("n") * mu)
+    wall = Window.partitionBy()
+    out = j.select(
+        "source",
+        F.col("n_g").alias("n_docs"),
+        rnd(mu_g, 4).alias("mean_tokens"),
+        rnd(t_g, 6).alias("theil_within_group"),
+        rnd(share_g, 6).alias("token_share"),
+        rnd(between, 6).alias("between_contrib"),
+        rnd(total_t, 6).alias("theil_total"),
+        rnd(F.sum(between).over(wall), 6).alias("theil_between"),
+        rnd(F.sum(share_g * t_g).over(wall), 6).alias("theil_within"),
+    )
+    return out
+
+
+_THEIL_ORACLE = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_g, sum(x) AS s_g, sum(x * ln(x)) AS sxlx_g
+  FROM (
+    SELECT source,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS x
+    FROM documents
+  ) WHERE x > 0
+  GROUP BY source
+),
+tot AS (
+  SELECT sum(n_g) AS n, sum(s_g) AS s, sum(sxlx_g) AS sxlx FROM per
+),
+j AS (
+  SELECT p.*, t.n, t.s, t.sxlx,
+         t.s / t.n AS mu, p.s_g / p.n_g AS mu_g,
+         (p.sxlx_g - ln(p.s_g / p.n_g) * p.s_g) / (p.n_g * (p.s_g / p.n_g))
+           AS t_g,
+         p.s_g / t.s AS share_g,
+         ln((p.s_g / p.n_g) / (t.s / t.n)) * (p.s_g / t.s) AS between_c,
+         (t.sxlx - ln(t.s / t.n) * t.s) / (t.n * (t.s / t.n)) AS total_t
+  FROM per p CROSS JOIN tot t
+)
+SELECT source,
+       CAST(n_g AS BIGINT) AS n_docs,
+       round(mu_g + {NUDGE}, 4) AS mean_tokens,
+       round(t_g + {NUDGE}, 6) AS theil_within_group,
+       round(share_g + {NUDGE}, 6) AS token_share,
+       round(between_c + {NUDGE}, 6) AS between_contrib,
+       round(total_t + {NUDGE}, 6) AS theil_total,
+       round(sum(between_c) OVER () + {NUDGE}, 6) AS theil_between,
+       round(sum(share_g * t_g) OVER () + {NUDGE}, 6) AS theil_within
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# 10. Kruskal-Wallis by binned midranks
+# --------------------------------------------------------------------------
+
+KW_BIN_DP = 2  #: values bin at this rounding before midranking
+
+
+def kruskal_wallis_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS one-way rank test of ``value`` across event
+    types, computed on BINNED MIDRANKS (values rounded to ``KW_BIN_DP``
+    decimals; every observation in a bin shares the bin's midrank) —
+    the rank-based ANOVA next to ``anova_oneway``'s parametric one and
+    ``mann_whitney_u``'s two-sample case, with the H statistic
+    tie-corrected for the binning it performs. Per-group mean ranks
+    emit so the DIRECTION of separation is visible, with H / corrected
+    H / df as constant columns.
+
+    Scale shape: the binned-AUC discipline — one combinable
+    (bin, event_type) histogram bounds everything downstream: the
+    midrank window runs over the bin axis (bounded by the generator's
+    fixed value range x 10^dp, data-independent), never a
+    corpus-cardinality rank sort."""
+    ev = load(spark, sf_dir, "events")
+    b = F.round(F.col("value") + F.lit(NUDGE), KW_BIN_DP)
+    hist = ev.groupBy(b.alias("bin"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    bins = hist.groupBy("bin").agg(F.sum("n").alias("t"))
+    wb = Window.orderBy("bin")
+    ranked_bins = bins.select(
+        "bin",
+        "t",
+        (
+            F.coalesce(
+                F.sum("t").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("double")
+            + (F.col("t").cast("double") + 1.0) / 2.0
+        ).alias("midrank"),
+    )
+    per = (
+        hist.join(ranked_bins, "bin")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_g"),
+            F.sum(F.col("n").cast("double") * F.col("midrank")).alias("r_g"),
+        )
+    )
+    ties = ranked_bins.agg(
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t")
+            - F.col("t").cast("double")
+        ).alias("tie_sum")
+    )
+    tot = per.agg(
+        F.sum("n_g").alias("n"),
+        F.count("*").alias("k"),
+        F.sum(
+            F.col("r_g") * F.col("r_g") / F.col("n_g").cast("double")
+        ).alias("rr"),
+    )
+    j = per.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ties))
+    nn = F.col("n").cast("double")
+    h = 12.0 / (nn * (nn + 1.0)) * F.col("rr") - 3.0 * (nn + 1.0)
+    c = 1.0 - F.col("tie_sum") / (nn * nn * nn - nn)
+    return j.select(
+        "event_type",
+        F.col("n_g").alias("n_obs"),
+        rnd(F.col("r_g") / F.col("n_g").cast("double"), 4).alias("mean_rank"),
+        rnd(h, 4).alias("h_stat"),
+        rnd(F.when(c > 0, h / c), 4).alias("h_corrected"),
+        (F.col("k") - 1).cast("int").alias("df"),
+    )
+
+
+_KW_ORACLE = f"""
+WITH hist AS (
+  SELECT round(value + {NUDGE}, {KW_BIN_DP}) AS bin, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bins AS (SELECT bin, sum(n) AS t FROM hist GROUP BY bin),
+ranked_bins AS (
+  SELECT bin, t,
+         CAST(COALESCE(sum(t) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           + (CAST(t AS DOUBLE) + 1.0) / 2.0 AS midrank
+  FROM bins
+),
+per AS (
+  SELECT h.event_type, sum(h.n) AS n_g,
+         sum(CAST(h.n AS DOUBLE) * r.midrank) AS r_g
+  FROM hist h JOIN ranked_bins r ON h.bin = r.bin
+  GROUP BY h.event_type
+),
+ties AS (
+  SELECT sum(CAST(t AS DOUBLE) * t * t - CAST(t AS DOUBLE)) AS tie_sum
+  FROM ranked_bins
+),
+tot AS (
+  SELECT sum(n_g) AS n, count(*) AS k,
+         sum(r_g * r_g / CAST(n_g AS DOUBLE)) AS rr
+  FROM per
+)
+SELECT p.event_type,
+       CAST(p.n_g AS BIGINT) AS n_obs,
+       round(p.r_g / CAST(p.n_g AS DOUBLE) + {NUDGE}, 4) AS mean_rank,
+       round(12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1.0)) * t.rr
+             - 3.0 * (t.n + 1.0) + {NUDGE}, 4) AS h_stat,
+       round(CASE WHEN 1.0 - ti.tie_sum
+                       / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n) > 0
+                  THEN (12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1.0)) * t.rr
+                        - 3.0 * (t.n + 1.0))
+                       / (1.0 - ti.tie_sum
+                          / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n)) END
+             + {NUDGE}, 4) AS h_corrected,
+       CAST(t.k - 1 AS INTEGER) AS df
+FROM per p CROSS JOIN tot t CROSS JOIN ties ti
+"""
+
+
+# --------------------------------------------------------------------------
+# 11. KS separation of the probabilistic scorer
+# --------------------------------------------------------------------------
+
+KSSEP_BINS = 100  #: fixed score grid (finer than the mleval reliability 10)
+
+
+def score_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS SEPARATION STATISTIC of the closed-form probabilistic scorer
+    (the credit-scoring "KS": max gap between the positive and negative
+    cumulative score distributions), computed on a fixed
+    ``KSSEP_BINS``-cell histogram of the same scorer the mleval family
+    evaluates — calibration says the probabilities are honest, ROC
+    sweeps thresholds, KS names the single best separating threshold
+    and how much separation exists there.
+
+    Scale shape: one corpus pass to the bounded histogram; the CDF
+    window and the argmax run over <= ``KSSEP_BINS`` rows."""
+    from flink_cookbook_spark.operators.mleval import _p, _y
+
+    ev = load(spark, sf_dir, "events")
+    b = F.least(F.floor(_p() * KSSEP_BINS), F.lit(KSSEP_BINS - 1)).cast(
+        "long"
+    )
+    hist = ev.select(b.alias("bin"), _y().alias("y")).groupBy("bin").agg(
+        F.count("*").alias("n"), F.sum("y").cast("long").alias("np")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tots = hist.agg(
+        F.sum("n").alias("n_total"), F.sum("np").alias("n_pos")
+    )
+    cum = hist.crossJoin(F.broadcast(tots)).select(
+        "bin",
+        "n_total",
+        "n_pos",
+        (
+            F.sum("np").over(w).cast("double") / F.col("n_pos")
+        ).alias("cpos"),
+        (
+            F.sum(F.col("n") - F.col("np")).over(w).cast("double")
+            / (F.col("n_total") - F.col("n_pos"))
+        ).alias("cneg"),
+    )
+    gap = cum.select(
+        "n_total",
+        "n_pos",
+        "bin",
+        rnd(F.abs(F.col("cpos") - F.col("cneg")), 6).alias("gap"),
+    )
+    return (
+        gap.orderBy(F.col("gap").desc(), F.col("bin").asc())
+        .limit(1)
+        .select(
+            "n_total",
+            "n_pos",
+            F.col("gap").alias("ks_stat"),
+            F.col("bin").alias("ks_bin"),
+            rnd(
+                (F.col("bin").cast("double") + 1.0) / KSSEP_BINS, 4
+            ).alias("ks_threshold"),
+        )
+    )
+
+
+def _kssep_oracle() -> str:
+    from flink_cookbook_spark.operators.mleval import _P_SQL, _Y_SQL
+
+    return f"""
+WITH hist AS (
+  SELECT CAST(least(floor(({_P_SQL}) * {KSSEP_BINS}), {KSSEP_BINS - 1})
+              AS BIGINT) AS bin,
+         count(*) AS n,
+         CAST(sum({_Y_SQL}) AS BIGINT) AS np
+  FROM events GROUP BY 1
+),
+tots AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total, CAST(sum(np) AS BIGINT) AS n_pos
+  FROM hist
+),
+cum AS (
+  SELECT h.bin, t.n_total, t.n_pos,
+         CAST(sum(h.np) OVER (ORDER BY h.bin ROWS UNBOUNDED PRECEDING)
+              AS DOUBLE) / t.n_pos AS cpos,
+         CAST(sum(h.n - h.np) OVER (ORDER BY h.bin ROWS UNBOUNDED PRECEDING)
+              AS DOUBLE) / (t.n_total - t.n_pos) AS cneg
+  FROM hist h CROSS JOIN tots t
+),
+gap AS (
+  SELECT n_total, n_pos, bin,
+         round(abs(cpos - cneg) + {NUDGE}, 6) AS gap
+  FROM cum
+)
+SELECT n_total, n_pos, gap AS ks_stat, bin AS ks_bin,
+       round((CAST(bin AS DOUBLE) + 1.0) / {KSSEP_BINS} + {NUDGE}, 4)
+         AS ks_threshold
+FROM gap ORDER BY gap DESC, bin ASC LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 12. linear-time MMD drift between embedding halves
+# --------------------------------------------------------------------------
+
+MMD_SAMPLE = 256  #: per-group deterministic sample size (bounded)
+MMD_BW2 = 8.0  #: RBF kernel bandwidth^2 (fixed literal, both engines)
+
+
+def mmd_linear_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-TIME MMD between the even- and odd-id halves of the
+    embedding corpus: the kernel two-sample test for DISTRIBUTION drift
+    in embedding space (``embedding_centroid_drift`` sees the mean
+    move; MMD with an RBF kernel sees shape changes the mean hides),
+    using Gretton's linear-time estimator — h(i) = k(a,a') + k(b,b')
+    - k(a,b') - k(a',b) averaged over disjoint quadruples — so the
+    kernel never touches sample^2 pairs.
+
+    Scale shape: each group reduces to a ``MMD_SAMPLE``-row
+    deterministic prefix sample via orderBy().limit()
+    (TakeOrderedAndProject — the IVF bounded-sample discipline);
+    pairing, the quadruple join, and the average run over those
+    bounded rows only. Squared distances expand to
+    |x|^2+|y|^2-2x.y over the same sequential-fold dot product DuckDB
+    uses, so kernel inputs are bit-identical."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.col("embedding").cast("array<double>")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def group(par: int) -> DataFrame:
+        g = (
+            emb.where(F.col("vec_id") % 2 == par)
+            .select("vec_id", "emb")
+            .orderBy("vec_id")
+            .limit(MMD_SAMPLE)
+        )
+        w = Window.orderBy("vec_id")  # bounded: MMD_SAMPLE rows
+        return g.select(
+            F.col("emb"),
+            _dot(F.col("emb"), F.col("emb")).alias("n2"),
+            F.row_number().over(w).alias("idx"),
+        ).select(
+            "emb",
+            "n2",
+            ((F.col("idx") - 1) / 2).cast("long").alias("p"),
+            ((F.col("idx") - 1) % 2).alias("slot"),
+        )
+
+    a, b = group(0), group(1)
+
+    def pick(df: DataFrame, slot: int, tag: str) -> DataFrame:
+        return df.where(F.col("slot") == slot).select(
+            "p",
+            F.col("emb").alias(f"e_{tag}"),
+            F.col("n2").alias(f"n2_{tag}"),
+        )
+
+    quad = (
+        pick(a, 0, "a0")
+        .join(pick(a, 1, "a1"), "p")
+        .join(pick(b, 0, "b0"), "p")
+        .join(pick(b, 1, "b1"), "p")
+    )
+
+    def k(x: str, y: str):
+        d2 = (
+            F.col(f"n2_{x}")
+            + F.col(f"n2_{y}")
+            - 2.0 * _dot(F.col(f"e_{x}"), F.col(f"e_{y}"))
+        )
+        return F.exp(-d2 / (2.0 * MMD_BW2))
+
+    h = k("a0", "a1") + k("b0", "b1") - k("a0", "b1") - k("a1", "b0")
+    return quad.agg(
+        F.count("*").alias("n_quadruples"),
+        rnd(F.avg(h), 6).alias("mmd_linear"),
+        rnd(F.avg(k("a0", "a1")), 6).alias("mean_k_within_a"),
+        rnd(F.avg(k("b0", "b1")), 6).alias("mean_k_within_b"),
+        rnd(F.avg(k("a0", "b1")), 6).alias("mean_k_cross"),
+    )
+
+
+def _mmd_oracle() -> str:
+    def gcte(name: str, par: int) -> str:
+        return f"""{name}_s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id % 2 = {par}
+  ORDER BY vec_id LIMIT {MMD_SAMPLE}
+),
+{name} AS (
+  SELECT e, list_dot_product(e, e) AS n2,
+         CAST((row_number() OVER (ORDER BY vec_id) - 1) // 2 AS BIGINT) AS p,
+         (row_number() OVER (ORDER BY vec_id) - 1) % 2 AS slot
+  FROM {name}_s
+)"""
+
+    def kk(x: str, y: str) -> str:
+        return (
+            f"exp(-({x}.n2 + {y}.n2 - 2.0 * list_dot_product({x}.e, {y}.e))"
+            f" / (2.0 * {MMD_BW2}))"
+        )
+
+    return f"""
+WITH {gcte("ga", 0)},
+{gcte("gb", 1)},
+quad AS (
+  SELECT a0.p,
+         a0.e AS ea0, a0.n2 AS na0, a1.e AS ea1, a1.n2 AS na1,
+         b0.e AS eb0, b0.n2 AS nb0, b1.e AS eb1, b1.n2 AS nb1
+  FROM (SELECT * FROM ga WHERE slot = 0) a0
+  JOIN (SELECT * FROM ga WHERE slot = 1) a1 ON a0.p = a1.p
+  JOIN (SELECT * FROM gb WHERE slot = 0) b0 ON a0.p = b0.p
+  JOIN (SELECT * FROM gb WHERE slot = 1) b1 ON a0.p = b1.p
+),
+kerns AS (
+  SELECT p,
+         exp(-(na0 + na1 - 2.0 * list_dot_product(ea0, ea1))
+             / (2.0 * {MMD_BW2})) AS kaa,
+         exp(-(nb0 + nb1 - 2.0 * list_dot_product(eb0, eb1))
+             / (2.0 * {MMD_BW2})) AS kbb,
+         exp(-(na0 + nb1 - 2.0 * list_dot_product(ea0, eb1))
+             / (2.0 * {MMD_BW2})) AS kab,
+         exp(-(na1 + nb0 - 2.0 * list_dot_product(ea1, eb0))
+             / (2.0 * {MMD_BW2})) AS kba
+  FROM quad
+)
+SELECT CAST(count(*) AS BIGINT) AS n_quadruples,
+       round(avg(kaa + kbb - kab - kba) + {NUDGE}, 6) AS mmd_linear,
+       round(avg(kaa) + {NUDGE}, 6) AS mean_k_within_a,
+       round(avg(kbb) + {NUDGE}, 6) AS mean_k_within_b,
+       round(avg(kab) + {NUDGE}, 6) AS mean_k_cross
+FROM kerns
+"""
+
+
+PREPARED_R10.update(
+    {
+        "page_hinkley_drift": (page_hinkley_drift, _PH_ORACLE),
+        "theil_decomposition": (theil_decomposition, _THEIL_ORACLE),
+        "kruskal_wallis_binned": (kruskal_wallis_binned, _KW_ORACLE),
+        "score_ks_separation": (score_ks_separation, _kssep_oracle()),
+        "mmd_linear_drift": (mmd_linear_drift, _mmd_oracle()),
+    }
+)

@@ -1,7 +1,8 @@
 """Round-9-prepared (round-10-deferred) cohort: driver-identical oracle
 comparison + semantic property tests + registration-freeze pin.
 
-These seven pairs are verified through the exact harness the driver
+These twelve pairs (batch 1: seven, batch 2: five) are verified
+through the exact harness the driver
 uses (tests.oracle_harness.compare) but are NOT registered: round 9
 froze registrations so the driver's correctness window can drain the
 pending backlog (r8 verdict ask #1). test_r10_cohort_not_registered
@@ -175,3 +176,73 @@ def test_precision_recall_identities(spark, sf_dir):
         p, rr = r.n_rel_topk / TOP_K, r.n_rel_topk / max(r.n_rel_total, 1)
         if p + rr > 0:
             assert abs(r.f1_at_k - 2 * p * rr / (p + rr)) < 1e-4
+
+
+def test_page_hinkley_stat_nonneg_and_flag_consistent(spark, sf_dir):
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        PH_LAMBDA, page_hinkley_drift,
+    )
+
+    rows = page_hinkley_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # PH excursion m_t - min m is non-negative by construction
+        assert r.ph_stat >= -1e-6
+        assert r.alarm == (r.ph_stat > PH_LAMBDA)
+
+
+def test_theil_additivity_and_nonneg(spark, sf_dir):
+    """The decomposition identity T = B + W must hold exactly (up to
+    display rounding), and every component is non-negative up to the
+    same rounding."""
+    from flink_cookbook_spark.pipeline.prepared19 import theil_decomposition
+
+    rows = theil_decomposition(spark, sf_dir).collect()
+    assert rows
+    r = rows[0]
+    assert abs(r.theil_total - (r.theil_between + r.theil_within)) < 5e-6
+    assert r.theil_total >= -1e-5
+    assert r.theil_within >= -1e-5
+    for row in rows:
+        assert row.theil_within_group >= -1e-5
+    assert abs(sum(row.token_share for row in rows) - 1.0) < 1e-4
+
+
+def test_kruskal_wallis_rank_identities(spark, sf_dir):
+    """Weighted mean of the group mean ranks must equal the global mean
+    rank (N+1)/2; H >= 0; tie-corrected H >= H."""
+    from flink_cookbook_spark.pipeline.prepared19 import kruskal_wallis_binned
+
+    rows = kruskal_wallis_binned(spark, sf_dir).collect()
+    assert rows
+    n = sum(r.n_obs for r in rows)
+    grand = sum(r.n_obs * r.mean_rank for r in rows) / n
+    assert abs(grand - (n + 1) / 2.0) < 1e-2
+    r0 = rows[0]
+    assert r0.h_stat >= -1e-6
+    assert r0.h_corrected >= r0.h_stat - 1e-6
+    assert r0.df == len(rows) - 1
+
+
+def test_ks_separation_bounded_and_threshold(spark, sf_dir):
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        KSSEP_BINS, score_ks_separation,
+    )
+
+    [r] = score_ks_separation(spark, sf_dir).collect()
+    assert 0.0 <= r.ks_stat <= 1.0 + 2e-6
+    assert 0 <= r.ks_bin < KSSEP_BINS
+    assert 0 < r.n_pos < r.n_total
+
+
+def test_mmd_kernel_bounds_and_self_null(spark, sf_dir):
+    """Kernel means live in (0, 1]; the linear MMD estimate of two
+    halves of the SAME generator should be small (well under the
+    within-group kernel mass), and |mmd| <= 2 trivially."""
+    from flink_cookbook_spark.pipeline.prepared19 import mmd_linear_drift
+
+    [r] = mmd_linear_drift(spark, sf_dir).collect()
+    assert r.n_quadruples > 0
+    for v in (r.mean_k_within_a, r.mean_k_within_b, r.mean_k_cross):
+        assert 0.0 < v <= 1.0 + 2e-6
+    assert abs(r.mmd_linear) <= 2.0
