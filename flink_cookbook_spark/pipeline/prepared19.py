@@ -11,7 +11,8 @@ is deliberately NOT merged into ``prepared.PREPARED_R8`` and
 round 10 is one line (merge + REVERIFY untouched — these names have no
 prior driver record).
 
-The seven operators close real gaps:
+Batch 1's seven operators close real gaps (later batches are
+documented at their own section headers below):
 
 - ``welch_t_test`` — the unequal-variance two-sample test the A/B
   battery lacked (t, Welch-Satterthwaite df) next to
@@ -1541,5 +1542,703 @@ PREPARED_R10.update(
         "kruskal_wallis_binned": (kruskal_wallis_binned, _KW_ORACLE),
         "score_ks_separation": (score_ks_separation, _kssep_oracle()),
         "mmd_linear_drift": (mmd_linear_drift, _mmd_oracle()),
+    }
+)
+
+
+# ==========================================================================
+# batch 3 (same deferred contract)
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# 13. Mann-Kendall trend test + Sen's slope
+# --------------------------------------------------------------------------
+
+MK_Z_CRIT = 1.96  #: two-sided normal critical value at alpha = 0.05
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST with SEN'S SLOPE per event type over the
+    daily-mean series: S = sum_{i<j} sign(x_j - x_i), tie-corrected
+    variance, continuity-corrected Z, and the distribution-free slope
+    estimate median{(x_j - x_i)/(t_j - t_i)} — the standard monotone-
+    trend battery that CUSUM/changepoint (level shifts) and Holt
+    (parametric trend) do not cover. Daily means are rounded to 9 dp
+    BEFORE pairing (the ACF discipline) so sign() and the pairwise
+    slopes run on bit-identical doubles in both engines; the trend
+    label reads the ROUNDED Z so a last-ulp cannot flip it.
+
+    Scale shape: the pairwise stage is a self-equi-join on event_type
+    over the DAILY aggregate — calendar-bounded (days^2/2 pairs per
+    type, never event-cardinality). Sen's slope is an exact percentile
+    over those bounded pairs."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("double") / 86400) * 86400)
+            .cast("long")
+            .alias("day_start"),
+            "value",
+        )
+        .groupBy("event_type", "day_start")
+        .agg(F.round(F.avg("value") + F.lit(NUDGE), 9).alias("x"))
+    )
+    d1 = daily.select(
+        "event_type", F.col("day_start").alias("t1"), F.col("x").alias("x1")
+    )
+    d2 = daily.select(
+        "event_type", F.col("day_start").alias("t2"), F.col("x").alias("x2")
+    )
+    pairs = (
+        d1.join(d2, "event_type")
+        .where(F.col("t2") > F.col("t1"))
+        .select(
+            "event_type",
+            F.signum(F.col("x2") - F.col("x1")).cast("long").alias("sgn"),
+            F.round(
+                (F.col("x2") - F.col("x1"))
+                / ((F.col("t2") - F.col("t1")) / F.lit(86400.0))
+                + F.lit(NUDGE),
+                9,
+            ).alias("slope"),
+        )
+    )
+    per = pairs.groupBy("event_type").agg(
+        F.sum("sgn").alias("s_stat"),
+        F.expr("percentile(slope, 0.5)").alias("sen_raw"),
+    )
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    j = nn.join(per, "event_type").join(ties, "event_type")
+    n = F.col("n_days").cast("double")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("tie_term").cast("double")
+    ) / 18.0
+    z_raw = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    z_r = rnd(z_raw, 4)
+    return j.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        rnd(var_s, 4).alias("var_s"),
+        z_r.alias("z_stat"),
+        rnd("sen_raw", 6).alias("sen_slope_per_day"),
+        F.when(z_r > MK_Z_CRIT, F.lit("increasing"))
+        .when(z_r < -MK_Z_CRIT, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+_MK_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
+         round(avg(value) + {NUDGE}, 9) AS x
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(sign(b.x - a.x) AS BIGINT) AS sgn,
+         round((b.x - a.x) / ((b.day_start - a.day_start) / 86400.0)
+               + {NUDGE}, 9) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.day_start > a.day_start
+),
+per AS (
+  SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s_stat,
+         quantile_cont(slope, 0.5) AS sen_raw
+  FROM pairs GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS DOUBLE) AS tie_term
+  FROM (SELECT event_type, x, count(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+),
+nn AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1),
+j AS (
+  SELECT nn.event_type, nn.n_days, per.s_stat, per.sen_raw,
+         (CAST(nn.n_days AS DOUBLE) * (nn.n_days - 1) * (2 * nn.n_days + 5)
+          - ties.tie_term) / 18.0 AS var_s,
+         round(CASE WHEN per.s_stat > 0
+                    THEN (per.s_stat - 1) / sqrt(
+                      (CAST(nn.n_days AS DOUBLE) * (nn.n_days - 1)
+                       * (2 * nn.n_days + 5) - ties.tie_term) / 18.0)
+                    WHEN per.s_stat < 0
+                    THEN (per.s_stat + 1) / sqrt(
+                      (CAST(nn.n_days AS DOUBLE) * (nn.n_days - 1)
+                       * (2 * nn.n_days + 5) - ties.tie_term) / 18.0)
+                    ELSE 0.0 END + {NUDGE}, 4) AS z_r
+  FROM nn JOIN per ON nn.event_type = per.event_type
+          JOIN ties ON nn.event_type = ties.event_type
+)
+SELECT event_type, n_days, s_stat,
+       round(var_s + {NUDGE}, 4) AS var_s,
+       z_r AS z_stat,
+       round(sen_raw + {NUDGE}, 6) AS sen_slope_per_day,
+       CASE WHEN z_r > {MK_Z_CRIT} THEN 'increasing'
+            WHEN z_r < -{MK_Z_CRIT} THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# 14. held-out unigram perplexity (train/eval split LM evaluation)
+# --------------------------------------------------------------------------
+
+PPL_TRAIN_MOD = 10  #: deterministic split modulus over doc_id
+PPL_TRAIN_LT = 8  #: doc_id % MOD < LT -> train (80/20 split)
+LN2 = 0.6931471805599453  #: math.log(2) as a shared Python-float literal
+
+
+def unigram_perplexity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT UNIGRAM PERPLEXITY per source: train an add-one-
+    smoothed unigram LM on the deterministic 80% doc_id split, then
+    score the held-out 20% — cross-entropy (bits/token), perplexity,
+    and OOV share per source. This is the classic cheap corpus-quality
+    / domain-shift probe a training-data pipeline runs before paying
+    for a real LM pass: a source whose held-out perplexity under the
+    corpus LM is an outlier is distributionally unlike the rest.
+    Perplexity is exponentiated from the ROUNDED cross-entropy so both
+    engines pow() identical doubles.
+
+    Scale shape: token explode -> one combinable count aggregate
+    (vocab-bounded), a 1-row totals broadcast, an eval-side
+    vocab-bounded left join, then one per-source aggregate. No windows,
+    no driver loops; everything map-side combinable."""
+    docs = load(spark, sf_dir, "documents")
+    train_tok = docs.where(
+        F.col("doc_id") % PPL_TRAIN_MOD < PPL_TRAIN_LT
+    ).select(F.explode(F.split("text", " ")).alias("token"))
+    counts = train_tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("n_train"), F.count("*").alias("v_train")
+    )
+    ev = docs.where(F.col("doc_id") % PPL_TRAIN_MOD >= PPL_TRAIN_LT).select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    j = ev.join(counts, "token", "left").crossJoin(F.broadcast(tot))
+    denom = (F.col("n_train") + F.col("v_train") + 1).cast("double")
+    logp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / denom
+    )
+    agg = j.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.avg(logp).alias("mean_lp"),
+    )
+    h = rnd(-F.col("mean_lp") / F.lit(LN2), 6)
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        rnd(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_share"),
+        h.alias("cross_entropy_bits"),
+        rnd(F.pow(F.lit(2.0), h), 4).alias("perplexity"),
+    )
+
+
+_PPL_ORACLE = f"""
+WITH train_tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id % {PPL_TRAIN_MOD} < {PPL_TRAIN_LT}
+),
+counts AS (SELECT token, count(*) AS c FROM train_tok GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_train, count(*) AS v_train FROM counts
+),
+ev AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id % {PPL_TRAIN_MOD} >= {PPL_TRAIN_LT}
+),
+j AS (
+  SELECT e.source, c.c, t.n_train, t.v_train
+  FROM ev e LEFT JOIN counts c ON e.token = c.token CROSS JOIN tot t
+),
+agg AS (
+  SELECT source, count(*) AS n_tokens,
+         CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+         avg(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE)
+                / CAST(n_train + v_train + 1 AS DOUBLE))) AS mean_lp
+  FROM j GROUP BY 1
+)
+SELECT source, n_tokens, n_oov,
+       round(CAST(n_oov AS DOUBLE) / n_tokens + {NUDGE}, 6) AS oov_share,
+       round(-mean_lp / {LN2} + {NUDGE}, 6) AS cross_entropy_bits,
+       round(pow(2.0, round(-mean_lp / {LN2} + {NUDGE}, 6)) + {NUDGE}, 4)
+         AS perplexity
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# 15. pairwise Jensen-Shannon divergence between source unigram mixes
+# --------------------------------------------------------------------------
+
+INV_LN2 = 1.4426950408889634  #: 1/ln(2) as a shared Python-float literal
+
+
+def jensen_shannon_source_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PAIRWISE JENSEN-SHANNON DIVERGENCE (bits) between every source
+    pair's unigram distribution — the symmetric, bounded [0,1]
+    distance behind data-mixture design (KL is asymmetric and infinite
+    on disjoint support; JS is neither). Decomposed so only SHARED
+    tokens need the join: an exclusive token contributes exactly
+    p/2 bits, so JS = 0.5*sum_shared[p*log2(2p/(p+q)) +
+    q*log2(2q/(p+q))] + (1-shared_mass_a)/2 + (1-shared_mass_b)/2.
+    log2 is expressed as ln * INV_LN2 with the SAME literal on both
+    engines.
+
+    Scale shape: per-source token counts (combinable), a broadcast
+    totals join, then a self-equi-join ON TOKEN (each token expands to
+    at most sources^2 pairs — vocab x pairs rows, never corpus-
+    cardinality), one pair-bounded aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    totals = tok.groupBy("source").agg(F.count("*").alias("n"))
+    probs = counts.join(F.broadcast(totals), "source").select(
+        "source",
+        "token",
+        (F.col("c").cast("double") / F.col("n")).alias("p"),
+    )
+    a = probs.select(
+        F.col("source").alias("source_a"),
+        "token",
+        F.col("p").alias("pa"),
+    )
+    b = probs.select(
+        F.col("source").alias("source_b"),
+        "token",
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(b, "token").where(F.col("source_a") < F.col("source_b"))
+    term = F.col("pa") * F.log(
+        F.lit(2.0) * F.col("pa") / (F.col("pa") + F.col("pb"))
+    ) + F.col("pb") * F.log(
+        F.lit(2.0) * F.col("pb") / (F.col("pa") + F.col("pb"))
+    )
+    agg = pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("shared_vocab"),
+        F.sum("pa").alias("sa"),
+        F.sum("pb").alias("sb"),
+        F.sum(term).alias("common_nats"),
+    )
+    js = (
+        0.5 * F.col("common_nats") * F.lit(INV_LN2)
+        + 0.5 * ((1 - F.col("sa")) + (1 - F.col("sb")))
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "shared_vocab",
+        rnd("sa", 6).alias("shared_mass_a"),
+        rnd("sb", 6).alias("shared_mass_b"),
+        rnd(js, 6).alias("js_divergence_bits"),
+    )
+
+
+_JS_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+),
+totals AS (SELECT source, count(*) AS n FROM tok GROUP BY 1),
+probs AS (
+  SELECT c.source, c.token, CAST(c.c AS DOUBLE) / t.n AS p
+  FROM counts c JOIN totals t ON c.source = t.source
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.p AS pa, b.p AS pb
+  FROM probs a JOIN probs b
+    ON a.token = b.token AND a.source < b.source
+),
+agg AS (
+  SELECT source_a, source_b, count(*) AS shared_vocab,
+         sum(pa) AS sa, sum(pb) AS sb,
+         sum(pa * ln(2.0 * pa / (pa + pb))
+             + pb * ln(2.0 * pb / (pa + pb))) AS common_nats
+  FROM pairs GROUP BY 1, 2
+)
+SELECT source_a, source_b, shared_vocab,
+       round(sa + {NUDGE}, 6) AS shared_mass_a,
+       round(sb + {NUDGE}, 6) AS shared_mass_b,
+       round(0.5 * common_nats * {INV_LN2}
+             + 0.5 * ((1 - sa) + (1 - sb)) + {NUDGE}, 6)
+         AS js_divergence_bits
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# 16. Brown-Forsythe (median-centred Levene) variance-homogeneity test
+# --------------------------------------------------------------------------
+
+
+def levene_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE VARIANCE-HOMOGENEITY TEST across event types:
+    absolute deviations from each group's EXACT MEDIAN (the robust
+    Levene variant), then the one-way ANOVA F on those deviations —
+    the assumption check that should precede every pooled-variance
+    test in the cohort (`welch_t_test` exists precisely because this
+    can fail; now the engine can SAY whether it fails). Group medians
+    are rounded to 9 dp before centring so |x - med| is bit-identical
+    in both engines.
+
+    Scale shape: exact per-group medians (bounded groups), broadcast
+    back; then ONE combinable pass carrying (n, sum z, sum z^2) per
+    group; W assembled from k-bounded rows. Per-group rows emit n,
+    median, mean |dev|; the W statistic and dfs ride along as constant
+    columns (the Theil pattern)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)") + F.lit(NUDGE), 9).alias(
+            "med"
+        )
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("z"),
+    )
+    g = z.groupBy("event_type").agg(
+        F.count("*").alias("n_g"),
+        F.max("med").alias("med"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("sz2"),
+    )
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        F.count("*").alias("k"),
+        F.sum("sz").alias("szt"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    zbar_g = F.col("sz") / F.col("n_g")
+    zbar = F.col("szt") / F.col("n")
+    stats = j.select(
+        "event_type",
+        "n_g",
+        "med",
+        zbar_g.alias("zbar_g"),
+        (F.col("sz2") - F.col("n_g") * zbar_g * zbar_g).alias("ssw_g"),
+        (F.col("n_g") * (zbar_g - zbar) * (zbar_g - zbar)).alias("ssb_g"),
+        "n",
+        "k",
+    )
+    wrow = stats.agg(
+        F.sum("ssb_g").alias("ssb"),
+        F.sum("ssw_g").alias("ssw"),
+        F.max("n").alias("n2"),
+        F.max("k").alias("k2"),
+    )
+    w = (
+        (F.col("n2") - F.col("k2")).cast("double")
+        / (F.col("k2") - 1)
+        * F.col("ssb")
+        / F.col("ssw")
+    )
+    const = wrow.select(
+        rnd(w, 4).alias("w_stat"),
+        (F.col("k2") - 1).alias("df1"),
+        (F.col("n2") - F.col("k2")).alias("df2"),
+    )
+    return stats.crossJoin(F.broadcast(const)).select(
+        "event_type",
+        "n_g",
+        rnd("med", 4).alias("group_median"),
+        rnd("zbar_g", 6).alias("mean_abs_dev"),
+        "w_stat",
+        "df1",
+        "df2",
+    )
+
+
+_LEVENE_ORACLE = f"""
+WITH med AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5) + {NUDGE}, 9) AS med
+  FROM events GROUP BY 1
+),
+z AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS z
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+g AS (
+  SELECT event_type, count(*) AS n_g, max(med) AS med,
+         sum(z) AS sz, sum(z * z) AS sz2
+  FROM z GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k, sum(sz) AS szt
+  FROM g
+),
+stats AS (
+  SELECT g.event_type, g.n_g, g.med,
+         g.sz / g.n_g AS zbar_g,
+         g.sz2 - g.n_g * (g.sz / g.n_g) * (g.sz / g.n_g) AS ssw_g,
+         g.n_g * (g.sz / g.n_g - t.szt / t.n)
+              * (g.sz / g.n_g - t.szt / t.n) AS ssb_g,
+         t.n, t.k
+  FROM g CROSS JOIN tot t
+),
+wrow AS (
+  SELECT sum(ssb_g) AS ssb, sum(ssw_g) AS ssw,
+         max(n) AS n2, max(k) AS k2
+  FROM stats
+)
+SELECT s.event_type, s.n_g,
+       round(s.med + {NUDGE}, 4) AS group_median,
+       round(s.zbar_g + {NUDGE}, 6) AS mean_abs_dev,
+       round(CAST(w.n2 - w.k2 AS DOUBLE) / (w.k2 - 1) * w.ssb / w.ssw
+             + {NUDGE}, 4) AS w_stat,
+       w.k2 - 1 AS df1,
+       w.n2 - w.k2 AS df2
+FROM stats s CROSS JOIN wrow w
+"""
+
+
+# --------------------------------------------------------------------------
+# 17. Friedman rank test over complete day-blocks
+# --------------------------------------------------------------------------
+
+
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN RANK TEST: days are blocks, event types are
+    treatments, the blocked observation is the daily mean value; rank
+    WITHIN each complete day (midranks on ties), then
+    Q = 12/(n*k*(k+1)) * sum_j R_j^2 - 3*n*(k+1) — the
+    repeated-measures counterpart of `kruskal_wallis_binned` (KW
+    pools all observations; Friedman blocks out the day effect, which
+    is the right test when days differ systematically). Daily means
+    are rounded to 9 dp before ranking so the tie structure is
+    engine-identical.
+
+    Scale shape: one calendar-bounded daily aggregate; the ranking
+    window is partitioned PER DAY (k rows per partition — constant);
+    everything after is k-bounded algebra."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("double") / 86400) * 86400)
+            .cast("long")
+            .alias("day_start"),
+            "value",
+        )
+        .groupBy("event_type", "day_start")
+        .agg(F.round(F.avg("value") + F.lit(NUDGE), 9).alias("x"))
+    )
+    k_row = daily.agg(F.countDistinct("event_type").alias("k"))
+    day_counts = daily.groupBy("day_start").agg(F.count("*").alias("cnt"))
+    complete = (
+        daily.join(day_counts, "day_start")
+        .crossJoin(F.broadcast(k_row))
+        .where(F.col("cnt") == F.col("k"))
+    )
+    w_rank = Window.partitionBy("day_start").orderBy("x")
+    w_tie = Window.partitionBy("day_start", "x")
+    ranked = complete.select(
+        "event_type",
+        "day_start",
+        "k",
+        (
+            F.rank().over(w_rank)
+            + (F.count("*").over(w_tie) - 1) / F.lit(2.0)
+        ).alias("midrank"),
+    )
+    per = ranked.groupBy("event_type").agg(
+        F.max("k").alias("k"),
+        F.count("*").alias("n_days"),
+        F.sum("midrank").alias("rank_sum"),
+    )
+    tot = per.agg(
+        F.max("k").alias("k2"),
+        F.max("n_days").alias("nb"),
+        F.sum(F.col("rank_sum") * F.col("rank_sum")).alias("sr2"),
+    )
+    q = (
+        F.lit(12.0)
+        / (F.col("nb") * F.col("k2") * (F.col("k2") + 1))
+        * F.col("sr2")
+        - F.lit(3.0) * F.col("nb") * (F.col("k2") + 1)
+    )
+    const = tot.select(
+        rnd(q, 4).alias("q_stat"), (F.col("k2") - 1).alias("df")
+    )
+    return per.crossJoin(F.broadcast(const)).select(
+        "event_type",
+        "n_days",
+        rnd("rank_sum", 4).alias("rank_sum"),
+        rnd(F.col("rank_sum") / F.col("n_days"), 6).alias("mean_rank"),
+        "q_stat",
+        "df",
+    )
+
+
+_FRIEDMAN_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
+         round(avg(value) + {NUDGE}, 9) AS x
+  FROM events GROUP BY 1, 2
+),
+k_row AS (SELECT count(DISTINCT event_type) AS k FROM daily),
+dc AS (SELECT day_start, count(*) AS cnt FROM daily GROUP BY 1),
+complete AS (
+  SELECT d.event_type, d.day_start, d.x, k.k
+  FROM daily d JOIN dc ON d.day_start = dc.day_start CROSS JOIN k_row k
+  WHERE dc.cnt = k.k
+),
+ranked AS (
+  SELECT event_type, k,
+         rank() OVER (PARTITION BY day_start ORDER BY x)
+         + (count(*) OVER (PARTITION BY day_start, x) - 1) / 2.0
+           AS midrank
+  FROM complete
+),
+per AS (
+  SELECT event_type, max(k) AS k, count(*) AS n_days,
+         sum(midrank) AS rank_sum
+  FROM ranked GROUP BY 1
+),
+tot AS (
+  SELECT max(k) AS k2, max(n_days) AS nb,
+         sum(rank_sum * rank_sum) AS sr2
+  FROM per
+)
+SELECT p.event_type, p.n_days,
+       round(p.rank_sum + {NUDGE}, 4) AS rank_sum,
+       round(p.rank_sum / p.n_days + {NUDGE}, 6) AS mean_rank,
+       round(12.0 / (t.nb * t.k2 * (t.k2 + 1)) * t.sr2
+             - 3.0 * t.nb * (t.k2 + 1) + {NUDGE}, 4) AS q_stat,
+       t.k2 - 1 AS df
+FROM per p CROSS JOIN tot t
+"""
+
+
+# --------------------------------------------------------------------------
+# 18. readability scores (Flesch / Flesch-Kincaid heuristics)
+# --------------------------------------------------------------------------
+
+VOWEL_RE = "[aeiouy]+"  #: vowel-group syllable heuristic
+SENT_RE = "[.!?]+"  #: sentence-terminator runs
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READABILITY PROFILE per source: Flesch reading ease and
+    Flesch-Kincaid grade from the classic word/sentence/syllable
+    counts, with syllables approximated by VOWEL-GROUP runs (the
+    standard dictionary-free heuristic) and sentence count floored at
+    1 (the synthetic corpus has no terminators — the formula then
+    degrades gracefully to the words-per-doc axis). Complements
+    `quality_score` (structural ratios) with the formula every corpus
+    datacard quotes.
+
+    Scale shape: three regexp counts per document — map-only,
+    whole-stage codegen, zero joins — then one per-source aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " ")).cast("double")
+    syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(VOWEL_RE), 0)
+    ).cast("double")
+    sents = F.greatest(
+        F.lit(1.0),
+        F.size(F.regexp_extract_all("text", F.lit(SENT_RE), 0)).cast(
+            "double"
+        ),
+    )
+    per = docs.select(
+        "source",
+        words.alias("w"),
+        syll.alias("s"),
+        sents.alias("st"),
+    ).where(F.col("w") > 0)
+    scored = per.select(
+        "source",
+        "w",
+        "s",
+        "st",
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * F.col("w") / F.col("st")
+            - F.lit(84.6) * F.col("s") / F.col("w")
+        ).alias("flesch"),
+        (
+            F.lit(0.39) * F.col("w") / F.col("st")
+            + F.lit(11.8) * F.col("s") / F.col("w")
+            - F.lit(15.59)
+        ).alias("fk"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        rnd(F.avg("w"), 4).alias("avg_words"),
+        rnd(F.avg(F.col("s") / F.col("w")), 6).alias(
+            "avg_syllables_per_word"
+        ),
+        rnd(F.avg("flesch"), 4).alias("avg_flesch_reading_ease"),
+        rnd(F.avg("fk"), 4).alias("avg_fk_grade"),
+    )
+
+
+_READ_ORACLE = f"""
+WITH per AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+         CAST(len(regexp_extract_all(lower(text), '{VOWEL_RE}'))
+              AS DOUBLE) AS s,
+         greatest(1.0,
+           CAST(len(regexp_extract_all(text, '[.!?]+')) AS DOUBLE)) AS st
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(w) + {NUDGE}, 4) AS avg_words,
+       round(avg(s / w) + {NUDGE}, 6) AS avg_syllables_per_word,
+       round(avg(206.835 - 1.015 * w / st - 84.6 * s / w) + {NUDGE}, 4)
+         AS avg_flesch_reading_ease,
+       round(avg(0.39 * w / st + 11.8 * s / w - 15.59) + {NUDGE}, 4)
+         AS avg_fk_grade
+FROM per
+WHERE w > 0
+GROUP BY source
+"""
+
+
+PREPARED_R10.update(
+    {
+        "mann_kendall_trend": (mann_kendall_trend, _MK_ORACLE),
+        "unigram_perplexity_split": (unigram_perplexity_split, _PPL_ORACLE),
+        "jensen_shannon_source_divergence": (
+            jensen_shannon_source_divergence,
+            _JS_ORACLE,
+        ),
+        "levene_variance_test": (levene_variance_test, _LEVENE_ORACLE),
+        "friedman_test": (friedman_test, _FRIEDMAN_ORACLE),
+        "readability_scores": (readability_scores, _READ_ORACLE),
     }
 )
