@@ -2242,3 +2242,757 @@ PREPARED_R10.update(
         "readability_scores": (readability_scores, _READ_ORACLE),
     }
 )
+
+
+# ==========================================================================
+# batch 4 (same deferred contract)
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# 19. Spearman lead-lag screen between event-type daily series
+# --------------------------------------------------------------------------
+
+SPEARMAN_MAX_LAG = 3  #: lags screened (days); 0 = contemporaneous
+
+
+def spearman_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN LEAD-LAG SCREEN: rank correlation between every
+    event-type pair's daily-mean series at lags 0..SPEARMAN_MAX_LAG
+    (does A's series LEAD B's by L days?) — the monotone,
+    outlier-robust alternative to Pearson cross-correlation, and the
+    cheap first pass before any Granger-style causality claim.
+    Midranks are computed INSIDE each (pair, lag) overlap window so
+    the statistic is the exact Spearman rho of the aligned subset;
+    Spearman rho IS Pearson's r on those midranks, computed by each
+    engine's corr() on bit-identical rank values (daily means
+    pre-rounded to 9 dp fix the tie structure), then rounded to 6 dp.
+
+    Scale shape: the alignment is an EQUI-join on the shifted day key
+    over the calendar-bounded daily aggregate; rank windows are
+    partitioned per (pair, lag) — overlap-bounded partitions, never
+    event-cardinality."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("double") / 86400) * 86400)
+            .cast("long")
+            .alias("day_start"),
+            "value",
+        )
+        .groupBy("event_type", "day_start")
+        .agg(F.round(F.avg("value") + F.lit(NUDGE), 9).alias("x"))
+    )
+    lags = spark.range(SPEARMAN_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        F.col("day_start").alias("day_a"),
+        F.col("x").alias("xa"),
+    ).crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day_start").alias("day_b"),
+        F.col("x").alias("xb"),
+    )
+    joined = a.join(
+        b, (F.col("day_a") + F.col("lag") * 86400) == F.col("day_b")
+    ).where(F.col("type_a") < F.col("type_b"))
+    w_ra = Window.partitionBy("type_a", "type_b", "lag").orderBy("xa")
+    w_ta = Window.partitionBy("type_a", "type_b", "lag", "xa")
+    w_rb = Window.partitionBy("type_a", "type_b", "lag").orderBy("xb")
+    w_tb = Window.partitionBy("type_a", "type_b", "lag", "xb")
+    ranked = joined.select(
+        "type_a",
+        "type_b",
+        "lag",
+        (
+            F.rank().over(w_ra)
+            + (F.count("*").over(w_ta) - 1) / F.lit(2.0)
+        ).alias("ra"),
+        (
+            F.rank().over(w_rb)
+            + (F.count("*").over(w_tb) - 1) / F.lit(2.0)
+        ).alias("rb"),
+    )
+    return ranked.groupBy("type_a", "type_b", "lag").agg(
+        F.count("*").alias("n_days"),
+        rnd(F.corr("ra", "rb"), 6).alias("spearman_rho"),
+    )
+
+
+_SPEARMAN_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
+         round(avg(value) + {NUDGE}, 9) AS x
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT unnest(range(0, {SPEARMAN_MAX_LAG + 1})) AS lag),
+joined AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+         a.x AS xa, b.x AS xb
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON a.day_start + l.lag * 86400 = b.day_start
+  WHERE a.event_type < b.event_type
+),
+ranked AS (
+  SELECT type_a, type_b, lag,
+         rank() OVER (PARTITION BY type_a, type_b, lag ORDER BY xa)
+         + (count(*) OVER (PARTITION BY type_a, type_b, lag, xa) - 1)
+           / 2.0 AS ra,
+         rank() OVER (PARTITION BY type_a, type_b, lag ORDER BY xb)
+         + (count(*) OVER (PARTITION BY type_a, type_b, lag, xb) - 1)
+           / 2.0 AS rb
+  FROM joined
+)
+SELECT type_a, type_b, lag, count(*) AS n_days,
+       round(corr(ra, rb) + {NUDGE}, 6) AS spearman_rho
+FROM ranked GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# 20. Dickey-Fuller unit-root proxy (no augmentation)
+# --------------------------------------------------------------------------
+
+ADF_CRIT = -2.86  #: DF tau critical value, constant-only model, n->inf, 5%
+
+
+def adf_unit_root_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DICKEY-FULLER UNIT-ROOT PROXY per event type: regress the daily
+    first difference on the lagged level (dx_t = a + b*x_{t-1}), report
+    b, the implied AR root rho = 1 + b, and the tau statistic b/se(b)
+    against the constant-only DF critical value — the stationarity
+    check that should precede every AR-flavored operator in the cohort
+    (ACF/PACF, Holt, SARIMAX all assume the series is not a random
+    walk). Flag reads the ROUNDED tau. No augmentation terms: this is
+    the DF(0) proxy, stated as such.
+
+    Scale shape: one lag window per type over the calendar-bounded
+    daily aggregate, then ONE combinable aggregate carrying the five
+    OLS sufficient sums — everything after is per-type algebra."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("double") / 86400) * 86400)
+            .cast("long")
+            .alias("day_start"),
+            "value",
+        )
+        .groupBy("event_type", "day_start")
+        .agg(F.round(F.avg("value") + F.lit(NUDGE), 9).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_start")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x").over(w).alias("xl"),
+    ).where(F.col("xl").isNotNull())
+    obs = lagged.select(
+        "event_type",
+        F.col("xl").alias("xr"),
+        (F.col("x") - F.col("xl")).alias("dy"),
+    )
+    g = obs.groupBy("event_type").agg(
+        F.count("*").alias("n_obs"),
+        F.sum("xr").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("xr") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("xr") * F.col("xr")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n = F.col("n_obs").cast("double")
+    beta = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    alpha = (F.col("sy") - beta * F.col("sx")) / n
+    sse = (
+        F.col("syy")
+        - alpha * F.col("sy")
+        - beta * F.col("sxy")
+    )
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    se_b = F.sqrt(sse / (n - 2) / sxx_c)
+    tau_r = rnd(beta / se_b, 4)
+    return g.select(
+        "event_type",
+        "n_obs",
+        rnd(beta, 6).alias("beta"),
+        rnd(beta + 1.0, 6).alias("rho"),
+        tau_r.alias("tau_stat"),
+        (tau_r > ADF_CRIT).alias("unit_root_plausible"),
+    )
+
+
+_ADF_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
+         round(avg(value) + {NUDGE}, 9) AS x
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, x,
+         lag(x) OVER (PARTITION BY event_type ORDER BY day_start) AS xl
+  FROM daily
+),
+obs AS (
+  SELECT event_type, xl AS xr, x - xl AS dy
+  FROM lagged WHERE xl IS NOT NULL
+),
+g AS (
+  SELECT event_type, count(*) AS n_obs,
+         sum(xr) AS sx, sum(dy) AS sy, sum(xr * dy) AS sxy,
+         sum(xr * xr) AS sxx, sum(dy * dy) AS syy
+  FROM obs GROUP BY 1
+),
+fit AS (
+  SELECT event_type, n_obs, sx, sy, sxy, sxx, syy,
+         (n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx) AS beta
+  FROM g
+),
+fit2 AS (
+  SELECT *, (sy - beta * sx) / n_obs AS alpha,
+         sxx - sx * sx / n_obs AS sxx_c
+  FROM fit
+),
+fit3 AS (
+  SELECT *,
+         round(beta / sqrt((syy - alpha * sy - beta * sxy)
+                           / (n_obs - 2) / sxx_c) + {NUDGE}, 4) AS tau_r
+  FROM fit2
+)
+SELECT event_type, n_obs,
+       round(beta + {NUDGE}, 6) AS beta,
+       round(beta + 1.0 + {NUDGE}, 6) AS rho,
+       tau_r AS tau_stat,
+       tau_r > {ADF_CRIT} AS unit_root_plausible
+FROM fit3
+"""
+
+
+# --------------------------------------------------------------------------
+# 21. mutual information between event type and day-of-week
+# --------------------------------------------------------------------------
+
+
+def mutual_information_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION (bits) between event type and day-of-week,
+    cell by cell: each (type, dow) row carries its joint probability,
+    pointwise MI, and MI contribution; the total MI and the
+    min-entropy-normalized MI ride along as constant columns — the
+    dependence screen behind "does traffic mix shift by weekday",
+    asked of the SAME bounded contingency table chi-square tests use
+    (`contingency_association`) but in information units, which
+    compose with the entropy family (`behavior_entropy`,
+    `token_entropy_profile`). Day-of-week is derived ARITHMETICALLY
+    ((epoch_days + 4) % 7, 0 = Sunday) so no engine calendar function
+    (with its locale-dependent week start) enters the hash.
+
+    Scale shape: ONE combinable (type, dow) count over the corpus;
+    everything after is algebra on the k x 7 bounded table."""
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            (
+                (F.floor(F.col("ts").cast("double") / 86400) + 4) % 7
+            )
+            .cast("long")
+            .alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cells.agg(F.sum("n").alias("nt"))
+    margx = cells.groupBy("event_type").agg(F.sum("n").alias("nx"))
+    margy = cells.groupBy("dow").agg(F.sum("n").alias("ny"))
+    j = (
+        cells.join(F.broadcast(margx), "event_type")
+        .join(F.broadcast(margy), "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("n").cast("double") / F.col("nt")
+    px = F.col("nx").cast("double") / F.col("nt")
+    py = F.col("ny").cast("double") / F.col("nt")
+    pmi = F.log(p / (px * py)) * F.lit(INV_LN2)
+    contrib = p * pmi
+    withmi = j.select(
+        "event_type",
+        "dow",
+        "n",
+        p.alias("p_joint"),
+        pmi.alias("pmi_u"),
+        contrib.alias("contrib_u"),
+        (-px * F.log(px) * F.lit(INV_LN2)).alias("hx_term"),
+    )
+    # H(X): sum one term per distinct type; H(Y): one per distinct dow —
+    # aggregate the bounded cell table with de-duplicating maxes per key
+    hx = (
+        withmi.groupBy("event_type")
+        .agg(F.max("hx_term").alias("t"))
+        .agg(F.sum("t").alias("hx"))
+    )
+    hy = (
+        j.select("dow", (-py * F.log(py) * F.lit(INV_LN2)).alias("t"))
+        .groupBy("dow")
+        .agg(F.max("t").alias("t"))
+        .agg(F.sum("t").alias("hy"))
+    )
+    mi = withmi.agg(F.sum("contrib_u").alias("mi_u"))
+    const = (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            rnd("mi_u", 6).alias("mi_bits"),
+            rnd(
+                F.col("mi_u") / F.least(F.col("hx"), F.col("hy")), 6
+            ).alias("normalized_mi"),
+        )
+    )
+    return withmi.crossJoin(F.broadcast(const)).select(
+        "event_type",
+        "dow",
+        "n",
+        rnd("p_joint", 6).alias("p_joint"),
+        rnd("pmi_u", 6).alias("pmi_bits"),
+        rnd("contrib_u", 8).alias("mi_contribution_bits"),
+        "mi_bits",
+        "normalized_mi",
+    )
+
+
+_MI_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7 AS dow,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+margx AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS nx FROM cells GROUP BY 1
+),
+margy AS (SELECT dow, CAST(sum(n) AS BIGINT) AS ny FROM cells GROUP BY 1),
+j AS (
+  SELECT c.event_type, c.dow, c.n,
+         CAST(c.n AS DOUBLE) / t.nt AS p,
+         CAST(x.nx AS DOUBLE) / t.nt AS px,
+         CAST(y.ny AS DOUBLE) / t.nt AS py
+  FROM cells c
+  JOIN margx x ON c.event_type = x.event_type
+  JOIN margy y ON c.dow = y.dow
+  CROSS JOIN tot t
+),
+withmi AS (
+  SELECT event_type, dow, n, p,
+         ln(p / (px * py)) * {INV_LN2} AS pmi_u,
+         p * ln(p / (px * py)) * {INV_LN2} AS contrib_u,
+         px, py
+  FROM j
+),
+hx AS (
+  SELECT sum(t) AS hx FROM (
+    SELECT event_type, max(-px * ln(px) * {INV_LN2}) AS t
+    FROM withmi GROUP BY 1)
+),
+hy AS (
+  SELECT sum(t) AS hy FROM (
+    SELECT dow, max(-py * ln(py) * {INV_LN2}) AS t
+    FROM withmi GROUP BY 1)
+),
+mi AS (SELECT sum(contrib_u) AS mi_u FROM withmi)
+SELECT w.event_type, w.dow, w.n,
+       round(w.p + {NUDGE}, 6) AS p_joint,
+       round(w.pmi_u + {NUDGE}, 6) AS pmi_bits,
+       round(w.contrib_u + {NUDGE}, 8) AS mi_contribution_bits,
+       round(m.mi_u + {NUDGE}, 6) AS mi_bits,
+       round(m.mi_u / least(hx.hx, hy.hy) + {NUDGE}, 6) AS normalized_mi
+FROM withmi w CROSS JOIN mi m CROSS JOIN hx CROSS JOIN hy
+"""
+
+
+# --------------------------------------------------------------------------
+# 22. weekend odds-ratio table (2x2 epidemiology-style effect measures)
+# --------------------------------------------------------------------------
+
+OR_Z = 1.96  #: 95% normal CI half-width multiplier on the log-OR scale
+
+
+def odds_ratio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 EFFECT-MEASURE TABLE per event type: exposure = weekend
+    (arithmetic day-of-week), outcome = value above the type's exact
+    median; reports the Haldane-Anscombe-corrected ODDS RATIO with its
+    95% log-scale CI and the RELATIVE RISK — the epidemiology-style
+    effect measures the A/B battery lacks (lift is a ratio of means;
+    OR/RR are the ratios of RATES, comparable across prevalences and
+    robust to the 0-cell via the +0.5 correction). The significance
+    flag reads the ROUNDED CI bounds.
+
+    Scale shape: a broadcast per-type median join, then ONE combinable
+    pass producing the four 2x2 cells per type — bounded algebra
+    after."""
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)") + F.lit(NUDGE), 9).alias(
+            "med"
+        )
+    )
+    dow = ((F.floor(F.col("ts").cast("double") / 86400) + 4) % 7).cast(
+        "long"
+    )
+    flagged = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        ((dow == 0) | (dow == 6)).alias("weekend"),
+        (F.col("value") > F.col("med")).alias("high"),
+    )
+    g = flagged.groupBy("event_type").agg(
+        F.sum((F.col("weekend") & F.col("high")).cast("long")).alias("a"),
+        F.sum((F.col("weekend") & ~F.col("high")).cast("long")).alias("b"),
+        F.sum((~F.col("weekend") & F.col("high")).cast("long")).alias("c"),
+        F.sum((~F.col("weekend") & ~F.col("high")).cast("long")).alias("d"),
+    )
+    ah = F.col("a") + 0.5
+    bh = F.col("b") + 0.5
+    ch = F.col("c") + 0.5
+    dh = F.col("d") + 0.5
+    log_or = F.log(ah * dh / (bh * ch))
+    se = F.sqrt(1 / ah + 1 / bh + 1 / ch + 1 / dh)
+    lo_r = rnd(F.exp(log_or - F.lit(OR_Z) * se), 4)
+    hi_r = rnd(F.exp(log_or + F.lit(OR_Z) * se), 4)
+    rr = (
+        F.col("a") / (F.col("a") + F.col("b"))
+    ) / (F.col("c") / (F.col("c") + F.col("d")))
+    return g.select(
+        "event_type",
+        "a",
+        "b",
+        "c",
+        "d",
+        rnd(F.exp(log_or), 4).alias("odds_ratio"),
+        lo_r.alias("or_ci_lo"),
+        hi_r.alias("or_ci_hi"),
+        rnd(rr, 4).alias("relative_risk"),
+        ((lo_r > 1.0) | (hi_r < 1.0)).alias("significant"),
+    )
+
+
+_OR_ORACLE = f"""
+WITH med AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5) + {NUDGE}, 9) AS med
+  FROM events GROUP BY 1
+),
+flagged AS (
+  SELECT e.event_type,
+         ((CAST(floor(epoch(e.ts)) AS BIGINT) // 86400) + 4) % 7
+           IN (0, 6) AS weekend,
+         e.value > m.med AS high
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN weekend AND high THEN 1 ELSE 0 END) AS BIGINT)
+           AS a,
+         CAST(sum(CASE WHEN weekend AND NOT high THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(sum(CASE WHEN NOT weekend AND high THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(sum(CASE WHEN NOT weekend AND NOT high THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM flagged GROUP BY 1
+),
+eff AS (
+  SELECT *,
+         ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5))) AS log_or,
+         sqrt(1 / (a + 0.5) + 1 / (b + 0.5)
+              + 1 / (c + 0.5) + 1 / (d + 0.5)) AS se
+  FROM g
+),
+eff2 AS (
+  SELECT event_type, a, b, c, d,
+         round(exp(log_or) + {NUDGE}, 4) AS odds_ratio,
+         round(exp(log_or - {OR_Z} * se) + {NUDGE}, 4) AS or_ci_lo,
+         round(exp(log_or + {OR_Z} * se) + {NUDGE}, 4) AS or_ci_hi,
+         round((CAST(a AS DOUBLE) / (a + b))
+               / (CAST(c AS DOUBLE) / (c + d)) + {NUDGE}, 4)
+           AS relative_risk
+  FROM eff
+)
+SELECT *, (or_ci_lo > 1.0 OR or_ci_hi < 1.0) AS significant
+FROM (SELECT event_type, a, b, c, d, odds_ratio, or_ci_lo, or_ci_hi,
+             relative_risk FROM eff2)
+"""
+
+
+# --------------------------------------------------------------------------
+# 23. Cochran's Q over binary day-blocks
+# --------------------------------------------------------------------------
+
+
+def cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN'S Q TEST: the binary repeated-measures counterpart of
+    `friedman_test` — blocks are complete days, the binary response is
+    "the type's daily mean exceeded its own global (daily-series)
+    median", and Q = (k-1)[k*sum C_j^2 - T^2] / [k*T - sum R_i^2]
+    asks whether the k event types' above-median DAYS are
+    synchronized or independent. Medians are taken over the 9dp-
+    rounded daily means so the binarization is engine-identical.
+
+    Scale shape: calendar-bounded daily aggregate -> broadcast
+    per-type median join -> two bounded aggregates (per-day row sums,
+    per-type column sums). Nothing touches event cardinality after
+    the first groupBy."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("double") / 86400) * 86400)
+            .cast("long")
+            .alias("day_start"),
+            "value",
+        )
+        .groupBy("event_type", "day_start")
+        .agg(F.round(F.avg("value") + F.lit(NUDGE), 9).alias("x"))
+    )
+    k_row = daily.agg(F.countDistinct("event_type").alias("k"))
+    day_counts = daily.groupBy("day_start").agg(F.count("*").alias("cnt"))
+    med = daily.groupBy("event_type").agg(
+        F.round(F.expr("percentile(x, 0.5)") + F.lit(NUDGE), 9).alias("med")
+    )
+    complete = (
+        daily.join(day_counts, "day_start")
+        .crossJoin(F.broadcast(k_row))
+        .where(F.col("cnt") == F.col("k"))
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "day_start",
+            "k",
+            (F.col("x") > F.col("med")).cast("long").alias("s"),
+        )
+    )
+    rows_r = complete.groupBy("day_start").agg(F.sum("s").alias("r_i"))
+    cols_c = complete.groupBy("event_type").agg(
+        F.max("k").alias("k"),
+        F.count("*").alias("n_days"),
+        F.sum("s").alias("c_j"),
+    )
+    rtot = rows_r.agg(
+        F.sum("r_i").alias("t"),
+        F.sum(F.col("r_i") * F.col("r_i")).alias("sr2"),
+    )
+    ctot = cols_c.agg(
+        F.max("k").alias("k2"),
+        F.sum(F.col("c_j") * F.col("c_j")).alias("sc2"),
+    )
+    q = (
+        (F.col("k2") - 1).cast("double")
+        * (F.col("k2") * F.col("sc2") - F.col("t") * F.col("t"))
+        / (F.col("k2") * F.col("t") - F.col("sr2"))
+    )
+    const = ctot.crossJoin(F.broadcast(rtot)).select(
+        rnd(q, 4).alias("q_stat"), (F.col("k2") - 1).alias("df")
+    )
+    return cols_c.crossJoin(F.broadcast(const)).select(
+        "event_type",
+        "n_days",
+        F.col("c_j").alias("days_above_median"),
+        "q_stat",
+        "df",
+    )
+
+
+_COCHRAN_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
+         round(avg(value) + {NUDGE}, 9) AS x
+  FROM events GROUP BY 1, 2
+),
+k_row AS (SELECT count(DISTINCT event_type) AS k FROM daily),
+dc AS (SELECT day_start, count(*) AS cnt FROM daily GROUP BY 1),
+med AS (
+  SELECT event_type, round(quantile_cont(x, 0.5) + {NUDGE}, 9) AS med
+  FROM daily GROUP BY 1
+),
+complete AS (
+  SELECT d.event_type, d.day_start, k.k,
+         CAST(d.x > m.med AS BIGINT) AS s
+  FROM daily d
+  JOIN dc ON d.day_start = dc.day_start
+  CROSS JOIN k_row k
+  JOIN med m ON d.event_type = m.event_type
+  WHERE dc.cnt = k.k
+),
+rows_r AS (
+  SELECT day_start, CAST(sum(s) AS BIGINT) AS r_i
+  FROM complete GROUP BY 1
+),
+cols_c AS (
+  SELECT event_type, max(k) AS k, count(*) AS n_days,
+         CAST(sum(s) AS BIGINT) AS c_j
+  FROM complete GROUP BY 1
+),
+rtot AS (
+  SELECT CAST(sum(r_i) AS BIGINT) AS t,
+         CAST(sum(r_i * r_i) AS BIGINT) AS sr2
+  FROM rows_r
+),
+ctot AS (
+  SELECT max(k) AS k2, CAST(sum(c_j * c_j) AS BIGINT) AS sc2 FROM cols_c
+)
+SELECT c.event_type, c.n_days, c.c_j AS days_above_median,
+       round(CAST(t.k2 - 1 AS DOUBLE)
+             * (t.k2 * t.sc2 - r.t * r.t)
+             / (t.k2 * r.t - r.sr2) + {NUDGE}, 4) AS q_stat,
+       t.k2 - 1 AS df
+FROM cols_c c CROSS JOIN ctot t CROSS JOIN rtot r
+"""
+
+
+# --------------------------------------------------------------------------
+# 24. seasonal / trend strength decomposition profile
+# --------------------------------------------------------------------------
+
+
+def seasonal_strength_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL AND TREND STRENGTH per event type, STL-style but
+    closed-form: the daily-mean series is decomposed against (a) the
+    additive day-of-week model (seasonal strength = 1 -
+    Var(x - dow_mean)/Var(x)) and (b) the OLS linear trend (trend
+    strength = 1 - Var(ols resid)/Var(x)), both clamped at 0 — the
+    two numbers Hyndman's feature taxonomy puts first when routing
+    series to forecasting models (`holt_winters_seasonal` ASSUMES
+    weekly seasonality; this measures whether that assumption holds,
+    per series). Strengths are computed from sufficient statistics
+    only.
+
+    Scale shape: calendar-bounded daily aggregate; the dow model is a
+    broadcast 7-row join; the trend model is the 5-sum OLS; ONE
+    combinable pass each. No windows at all."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("double") / 86400) * 86400)
+            .cast("long")
+            .alias("day_start"),
+            "value",
+        )
+        .groupBy("event_type", "day_start")
+        .agg(F.round(F.avg("value") + F.lit(NUDGE), 9).alias("x"))
+    )
+    daily = daily.select(
+        "event_type",
+        "day_start",
+        "x",
+        ((F.col("day_start") / 86400 + 4) % 7).cast("long").alias("dow"),
+        (F.col("day_start") / F.lit(86400.0)).alias("t"),
+    )
+    dowm = daily.groupBy("event_type", "dow").agg(
+        F.avg("x").alias("dow_mean")
+    )
+    seas = daily.join(F.broadcast(dowm), ["event_type", "dow"]).select(
+        "event_type",
+        (F.col("x") - F.col("dow_mean")).alias("resid_s"),
+        "x",
+        "t",
+    )
+    g = seas.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("x")).alias("stx"),
+        F.sum(F.col("resid_s") * F.col("resid_s")).alias("ssr_s"),
+    )
+    n = F.col("n_days").cast("double")
+    var_x = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    beta = (n * F.col("stx") - F.col("st") * F.col("sx")) / (
+        n * F.col("stt") - F.col("st") * F.col("st")
+    )
+    # SSE of the linear fit: S_xx,centred - beta^2 * S_tt,centred
+    stt_c = F.col("stt") - F.col("st") * F.col("st") / n
+    ssr_t = var_x - beta * beta * stt_c
+    return g.select(
+        "event_type",
+        "n_days",
+        rnd(var_x / (n - 1), 6).alias("var_daily"),
+        rnd(F.greatest(F.lit(0.0), 1 - F.col("ssr_s") / var_x), 6).alias(
+            "seasonal_strength"
+        ),
+        rnd(F.greatest(F.lit(0.0), 1 - ssr_t / var_x), 6).alias(
+            "trend_strength"
+        ),
+        rnd(beta, 6).alias("trend_slope_per_day"),
+    )
+
+
+_SEASONAL_ORACLE = f"""
+WITH daily0 AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
+         round(avg(value) + {NUDGE}, 9) AS x
+  FROM events GROUP BY 1, 2
+),
+daily AS (
+  SELECT event_type, day_start, x,
+         (day_start // 86400 + 4) % 7 AS dow,
+         day_start / 86400.0 AS t
+  FROM daily0
+),
+dowm AS (
+  SELECT event_type, dow, avg(x) AS dow_mean
+  FROM daily GROUP BY 1, 2
+),
+seas AS (
+  SELECT d.event_type, d.x - m.dow_mean AS resid_s, d.x, d.t
+  FROM daily d JOIN dowm m
+    ON d.event_type = m.event_type AND d.dow = m.dow
+),
+g AS (
+  SELECT event_type, count(*) AS n_days,
+         sum(x) AS sx, sum(x * x) AS sxx,
+         sum(t) AS st, sum(t * t) AS stt, sum(t * x) AS stx,
+         sum(resid_s * resid_s) AS ssr_s
+  FROM seas GROUP BY 1
+),
+fit AS (
+  SELECT *,
+         sxx - sx * sx / n_days AS var_x,
+         (n_obs_d * stx - st * sx) / (n_obs_d * stt - st * st) AS beta,
+         stt - st * st / n_days AS stt_c
+  FROM (SELECT *, CAST(n_days AS DOUBLE) AS n_obs_d FROM g)
+)
+SELECT event_type, n_days,
+       round(var_x / (n_days - 1) + {NUDGE}, 6) AS var_daily,
+       round(greatest(0.0, 1 - ssr_s / var_x) + {NUDGE}, 6)
+         AS seasonal_strength,
+       round(greatest(0.0, 1 - (var_x - beta * beta * stt_c) / var_x)
+             + {NUDGE}, 6) AS trend_strength,
+       round(beta + {NUDGE}, 6) AS trend_slope_per_day
+FROM fit
+"""
+
+
+PREPARED_R10.update(
+    {
+        "spearman_lead_lag": (spearman_lead_lag, _SPEARMAN_ORACLE),
+        "adf_unit_root_proxy": (adf_unit_root_proxy, _ADF_ORACLE),
+        "mutual_information_profile": (
+            mutual_information_profile,
+            _MI_ORACLE,
+        ),
+        "odds_ratio_table": (odds_ratio_table, _OR_ORACLE),
+        "cochran_q_test": (cochran_q_test, _COCHRAN_ORACLE),
+        "seasonal_strength_profile": (
+            seasonal_strength_profile,
+            _SEASONAL_ORACLE,
+        ),
+    }
+)

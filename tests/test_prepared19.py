@@ -1,8 +1,8 @@
 """Round-9-prepared (round-10-deferred) cohort: driver-identical oracle
 comparison + semantic property tests + registration-freeze pin.
 
-Every pair in PREPARED_R10 (batch 1: seven, batch 2: five, batch 3:
-six) is verified through the exact harness the driver
+Every pair in PREPARED_R10 (batches 1-4: 7 + 5 + 6 + 6 = 24) is
+verified through the exact harness the driver
 uses (tests.oracle_harness.compare) but are NOT registered: round 9
 froze registrations so the driver's correctness window can drain the
 pending backlog (r8 verdict ask #1). test_r10_cohort_not_registered
@@ -354,3 +354,98 @@ def test_readability_components_positive(spark, sf_dir):
         # FRE and FK grade move in opposite directions with s/w — both
         # are finite, and grade is bounded below by its constant term
         assert r.avg_fk_grade > -15.59
+
+
+def test_spearman_bounds_and_symmetric_grid(spark, sf_dir):
+    """rho in [-1, 1]; every (pair, lag) cell appears once; lag-0
+    overlap must be the largest (shifting can only shrink it)."""
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        SPEARMAN_MAX_LAG, spearman_lead_lag,
+    )
+
+    rows = spearman_lead_lag(spark, sf_dir).collect()
+    assert rows
+    cells = {}
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0 <= r.lag <= SPEARMAN_MAX_LAG
+        assert -1.0 - 2e-6 <= r.spearman_rho <= 1.0 + 2e-6
+        cells[(r.type_a, r.type_b, r.lag)] = r.n_days
+    assert len(cells) == len(rows)
+    for (a, b, lag), n in cells.items():
+        if lag > 0:
+            assert n <= cells[(a, b, 0)]
+
+
+def test_adf_flag_and_rho_identity(spark, sf_dir):
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        ADF_CRIT, adf_unit_root_proxy,
+    )
+
+    rows = adf_unit_root_proxy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.rho - (r.beta + 1.0)) < 2e-6
+        assert r.unit_root_plausible == (r.tau_stat > ADF_CRIT)
+        assert r.n_obs > 2
+
+
+def test_mutual_information_identities(spark, sf_dir):
+    """MI >= 0; cell contributions must sum to the constant mi_bits;
+    normalized MI in [0, 1]; joint probabilities sum to 1."""
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        mutual_information_profile,
+    )
+
+    rows = mutual_information_profile(spark, sf_dir).collect()
+    assert rows
+    r0 = rows[0]
+    assert r0.mi_bits >= -1e-6
+    assert -1e-6 <= r0.normalized_mi <= 1.0 + 1e-6
+    assert abs(sum(r.p_joint for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.mi_contribution_bits for r in rows) - r0.mi_bits) < 1e-3
+    assert len({(r.event_type, r.dow) for r in rows}) == len(rows)
+
+
+def test_odds_ratio_identities(spark, sf_dir):
+    """CI must bracket the point estimate; significance = CI excludes
+    1; the 2x2 cells partition the type's events."""
+    from flink_cookbook_spark.pipeline.prepared19 import odds_ratio_table
+
+    rows = odds_ratio_table(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.or_ci_lo <= r.odds_ratio <= r.or_ci_hi
+        assert r.significant == (r.or_ci_lo > 1.0 or r.or_ci_hi < 1.0)
+        assert r.relative_risk > 0
+        assert min(r.a, r.b, r.c, r.d) >= 0
+        assert r.a + r.b + r.c + r.d > 0
+
+
+def test_cochran_q_identities(spark, sf_dir):
+    """Q >= 0; df = k-1; every treatment sees the same complete-block
+    count; column successes bounded by block count."""
+    from flink_cookbook_spark.pipeline.prepared19 import cochran_q_test
+
+    rows = cochran_q_test(spark, sf_dir).collect()
+    assert rows
+    k = len(rows)
+    assert len({r.n_days for r in rows}) == 1
+    for r in rows:
+        assert 0 <= r.days_above_median <= r.n_days
+        assert r.q_stat >= -1e-6
+        assert r.df == k - 1
+
+
+def test_seasonal_strengths_bounded(spark, sf_dir):
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        seasonal_strength_profile,
+    )
+
+    rows = seasonal_strength_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.seasonal_strength <= 1.0 + 2e-6
+        assert 0.0 <= r.trend_strength <= 1.0 + 2e-6
+        assert r.var_daily > 0
+        assert r.n_days > 7
