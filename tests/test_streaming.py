@@ -1171,3 +1171,77 @@ def test_streaming_heavy_hitters_equals_replay(spark, sf_dir, tmp_path_factory):
         # eviction must actually have exercised at fixture scale
         if len({i for i in items}) > HH_CAPACITY:
             assert any(e > 0 for _, e in got[shard].values()), shard
+
+
+def test_streaming_page_hinkley_equals_replay(spark, sf_dir, tmp_path_factory):
+    """Per-key Page-Hinkley folded across two micro-batch phases with a
+    checkpointed restart must EXACTLY equal one continuous Python pass
+    of the SAME shared fold (pure float recurrence, same order ->
+    bit-identical), and the emitted invariants must hold."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.streaming.pagehinkley import (
+        PH_STREAM_LAMBDA, page_hinkley_fold, page_hinkley_streaming,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("double").alias("t"),
+        "event_id",
+        "value",
+    )
+    rows = ev.orderBy("t", "event_id").collect()
+    split_t = rows[len(rows) // 2].t
+    base = tmp_path_factory.mktemp("ph_stream")
+    data_dir, ckpt, out_dir = (
+        str(base / "vals"), str(base / "ckpt"), str(base / "out"),
+    )
+    ev.where(F.col("t") <= split_t).write.parquet(data_dir, mode="overwrite")
+    schema = spark.read.parquet(data_dir).schema
+
+    def run_phase():
+        stream = spark.readStream.schema(schema).parquet(data_dir)
+        q = (
+            page_hinkley_streaming(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_phase()
+    ev.where(F.col("t") > split_t).write.parquet(data_dir, mode="append")
+    run_phase()
+
+    from pyspark.sql import Window
+
+    out = spark.read.parquet(out_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("n_processed").desc())
+    final = {
+        r.event_type: r
+        for r in out.withColumn("rk", F.dense_rank().over(w))
+        .where("rk = 1")
+        .collect()
+    }
+
+    # continuous replay through the SAME shared fold, same order
+    per_key: dict = {}
+    for r in rows:
+        per_key.setdefault(r.event_type, []).append(float(r.value))
+    assert set(final) == set(per_key)
+    for et, xs in per_key.items():
+        n, sum_x, m, m_min, crossings = page_hinkley_fold(
+            (0, 0.0, 0.0, 0.0, 0), xs
+        )
+        r = final[et]
+        assert r.n_processed == n == len(xs), et
+        # bit-identical: same float ops in the same order
+        assert r.running_mean == sum_x / n, et
+        assert r.ph_stat == m - m_min, et
+        assert r.ph_stat >= 0.0, et
+        assert r.alarm == (r.ph_stat > PH_STREAM_LAMBDA), et
+        assert r.n_alarm_crossings == crossings, et
+        assert r.n_alarm_crossings >= (1 if r.alarm else 0), et
