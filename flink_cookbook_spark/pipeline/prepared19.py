@@ -2996,3 +2996,780 @@ PREPARED_R10.update(
         ),
     }
 )
+
+
+# ==========================================================================
+# batch 5 (same deferred contract)
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# 25. Ljung-Box portmanteau whiteness test
+# --------------------------------------------------------------------------
+
+LB_LAGS = 4  #: autocorrelation lags pooled into Q
+LB_CRIT = 9.488  #: chi-square 5% critical value at df = LB_LAGS
+
+
+def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX PORTMANTEAU TEST per event type: pools the first
+    LB_LAGS sample autocorrelations of the daily-mean series into
+    Q = n(n+2) * sum_k r_k^2/(n-k) and compares against the chi-square
+    critical value — the residual-whiteness diagnostic every ARIMA
+    text runs after a fit (the reference hardcodes SARIMAX orders;
+    `pacf_durbin_levinson` picks orders, Ljung-Box CHECKS the result).
+    Sample ACF uses the classical single-series estimator — global
+    mean and global denominator, lag-k cross products — not corr() of
+    aligned pairs, so r_k here is exactly the textbook r_k. Each r_k
+    is rounded to 9 dp before Q (the ACF discipline).
+
+    Scale shape: calendar-bounded daily aggregate; ONE broadcast mean
+    join; LB_LAGS lag columns from one per-type window pass; one
+    combinable aggregate of the lagged products."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("double") / 86400) * 86400)
+            .cast("long")
+            .alias("day_start"),
+            "value",
+        )
+        .groupBy("event_type", "day_start")
+        .agg(F.round(F.avg("value") + F.lit(NUDGE), 9).alias("x"))
+    )
+    means = daily.groupBy("event_type").agg(
+        F.avg("x").alias("xbar"), F.count("*").alias("n_days")
+    )
+    w = Window.partitionBy("event_type").orderBy("day_start")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"xl{k}") for k in range(1, LB_LAGS + 1)],
+    ).join(F.broadcast(means), "event_type")
+    c = F.col("x") - F.col("xbar")
+    agg = lagged.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        F.sum(c * c).alias("sxx"),
+        *[
+            F.sum(c * (F.col(f"xl{k}") - F.col("xbar"))).alias(f"num{k}")
+            for k in range(1, LB_LAGS + 1)
+        ],
+    )
+    rs = [
+        F.round(F.col(f"num{k}") / F.col("sxx") + F.lit(NUDGE), 9)
+        for k in range(1, LB_LAGS + 1)
+    ]
+    n = F.col("n_days").cast("double")
+    q = (
+        n
+        * (n + 2)
+        * sum(
+            (rk * rk) / (n - k) for k, rk in enumerate(rs, start=1)
+        )
+    )
+    q_r = rnd(q, 4)
+    return agg.select(
+        "event_type",
+        "n_days",
+        *[rnd(rk, 6).alias(f"r{k}") for k, rk in enumerate(rs, start=1)],
+        q_r.alias("q_stat"),
+        F.lit(LB_LAGS).cast("long").alias("df"),
+        (q_r > LB_CRIT).alias("whiteness_rejected"),
+    )
+
+
+def _lb_oracle() -> str:
+    nums = ",\n         ".join(
+        f"sum((x - xbar) * (xl{k} - xbar)) AS num{k}"
+        for k in range(1, LB_LAGS + 1)
+    )
+    lags = ",\n         ".join(
+        f"lag(d.x, {k}) OVER (PARTITION BY d.event_type"
+        f" ORDER BY d.day_start) AS xl{k}"
+        for k in range(1, LB_LAGS + 1)
+    )
+    rdefs = ",\n         ".join(
+        f"round(num{k} / sxx + {NUDGE}, 9) AS r{k}"
+        for k in range(1, LB_LAGS + 1)
+    )
+    qsum = " + ".join(
+        f"r{k} * r{k} / (CAST(n_days AS DOUBLE) - {k})"
+        for k in range(1, LB_LAGS + 1)
+    )
+    rcols = ", ".join(
+        f"round(r{k} + {NUDGE}, 6) AS r{k}" for k in range(1, LB_LAGS + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
+         round(avg(value) + {NUDGE}, 9) AS x
+  FROM events GROUP BY 1, 2
+),
+means AS (
+  SELECT event_type, avg(x) AS xbar, count(*) AS n_days
+  FROM daily GROUP BY 1
+),
+lagged AS (
+  SELECT d.event_type, d.x, m.xbar, m.n_days,
+         {lags}
+  FROM daily d JOIN means m ON d.event_type = m.event_type
+),
+agg AS (
+  SELECT event_type, max(n_days) AS n_days,
+         sum((x - xbar) * (x - xbar)) AS sxx,
+         {nums}
+  FROM lagged GROUP BY 1
+),
+rvals AS (
+  SELECT event_type, n_days,
+         {rdefs}
+  FROM agg
+),
+qcalc AS (
+  SELECT *,
+         round(CAST(n_days AS DOUBLE) * (n_days + 2) * ({qsum})
+               + {NUDGE}, 4) AS q_r
+  FROM rvals
+)
+SELECT event_type, n_days, {rcols},
+       q_r AS q_stat,
+       CAST({LB_LAGS} AS BIGINT) AS df,
+       q_r > {LB_CRIT} AS whiteness_rejected
+FROM qcalc
+"""
+
+
+# --------------------------------------------------------------------------
+# 26. Granger-causality proxy (1-lag bivariate F test)
+# --------------------------------------------------------------------------
+
+GRANGER_CRIT = 3.8415  #: F(1, inf) 5% critical value
+
+
+def granger_causality_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRANGER-CAUSALITY PROXY for every ORDERED event-type pair
+    (a -> b): does adding a's lag-1 daily mean to b's own lag-1
+    autoregression reduce SSE significantly? F = (SSE_r - SSE_u) /
+    (SSE_u / (n-3)) with the restricted and unrestricted OLS fits both
+    solved in CLOSED FORM from centred sufficient sums (2x2 normal
+    equations — no iteration, no matrix library). The flag reads the
+    ROUNDED F against the F(1, inf) critical value. One lag only, and
+    named a PROXY: real Granger tests sweep lag order; this is the
+    screening form, stated as such (`spearman_lead_lag` screens the
+    monotone analogue).
+
+    Scale shape: the per-type daily+lag table self-equi-joins ON DAY
+    (k^2 rows per day, calendar x k^2 bounded), then ONE combinable
+    aggregate of the ten OLS sums per ordered pair — algebra after."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("double") / 86400) * 86400)
+            .cast("long")
+            .alias("day_start"),
+            "value",
+        )
+        .groupBy("event_type", "day_start")
+        .agg(F.round(F.avg("value") + F.lit(NUDGE), 9).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_start")
+    lagged = daily.select(
+        "event_type",
+        "day_start",
+        "x",
+        F.lag("x").over(w).alias("xl"),
+        (F.col("day_start") - F.lag("day_start").over(w)).alias("gap"),
+    ).where(F.col("xl").isNotNull() & (F.col("gap") == 86400))
+    b = lagged.select(
+        F.col("event_type").alias("type_b"),
+        "day_start",
+        F.col("x").alias("y"),
+        F.col("xl").alias("bl"),
+    )
+    a = lagged.select(
+        F.col("event_type").alias("type_a"),
+        "day_start",
+        F.col("xl").alias("al"),
+    )
+    j = b.join(a, "day_start").where(F.col("type_a") != F.col("type_b"))
+    g = j.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_obs"),
+        F.sum("y").alias("sy"),
+        F.sum("bl").alias("s1"),
+        F.sum("al").alias("s2"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("bl") * F.col("bl")).alias("s11"),
+        F.sum(F.col("al") * F.col("al")).alias("s22"),
+        F.sum(F.col("bl") * F.col("al")).alias("s12"),
+        F.sum(F.col("bl") * F.col("y")).alias("s1y"),
+        F.sum(F.col("al") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n_obs").cast("double")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c1y * c22 - c2y * c12) / det
+    b2 = (c2y * c11 - c1y * c12) / det
+    sse_u = cyy - b1 * c1y - b2 * c2y
+    sse_r = cyy - (c1y / c11) * c1y
+    f_stat = (sse_r - sse_u) / (sse_u / (n - 3))
+    f_r = rnd(f_stat, 4)
+    return g.select(
+        "type_a",
+        "type_b",
+        "n_obs",
+        rnd(b2, 6).alias("cross_lag_coef"),
+        f_r.alias("f_stat"),
+        (f_r > GRANGER_CRIT).alias("granger_causal"),
+    )
+
+
+_GRANGER_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
+         round(avg(value) + {NUDGE}, 9) AS x
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day_start, x,
+         lag(x) OVER (PARTITION BY event_type ORDER BY day_start) AS xl,
+         day_start - lag(day_start) OVER (PARTITION BY event_type
+                                          ORDER BY day_start) AS gap
+  FROM daily
+),
+clean AS (
+  SELECT * FROM lagged WHERE xl IS NOT NULL AND gap = 86400
+),
+j AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         b.x AS y, b.xl AS bl, a.xl AS al
+  FROM clean b JOIN clean a ON b.day_start = a.day_start
+  WHERE a.event_type <> b.event_type
+),
+g AS (
+  SELECT type_a, type_b, count(*) AS n_obs,
+         sum(y) AS sy, sum(bl) AS s1, sum(al) AS s2,
+         sum(y * y) AS syy, sum(bl * bl) AS s11, sum(al * al) AS s22,
+         sum(bl * al) AS s12, sum(bl * y) AS s1y, sum(al * y) AS s2y
+  FROM j GROUP BY 1, 2
+),
+c AS (
+  SELECT type_a, type_b, n_obs,
+         syy - sy * sy / n_obs AS cyy,
+         s11 - s1 * s1 / n_obs AS c11,
+         s22 - s2 * s2 / n_obs AS c22,
+         s12 - s1 * s2 / n_obs AS c12,
+         s1y - s1 * sy / n_obs AS c1y,
+         s2y - s2 * sy / n_obs AS c2y
+  FROM g
+),
+fit AS (
+  SELECT type_a, type_b, n_obs, c1y, c2y, cyy, c11,
+         (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+         (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+  FROM c
+),
+fstat AS (
+  SELECT type_a, type_b, n_obs, b2,
+         round(((cyy - (c1y / c11) * c1y) - (cyy - b1 * c1y - b2 * c2y))
+               / ((cyy - b1 * c1y - b2 * c2y) / (n_obs - 3))
+               + {NUDGE}, 4) AS f_r
+  FROM fit
+)
+SELECT type_a, type_b, n_obs,
+       round(b2 + {NUDGE}, 6) AS cross_lag_coef,
+       f_r AS f_stat,
+       f_r > {GRANGER_CRIT} AS granger_causal
+FROM fstat
+"""
+
+
+# --------------------------------------------------------------------------
+# 27. Poisson rate-ratio test (weekend vs weekday arrival intensity)
+# --------------------------------------------------------------------------
+
+
+def poisson_rate_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON RATE-RATIO TEST per event type: weekend vs weekday
+    ARRIVAL INTENSITY (events per observed day), with the
+    log-rate-ratio normal test and 95% CI — the COUNT-side complement
+    of `odds_ratio_table` (which conditions on an outcome; this asks
+    whether the arrival process itself beats/undershoots the weekday
+    rate). Haldane +0.5 on both counts keeps the log finite and is
+    applied identically in both engines. Day-of-week is the same
+    arithmetic (epoch_days+4)%7 used cohort-wide.
+
+    Scale shape: ONE combinable pass per type (conditional counts +
+    distinct-day counts via the day-level pre-aggregate) — bounded
+    algebra after."""
+    ev = load(spark, sf_dir, "events")
+    dayed = ev.select(
+        "event_type",
+        (F.floor(F.col("ts").cast("double") / 86400)).cast("long").alias(
+            "day_idx"
+        ),
+    ).select(
+        "event_type",
+        "day_idx",
+        (((F.col("day_idx") + 4) % 7).isin(0, 6)).alias("weekend"),
+    )
+    per_day = dayed.groupBy("event_type", "day_idx", "weekend").agg(
+        F.count("*").alias("n")
+    )
+    g = per_day.groupBy("event_type").agg(
+        F.sum(F.when(F.col("weekend"), F.col("n")).otherwise(0)).alias(
+            "n_we"
+        ),
+        F.sum(F.when(~F.col("weekend"), F.col("n")).otherwise(0)).alias(
+            "n_wd"
+        ),
+        F.sum(F.when(F.col("weekend"), 1).otherwise(0))
+        .cast("long")
+        .alias("days_we"),
+        F.sum(F.when(~F.col("weekend"), 1).otherwise(0))
+        .cast("long")
+        .alias("days_wd"),
+    )
+    rate_we = F.col("n_we") / F.col("days_we")
+    rate_wd = F.col("n_wd") / F.col("days_wd")
+    lrr = F.log(
+        ((F.col("n_we") + 0.5) / F.col("days_we"))
+        / ((F.col("n_wd") + 0.5) / F.col("days_wd"))
+    )
+    se = F.sqrt(1 / (F.col("n_we") + 0.5) + 1 / (F.col("n_wd") + 0.5))
+    z_r = rnd(lrr / se, 4)
+    return g.select(
+        "event_type",
+        "n_we",
+        "n_wd",
+        "days_we",
+        "days_wd",
+        rnd(rate_we, 4).alias("rate_weekend"),
+        rnd(rate_wd, 4).alias("rate_weekday"),
+        rnd(F.exp(lrr), 4).alias("rate_ratio"),
+        rnd(F.exp(lrr - 1.96 * se), 4).alias("rr_ci_lo"),
+        rnd(F.exp(lrr + 1.96 * se), 4).alias("rr_ci_hi"),
+        z_r.alias("z_stat"),
+        (F.abs(z_r) > 1.96).alias("significant"),
+    )
+
+
+_POISSON_ORACLE = f"""
+WITH dayed AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx
+  FROM events
+),
+flagged AS (
+  SELECT event_type, day_idx,
+         ((day_idx + 4) % 7) IN (0, 6) AS weekend
+  FROM dayed
+),
+per_day AS (
+  SELECT event_type, day_idx, weekend, count(*) AS n
+  FROM flagged GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN weekend THEN n ELSE 0 END) AS BIGINT) AS n_we,
+         CAST(sum(CASE WHEN NOT weekend THEN n ELSE 0 END) AS BIGINT)
+           AS n_wd,
+         CAST(sum(CASE WHEN weekend THEN 1 ELSE 0 END) AS BIGINT)
+           AS days_we,
+         CAST(sum(CASE WHEN NOT weekend THEN 1 ELSE 0 END) AS BIGINT)
+           AS days_wd
+  FROM per_day GROUP BY 1
+),
+eff AS (
+  SELECT *,
+         ln(((n_we + 0.5) / days_we) / ((n_wd + 0.5) / days_wd)) AS lrr,
+         sqrt(1 / (n_we + 0.5) + 1 / (n_wd + 0.5)) AS se
+  FROM g
+),
+eff2 AS (
+  SELECT event_type, n_we, n_wd, days_we, days_wd,
+         round(CAST(n_we AS DOUBLE) / days_we + {NUDGE}, 4)
+           AS rate_weekend,
+         round(CAST(n_wd AS DOUBLE) / days_wd + {NUDGE}, 4)
+           AS rate_weekday,
+         round(exp(lrr) + {NUDGE}, 4) AS rate_ratio,
+         round(exp(lrr - 1.96 * se) + {NUDGE}, 4) AS rr_ci_lo,
+         round(exp(lrr + 1.96 * se) + {NUDGE}, 4) AS rr_ci_hi,
+         round(lrr / se + {NUDGE}, 4) AS z_stat
+  FROM eff
+)
+SELECT *, abs(z_stat) > 1.96 AS significant FROM eff2
+"""
+
+
+# --------------------------------------------------------------------------
+# 28. McNemar's test on consecutive-day paired states
+# --------------------------------------------------------------------------
+
+MCNEMAR_CRIT = 3.841  #: chi-square 5% critical value at df = 1
+
+
+def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST per event type on CONSECUTIVE-DAY pairs: did the
+    series flip above/below its own median more often in one direction
+    than the other? Pairs (day t-1, day t) are the matched samples;
+    the discordant cells b (above->below) and c (below->above) feed
+    the continuity-corrected chi-square (|b-c|-1)^2/(b+c) — the
+    paired counterpart of `odds_ratio_table`'s independent 2x2, and a
+    direct test of drift DIRECTION asymmetry (a trending series flips
+    one way more than the other; `mann_kendall_trend` measures the
+    trend, McNemar certifies the flip asymmetry). Only strictly
+    consecutive days pair (gap = 86400), so missing days break pairs
+    identically in both engines.
+
+    Scale shape: calendar-bounded daily aggregate + broadcast median
+    join + one lag window per type + ONE combinable count aggregate."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("ts").cast("double") / 86400) * 86400)
+            .cast("long")
+            .alias("day_start"),
+            "value",
+        )
+        .groupBy("event_type", "day_start")
+        .agg(F.round(F.avg("value") + F.lit(NUDGE), 9).alias("x"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.round(F.expr("percentile(x, 0.5)") + F.lit(NUDGE), 9).alias("med")
+    )
+    flagged = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day_start",
+        (F.col("x") > F.col("med")).alias("hi"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day_start")
+    paired = flagged.select(
+        "event_type",
+        "hi",
+        F.lag("hi").over(w).alias("hi_prev"),
+        (F.col("day_start") - F.lag("day_start").over(w)).alias("gap"),
+    ).where(F.col("hi_prev").isNotNull() & (F.col("gap") == 86400))
+    g = paired.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("hi_prev") & ~F.col("hi")).cast("long")).alias("b"),
+        F.sum((~F.col("hi_prev") & F.col("hi")).cast("long")).alias("c"),
+    )
+    chi = F.pow(F.abs(F.col("b") - F.col("c")) - 1, F.lit(2.0)) / (
+        F.col("b") + F.col("c")
+    )
+    chi_r = rnd(chi, 4)
+    return g.select(
+        "event_type",
+        "n_pairs",
+        "b",
+        "c",
+        chi_r.alias("chi2_stat"),
+        (chi_r > MCNEMAR_CRIT).alias("asymmetric_flips"),
+    )
+
+
+_MCNEMAR_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
+         round(avg(value) + {NUDGE}, 9) AS x
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, round(quantile_cont(x, 0.5) + {NUDGE}, 9) AS med
+  FROM daily GROUP BY 1
+),
+flagged AS (
+  SELECT d.event_type, d.day_start, d.x > m.med AS hi
+  FROM daily d JOIN med m ON d.event_type = m.event_type
+),
+paired AS (
+  SELECT event_type, hi,
+         lag(hi) OVER (PARTITION BY event_type ORDER BY day_start)
+           AS hi_prev,
+         day_start - lag(day_start) OVER (PARTITION BY event_type
+                                          ORDER BY day_start) AS gap
+  FROM flagged
+),
+g AS (
+  SELECT event_type, count(*) AS n_pairs,
+         CAST(sum(CASE WHEN hi_prev AND NOT hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(sum(CASE WHEN NOT hi_prev AND hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM paired WHERE hi_prev IS NOT NULL AND gap = 86400
+  GROUP BY 1
+),
+eff AS (
+  SELECT event_type, n_pairs, b, c,
+         round(pow(abs(b - c) - 1, 2.0) / (b + c) + {NUDGE}, 4)
+           AS chi2_stat
+  FROM g
+)
+SELECT *, chi2_stat > {MCNEMAR_CRIT} AS asymmetric_flips FROM eff
+"""
+
+
+# --------------------------------------------------------------------------
+# 29. isotonic calibration over score bins (PAV via the minimax formula)
+# --------------------------------------------------------------------------
+
+ISO_BINS = 20  #: equal-width account-balance bins
+
+
+def isotonic_calibration_binned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ISOTONIC CALIBRATION of "has placed an order" against account
+    balance, fit on ISO_BINS equal-width bins via the MINIMAX
+    characterization of isotonic regression:
+    iso(j) = max_{i<=j} min_{k>=j} avg(y, bins i..k) — exactly the
+    pool-adjacent-violators solution, but expressed as bounded
+    relational algebra instead of a sequential pooling loop (the PAV
+    twin of `calibration_report`, which only reports raw bin rates;
+    isotonic is what a monotone recalibrator actually deploys). Range
+    averages come from prefix sums over the B-row bin table, so the
+    i/j/k fan-out is B^3-bounded — a compile-time constant — never
+    data-scaled.
+
+    Scale shape: one corpus pass to the B-row (n, successes)
+    histogram (customer left-semi-joined to orders is the outcome);
+    every window/join after operates on <= B rows by construction."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    has = orders.select("o_custkey").distinct()
+    labeled = cust.join(
+        has.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+            "y", F.lit(1)
+        ),
+        "c_custkey",
+        "left",
+    ).select("c_acctbal", F.coalesce("y", F.lit(0)).alias("y"))
+    rng = labeled.agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    binned = labeled.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(ISO_BINS - 1),
+            F.floor(
+                (F.col("c_acctbal") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * ISO_BINS
+            ),
+        )
+        .cast("long")
+        .alias("bin"),
+        "y",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").alias("n"), F.sum("y").cast("long").alias("s")
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = bins.select(
+        "bin",
+        "n",
+        "s",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("s").over(wcum).alias("cs"),
+    )
+    left = cums.select(
+        F.col("bin").alias("i"),
+        (F.col("cn") - F.col("n")).alias("cn_before"),
+        (F.col("cs") - F.col("s")).alias("cs_before"),
+    )
+    right = cums.select(
+        F.col("bin").alias("k"),
+        F.col("cn").alias("cn_k"),
+        F.col("cs").alias("cs_k"),
+    )
+    ranges = left.join(right, F.col("i") <= F.col("k")).select(
+        "i",
+        "k",
+        (
+            (F.col("cs_k") - F.col("cs_before")).cast("double")
+            / (F.col("cn_k") - F.col("cn_before"))
+        ).alias("avg_ik"),
+    )
+    js = cums.select(F.col("bin").alias("j"))
+    inner = (
+        js.join(
+            ranges,
+            (F.col("i") <= F.col("j")) & (F.col("j") <= F.col("k")),
+        )
+        .groupBy("j", "i")
+        .agg(F.min("avg_ik").alias("m"))
+    )
+    iso = inner.groupBy("j").agg(F.max("m").alias("iso_u"))
+    return (
+        cums.join(iso, cums.bin == iso.j)
+        .select(
+            "bin",
+            "n",
+            "s",
+            rnd(F.col("s").cast("double") / F.col("n"), 6).alias(
+                "empirical_rate"
+            ),
+            rnd("iso_u", 6).alias("isotonic_rate"),
+        )
+    )
+
+
+_ISO_ORACLE = f"""
+WITH has AS (SELECT DISTINCT o_custkey FROM orders),
+labeled AS (
+  SELECT c.c_acctbal,
+         CASE WHEN h.o_custkey IS NULL THEN 0 ELSE 1 END AS y
+  FROM customer c LEFT JOIN has h ON c.c_custkey = h.o_custkey
+),
+rng AS (SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM labeled),
+binned AS (
+  SELECT CAST(least({ISO_BINS - 1},
+              floor((l.c_acctbal - r.lo) / (r.hi - r.lo) * {ISO_BINS}))
+              AS BIGINT) AS bin,
+         l.y
+  FROM labeled l CROSS JOIN rng r
+),
+bins AS (
+  SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS s
+  FROM binned GROUP BY 1
+),
+cums AS (
+  SELECT bin, n, s,
+         sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+         sum(s) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cs
+  FROM bins
+),
+ranges AS (
+  SELECT l.bin AS i, r.bin AS k,
+         CAST(r.cs - (l.cs - l.s) AS DOUBLE)
+           / (r.cn - (l.cn - l.n)) AS avg_ik
+  FROM cums l JOIN cums r ON l.bin <= r.bin
+),
+inner_min AS (
+  SELECT j.bin AS j, ranges.i, min(ranges.avg_ik) AS m
+  FROM cums j JOIN ranges
+    ON ranges.i <= j.bin AND j.bin <= ranges.k
+  GROUP BY 1, 2
+),
+iso AS (SELECT j, max(m) AS iso_u FROM inner_min GROUP BY 1)
+SELECT c.bin, c.n, c.s,
+       round(CAST(c.s AS DOUBLE) / c.n + {NUDGE}, 6) AS empirical_rate,
+       round(i.iso_u + {NUDGE}, 6) AS isotonic_rate
+FROM cums c JOIN iso i ON c.bin = i.j
+"""
+
+
+# --------------------------------------------------------------------------
+# 30. Hill tail-index estimator over top order statistics
+# --------------------------------------------------------------------------
+
+HILL_KS = (50, 100, 200)  #: order-statistic depths for the Hill curve
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL TAIL-INDEX curve for order totals: for each depth k,
+    H_k = (1/k) * sum_{i<=k} ln(x_(i) / x_(k+1)) over the descending
+    order statistics and tail alpha = 1/H_k — the standard estimator
+    of the Pareto tail exponent, read across several k to see whether
+    the tail is stable (the plot behind `value_at_risk`'s quantile
+    choice and `extreme_value_return_levels`' block-maxima fit; Hill
+    uses ALL top-k exceedances, not just block maxima). Ties broken
+    by o_orderkey so the order statistics are engine-identical.
+
+    Scale shape: the ONLY corpus touch is orderBy().limit(max_k + 1)
+    — Spark plans TakeOrderedAndProject (per-partition heaps, k+1-row
+    driver merge), the repo's blessed top-k pattern; every window
+    after runs on the 201-row bounded set."""
+    orders = load(spark, sf_dir, "orders")
+    top = (
+        orders.select("o_totalprice", "o_orderkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(max(HILL_KS) + 1)
+    )
+    w = Window.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    idx = top.select(
+        F.row_number().over(w).alias("rk"),
+        F.col("o_totalprice").alias("x"),
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in HILL_KS], "k long"
+    )
+    thresholds = idx.join(
+        F.broadcast(ks), F.col("rk") == F.col("k") + 1
+    ).select("k", F.col("x").alias("x_k1"))
+    joined = idx.join(F.broadcast(thresholds), F.col("rk") <= F.col("k"))
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.max("x_k1").alias("threshold"),
+            F.avg(F.log(F.col("x") / F.col("x_k1"))).alias("h_u"),
+        )
+        .select(
+            "k",
+            rnd("threshold", 4).alias("threshold"),
+            rnd("h_u", 6).alias("hill_h"),
+            rnd(F.lit(1.0) / F.col("h_u"), 4).alias("tail_alpha"),
+        )
+    )
+
+
+def _hill_oracle() -> str:
+    ks = ", ".join(str(k) for k in HILL_KS)
+    return f"""
+WITH top AS (
+  SELECT o_totalprice AS x,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+           AS rk
+  FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT {max(HILL_KS) + 1}
+),
+ks AS (SELECT unnest([{ks}]) AS k),
+thresholds AS (
+  SELECT ks.k, top.x AS x_k1
+  FROM top JOIN ks ON top.rk = ks.k + 1
+),
+joined AS (
+  SELECT t.k, t.x_k1, top.x
+  FROM top JOIN thresholds t ON top.rk <= t.k
+)
+SELECT k,
+       round(max(x_k1) + {NUDGE}, 4) AS threshold,
+       round(avg(ln(x / x_k1)) + {NUDGE}, 6) AS hill_h,
+       round(1.0 / avg(ln(x / x_k1)) + {NUDGE}, 4) AS tail_alpha
+FROM joined GROUP BY k
+"""
+
+
+PREPARED_R10.update(
+    {
+        "ljung_box_test": (ljung_box_test, _lb_oracle()),
+        "granger_causality_proxy": (
+            granger_causality_proxy,
+            _GRANGER_ORACLE,
+        ),
+        "poisson_rate_ratio_test": (
+            poisson_rate_ratio_test,
+            _POISSON_ORACLE,
+        ),
+        "mcnemar_test": (mcnemar_test, _MCNEMAR_ORACLE),
+        "isotonic_calibration_binned": (
+            isotonic_calibration_binned,
+            _ISO_ORACLE,
+        ),
+        "hill_tail_index": (hill_tail_index, _hill_oracle()),
+    }
+)

@@ -1,7 +1,7 @@
 """Round-9-prepared (round-10-deferred) cohort: driver-identical oracle
 comparison + semantic property tests + registration-freeze pin.
 
-Every pair in PREPARED_R10 (batches 1-4: 7 + 5 + 6 + 6 = 24) is
+Every pair in PREPARED_R10 (batches 1-5: 7 + 5 + 6 + 6 + 6 = 30) is
 verified through the exact harness the driver
 uses (tests.oracle_harness.compare) but are NOT registered: round 9
 froze registrations so the driver's correctness window can drain the
@@ -449,3 +449,112 @@ def test_seasonal_strengths_bounded(spark, sf_dir):
         assert 0.0 <= r.trend_strength <= 1.0 + 2e-6
         assert r.var_daily > 0
         assert r.n_days > 7
+
+
+def test_ljung_box_identities(spark, sf_dir):
+    """Q >= 0 (sum of squares); every r_k bounded by 1; flag reads the
+    rounded Q against the chi-square critical value."""
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        LB_CRIT, LB_LAGS, ljung_box_test,
+    )
+
+    rows = ljung_box_test(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.q_stat >= -1e-6
+        assert r.df == LB_LAGS
+        for k in range(1, LB_LAGS + 1):
+            assert abs(getattr(r, f"r{k}")) <= 1.0 + 1e-5
+        assert r.whiteness_rejected == (r.q_stat > LB_CRIT)
+        assert r.n_days > LB_LAGS + 2
+
+
+def test_granger_grid_and_f_nonneg(spark, sf_dir):
+    """Every ordered pair appears once; F >= 0 (adding a regressor
+    cannot increase SSE); flag reads the rounded F."""
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        GRANGER_CRIT, granger_causality_proxy,
+    )
+
+    rows = granger_causality_proxy(spark, sf_dir).collect()
+    assert rows
+    types = {r.type_a for r in rows} | {r.type_b for r in rows}
+    assert len(rows) == len(types) * (len(types) - 1)
+    for r in rows:
+        assert r.type_a != r.type_b
+        assert r.f_stat >= -1e-4
+        assert r.granger_causal == (r.f_stat > GRANGER_CRIT)
+        assert r.n_obs > 3
+
+
+def test_poisson_rate_identities(spark, sf_dir):
+    """CI must bracket the rate ratio; observed rates reproduce from
+    counts and exposures; significance reads the rounded z."""
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        poisson_rate_ratio_test,
+    )
+
+    rows = poisson_rate_ratio_test(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rr_ci_lo <= r.rate_ratio <= r.rr_ci_hi
+        assert r.significant == (abs(r.z_stat) > 1.96)
+        assert abs(r.rate_weekend - r.n_we / r.days_we) < 1e-3
+        assert abs(r.rate_weekday - r.n_wd / r.days_wd) < 1e-3
+        # weekend days are 2/7 of the calendar: exposure sanity
+        assert 0 < r.days_we < r.days_wd
+
+
+def test_mcnemar_cells_and_flag(spark, sf_dir):
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        MCNEMAR_CRIT, mcnemar_test,
+    )
+
+    rows = mcnemar_test(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.b + r.c <= r.n_pairs
+        assert r.chi2_stat >= -1e-6
+        assert r.asymmetric_flips == (r.chi2_stat > MCNEMAR_CRIT)
+
+
+def test_isotonic_monotone_and_mass_preserving(spark, sf_dir):
+    """The fitted rates must be non-decreasing in the score bin, sit in
+    [0,1], and preserve the weighted total (the PAV invariant)."""
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        isotonic_calibration_binned,
+    )
+
+    rows = sorted(
+        isotonic_calibration_binned(spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    assert rows
+    prev = -1.0
+    for r in rows:
+        assert r.isotonic_rate >= prev - 1e-9, r.bin
+        prev = r.isotonic_rate
+        assert -1e-6 <= r.isotonic_rate <= 1.0 + 2e-6
+        assert abs(r.empirical_rate - r.s / r.n) < 1e-4
+    total_emp = sum(r.s for r in rows)
+    total_iso = sum(r.n * r.isotonic_rate for r in rows)
+    assert abs(total_iso - total_emp) < max(1.0, 1e-3 * total_emp)
+
+
+def test_hill_curve_shapes(spark, sf_dir):
+    """One row per depth; H > 0; alpha = 1/H; thresholds decrease as k
+    deepens (order statistics are sorted)."""
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        HILL_KS, hill_tail_index,
+    )
+
+    rows = {r.k: r for r in hill_tail_index(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(HILL_KS)
+    for k, r in rows.items():
+        assert r.hill_h > 0
+        assert abs(r.tail_alpha - 1.0 / r.hill_h) < max(
+            1e-3, r.tail_alpha * 1e-3
+        )
+    ks = sorted(rows)
+    for k1, k2 in zip(ks, ks[1:]):
+        assert rows[k2].threshold <= rows[k1].threshold + 1e-9
