@@ -811,3 +811,47 @@ def test_count_min_topk_is_take_ordered(spark, sf_dir):
 
     plan = formatted_plan(count_min_heavy_hitters(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hill_corpus_touch_is_take_ordered(spark, sf_dir):
+    """The deferred Hill estimator's ONLY corpus touch must be
+    TakeOrderedAndProject (per-partition heaps) — and nothing in the
+    plan may fall back to a single-partition exchange: the bounded
+    201-row tail set reaches the windows without a global sort."""
+    from flink_cookbook_spark.pipeline.prepared19 import hill_tail_index
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(hill_tail_index(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_spearman_rank_windows_stay_partitioned(spark, sf_dir):
+    """Every midrank window in the deferred Spearman lead-lag screen is
+    partitioned per (pair, lag) — a lost partitioning would serialize
+    the whole aligned table through one task."""
+    from flink_cookbook_spark.pipeline.prepared19 import spearman_lead_lag
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(spearman_lead_lag(spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+
+def test_mann_kendall_is_windowless_and_partitioned(spark, sf_dir):
+    """The deferred Mann-Kendall test must stay pure join+aggregate —
+    no ranking window anywhere (Sen's slope is an exact percentile
+    AGGREGATE over bounded pairs), and no single-partition exchange."""
+    from flink_cookbook_spark.pipeline.prepared19 import mann_kendall_trend
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(mann_kendall_trend(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_ljung_box_lag_windows_stay_partitioned(spark, sf_dir):
+    from flink_cookbook_spark.pipeline.prepared19 import ljung_box_test
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(ljung_box_test(spark, sf_dir))
+    assert "SinglePartition" not in plan
