@@ -3773,3 +3773,471 @@ PREPARED_R10.update(
         "hill_tail_index": (hill_tail_index, _hill_oracle()),
     }
 )
+
+
+# ==========================================================================
+# batch 6 (same deferred contract) — LLM-pipeline measurement ops
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# 31. hubness of the ANN neighborhood graph
+# --------------------------------------------------------------------------
+
+HUB_QUERIES = 20  #: deterministic query set (vec_id < HUB_QUERIES)
+HUB_K = 5  #: neighbors per query
+
+
+def hubness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUBNESS of the cosine neighborhood graph: how often each corpus
+    vector appears among the top-HUB_K neighbors of the deterministic
+    HUB_QUERIES query set (its k-OCCURRENCE), plus the corpus-wide
+    skewness of that distribution — the standard diagnostic for
+    high-dimensional "hub" vectors that dominate ANN result lists and
+    silently bias retrieval (high skew = a few vectors are everyone's
+    neighbor; `lsh_recall_estimate` measures recall, hubness explains
+    WHY it degrades). The skewness counts the (corpus - appearing)
+    zero-occurrence vectors EXACTLY via moment algebra — zeros
+    contribute nothing to the moment sums, so the full-corpus moments
+    come from the bounded appearing set plus the corpus count.
+
+    Scale shape: the scoring reuses the `cosine_topk` recipe — tiny
+    broadcast query side, corpus side never moves, per-query
+    WindowGroupLimit top-k; everything after runs on <=
+    HUB_QUERIES x HUB_K rows."""
+    from flink_cookbook_spark.pipeline.similarity import (
+        _dot, _emb_double, _norm,
+    )
+
+    emb = _emb_double(load(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < HUB_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        _norm(F.col("emb")).alias("qn"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("cemb"),
+        _norm(F.col("emb")).alias("cn"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_raw",
+            _dot(F.col("qemb"), F.col("cemb"))
+            / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_raw").desc(), F.col("cand_id").asc()
+    )
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= HUB_K)
+        .select("query_id", "cand_id")
+    )
+    occ = topk.groupBy("cand_id").agg(F.count("*").alias("k_occurrence"))
+    ncorp = emb.agg(F.count("*").alias("n_corpus"))
+    moments = occ.agg(
+        F.count("*").alias("n_appearing"),
+        F.sum("k_occurrence").alias("s1"),
+        F.sum(F.pow("k_occurrence", F.lit(2.0))).alias("s2"),
+        F.sum(F.pow("k_occurrence", F.lit(3.0))).alias("s3"),
+    )
+    j = moments.crossJoin(F.broadcast(ncorp))
+    nd = F.col("n_corpus").cast("double")
+    m1 = F.col("s1") / nd
+    m2 = F.col("s2") / nd
+    m3 = F.col("s3") / nd
+    var = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, F.lit(1.5))
+    const = j.select(
+        "n_corpus",
+        "n_appearing",
+        rnd(skew, 4).alias("hubness_skewness"),
+        rnd((nd - F.col("n_appearing")) / nd, 6).alias("antihub_share"),
+    )
+    return occ.crossJoin(F.broadcast(const)).select(
+        "cand_id",
+        "k_occurrence",
+        "n_corpus",
+        "n_appearing",
+        "hubness_skewness",
+        "antihub_share",
+    )
+
+
+_HUB_ORACLE = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_dot_product(q.e, c.e)
+           / (sqrt(list_dot_product(q.e, q.e))
+              * sqrt(list_dot_product(c.e, c.e))) AS cosine_raw
+  FROM emb q JOIN emb c
+    ON q.vec_id < {HUB_QUERIES} AND c.vec_id != q.vec_id
+),
+topk AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine_raw DESC, cand_id ASC) AS rk
+    FROM scored)
+  WHERE rk <= {HUB_K}
+),
+occ AS (
+  SELECT cand_id, count(*) AS k_occurrence FROM topk GROUP BY 1
+),
+ncorp AS (SELECT count(*) AS n_corpus FROM emb),
+moments AS (
+  SELECT count(*) AS n_appearing,
+         CAST(sum(k_occurrence) AS DOUBLE) AS s1,
+         sum(pow(k_occurrence, 2.0)) AS s2,
+         sum(pow(k_occurrence, 3.0)) AS s3
+  FROM occ
+),
+const AS (
+  SELECT n.n_corpus, m.n_appearing,
+         round((m.s3 / n.n_corpus
+                - 3 * (m.s1 / n.n_corpus) * (m.s2 / n.n_corpus)
+                + 2 * pow(m.s1 / n.n_corpus, 3.0))
+               / pow(m.s2 / n.n_corpus
+                     - pow(m.s1 / n.n_corpus, 2.0), 1.5)
+               + {NUDGE}, 4) AS hubness_skewness,
+         round((CAST(n.n_corpus AS DOUBLE) - m.n_appearing) / n.n_corpus
+               + {NUDGE}, 6) AS antihub_share
+  FROM moments m CROSS JOIN ncorp n
+)
+SELECT o.cand_id, o.k_occurrence, c.n_corpus, c.n_appearing,
+       c.hubness_skewness, c.antihub_share
+FROM occ o CROSS JOIN const c
+"""
+
+
+# --------------------------------------------------------------------------
+# 32. eval-split bigram coverage by the train split
+# --------------------------------------------------------------------------
+
+
+def ngram_coverage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM COVERAGE of the held-out split by the train split, per
+    source: what share of eval bigram OCCURRENCES (and of DISTINCT
+    eval bigrams) was seen in training — the order-2 companion of
+    `unigram_perplexity_split` (unigram OOV misses compositional
+    novelty; a source can share every word yet pair them in unseen
+    ways). Bigrams are built positionally on BOTH engines (explicit
+    index transform over the token array — 1-based, guarded for
+    single-token docs) so tokenization parity is exact.
+
+    Scale shape: bigram explode -> one distinct train set (equi-join
+    key), eval-side left join, one per-source aggregate. The join key
+    is the bigram string — vocab^2-bounded in principle, corpus-
+    bounded in practice, and an EQUI-join either way."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    train_bi = (
+        docs.where(F.col("doc_id") % PPL_TRAIN_MOD < PPL_TRAIN_LT)
+        .select(F.explode(bigrams).alias("bigram"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    ev = docs.where(F.col("doc_id") % PPL_TRAIN_MOD >= PPL_TRAIN_LT).select(
+        "source", F.explode(bigrams).alias("bigram")
+    )
+    j = ev.join(train_bi, "bigram", "left")
+    occ = j.groupBy("source").agg(
+        F.count("*").alias("n_bigrams"),
+        rnd(
+            F.sum(F.when(F.col("seen").isNotNull(), 1.0).otherwise(0.0))
+            / F.count("*"),
+            6,
+        ).alias("occurrence_coverage"),
+    )
+    dist = (
+        j.select("source", "bigram", "seen")
+        .distinct()
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_distinct_bigrams"),
+            rnd(
+                F.sum(
+                    F.when(F.col("seen").isNotNull(), 1.0).otherwise(0.0)
+                )
+                / F.count("*"),
+                6,
+            ).alias("distinct_coverage"),
+        )
+    )
+    return occ.join(dist, "source")
+
+
+_NGCOV_ORACLE = f"""
+WITH bi AS (
+  SELECT doc_id, source,
+         unnest(CASE WHEN len(string_split(text, ' ')) >= 2
+                THEN list_transform(
+                       range(1, len(string_split(text, ' '))),
+                       i -> string_split(text, ' ')[i] || ' '
+                            || string_split(text, ' ')[i + 1])
+                ELSE [] END) AS bigram
+  FROM documents
+),
+train_bi AS (
+  SELECT DISTINCT bigram, 1 AS seen
+  FROM bi WHERE doc_id % {PPL_TRAIN_MOD} < {PPL_TRAIN_LT}
+),
+ev AS (
+  SELECT source, bigram FROM bi
+  WHERE doc_id % {PPL_TRAIN_MOD} >= {PPL_TRAIN_LT}
+),
+j AS (
+  SELECT e.source, e.bigram, t.seen
+  FROM ev e LEFT JOIN train_bi t ON e.bigram = t.bigram
+),
+occ AS (
+  SELECT source, count(*) AS n_bigrams,
+         round(sum(CASE WHEN seen IS NOT NULL THEN 1.0 ELSE 0.0 END)
+               / count(*) + {NUDGE}, 6) AS occurrence_coverage
+  FROM j GROUP BY 1
+),
+dist AS (
+  SELECT source, count(*) AS n_distinct_bigrams,
+         round(sum(CASE WHEN seen IS NOT NULL THEN 1.0 ELSE 0.0 END)
+               / count(*) + {NUDGE}, 6) AS distinct_coverage
+  FROM (SELECT DISTINCT source, bigram, seen FROM j) GROUP BY 1
+)
+SELECT o.source, o.n_bigrams, o.occurrence_coverage,
+       d.n_distinct_bigrams, d.distinct_coverage
+FROM occ o JOIN dist d ON o.source = d.source
+"""
+
+
+# --------------------------------------------------------------------------
+# 33. boilerplate prefix clusters
+# --------------------------------------------------------------------------
+
+BP_PREFIX_TOKENS = 8  #: leading tokens hashed into the prefix key
+
+
+def boilerplate_prefix_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOILERPLATE PREFIX CLUSTERS: documents sharing their first
+    BP_PREFIX_TOKENS tokens, grouped — the cheap detector for
+    templated headers/licenses/navigation chrome that exact-dedup
+    misses (the bodies differ) and MinHash underweights (the shared
+    prefix is a small fraction of the shingle set). Emits one row per
+    duplicated prefix with its document count, source spread, and
+    canonical (minimum) doc id; the prefix itself travels as an md5
+    key so row width stays constant.
+
+    Scale shape: ONE map-only prefix projection + ONE combinable
+    groupBy on the prefix hash; HAVING count > 1 prunes the
+    (overwhelming) singleton mass before any downstream use."""
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.split("text", " "), 1, BP_PREFIX_TOKENS), " "
+    )
+    g = (
+        docs.select(
+            F.md5(prefix).alias("prefix_hash"),
+            "doc_id",
+            "source",
+        )
+        .groupBy("prefix_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+    return g
+
+
+_BP_ORACLE = f"""
+SELECT md5(array_to_string(string_split(text, ' ')[1:{BP_PREFIX_TOKENS}],
+            ' ')) AS prefix_hash,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       min(doc_id) AS canonical_doc_id
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 34. Johnson-Lindenstrauss random-projection distortion audit
+# --------------------------------------------------------------------------
+
+JL_OUT_DIMS = 8  #: projected dimensionality
+JL_IN_DIMS = 64  #: fixture embedding dimensionality
+
+
+def _jl_signs() -> list[list[float]]:
+    """The +-1 projection matrix, derived from md5 hex parity at
+    BUILD time and embedded as float literals in BOTH engines' plans
+    — a literal cannot differ between libms."""
+    import hashlib
+
+    rows = []
+    for j in range(JL_OUT_DIMS):
+        row = []
+        for i in range(JL_IN_DIMS):
+            h = hashlib.md5(f"jl_{j}_{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        rows.append(row)
+    return rows
+
+
+def random_projection_distortion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JOHNSON-LINDENSTRAUSS DISTORTION AUDIT: project every embedding
+    through a fixed +-1 sign matrix (md5-derived, embedded as
+    literals) down to JL_OUT_DIMS, then compare projected vs true
+    squared distances over the deterministic consecutive-id pair set.
+    For +-1 entries, E[(r_j . x)^2] = ||x||^2, so the mean of the
+    JL_OUT_DIMS squared components estimates the true distance — the
+    measured distortion ratio is the certificate behind using cheap
+    projected distances as an ANN prefilter (`lsh_bucket_assignment`
+    uses the SIGNS of these same projections; this op measures how
+    much metric the magnitudes preserve). Projection is LINEAR, so
+    projected differences are differences of projections — computed
+    once per vector, never per pair.
+
+    Scale shape: map-only projection per vector (8 sequential-fold
+    dot products against literal arrays — zero shuffle), one
+    consecutive-id equi-join for pairs, bounded constants."""
+    from flink_cookbook_spark.pipeline.similarity import _emb_double
+
+    emb = _emb_double(load(spark, sf_dir, "embeddings"))
+    signs = _jl_signs()
+
+    def fold_dot(vec_col, lits):
+        arr = F.array(*[F.lit(v) for v in lits])
+        return F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    projected = emb.select(
+        "vec_id",
+        "emb",
+        F.array(
+            *[fold_dot(F.col("emb"), signs[j]) for j in range(JL_OUT_DIMS)]
+        ).alias("proj"),
+    )
+    a = projected.select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("emb").alias("e1"),
+        F.col("proj").alias("p1"),
+    )
+    b = projected.select(
+        (F.col("vec_id") - 1).alias("pair_id"),
+        F.col("emb").alias("e2"),
+        F.col("proj").alias("p2"),
+    )
+    true_d2 = F.aggregate(
+        F.zip_with(F.col("e1"), F.col("e2"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    proj_d2 = F.aggregate(
+        F.zip_with(F.col("p1"), F.col("p2"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(b, "pair_id").select(
+        "pair_id",
+        true_d2.alias("true_d2_u"),
+        (proj_d2 / F.lit(float(JL_OUT_DIMS))).alias("jl_est_u"),
+    )
+    scored = pairs.select(
+        "pair_id",
+        "true_d2_u",
+        "jl_est_u",
+        (F.col("jl_est_u") / F.col("true_d2_u")).alias("ratio_u"),
+    )
+    const = scored.agg(
+        rnd(F.avg("ratio_u"), 6).alias("mean_ratio"),
+        rnd(F.max(F.abs(F.col("ratio_u") - 1)), 6).alias("max_abs_dev"),
+    )
+    return scored.crossJoin(F.broadcast(const)).select(
+        "pair_id",
+        rnd("true_d2_u", 4).alias("true_d2"),
+        rnd("jl_est_u", 4).alias("jl_estimate"),
+        rnd("ratio_u", 6).alias("distortion_ratio"),
+        "mean_ratio",
+        "max_abs_dev",
+    )
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    proj_exprs = ", ".join(
+        "list_sum(list_transform(range(1, %d), i -> e[i] * ([%s])[i]))"
+        % (JL_IN_DIMS + 1, ", ".join(repr(v) for v in signs[j]))
+        for j in range(JL_OUT_DIMS)
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+projected AS (
+  SELECT vec_id, e, [{proj_exprs}] AS proj
+  FROM emb
+),
+pairs AS (
+  SELECT a.vec_id AS pair_id,
+         list_sum(list_transform(range(1, {JL_IN_DIMS + 1}),
+                  i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i])))
+           AS true_d2_u,
+         list_sum(list_transform(range(1, {JL_OUT_DIMS + 1}),
+                  i -> (a.proj[i] - b.proj[i])
+                       * (a.proj[i] - b.proj[i])))
+           / {float(JL_OUT_DIMS)} AS jl_est_u
+  FROM projected a JOIN projected b ON b.vec_id = a.vec_id + 1
+),
+scored AS (
+  SELECT pair_id, true_d2_u, jl_est_u,
+         jl_est_u / true_d2_u AS ratio_u
+  FROM pairs
+),
+const AS (
+  SELECT round(avg(ratio_u) + {NUDGE}, 6) AS mean_ratio,
+         round(max(abs(ratio_u - 1)) + {NUDGE}, 6) AS max_abs_dev
+  FROM scored
+)
+SELECT s.pair_id,
+       round(s.true_d2_u + {NUDGE}, 4) AS true_d2,
+       round(s.jl_est_u + {NUDGE}, 4) AS jl_estimate,
+       round(s.ratio_u + {NUDGE}, 6) AS distortion_ratio,
+       c.mean_ratio, c.max_abs_dev
+FROM scored s CROSS JOIN const c
+"""
+
+
+PREPARED_R10.update(
+    {
+        "hubness_score": (hubness_score, _HUB_ORACLE),
+        "ngram_coverage_overlap": (ngram_coverage_overlap, _NGCOV_ORACLE),
+        "boilerplate_prefix_clusters": (
+            boilerplate_prefix_clusters,
+            _BP_ORACLE,
+        ),
+        "random_projection_distortion": (
+            random_projection_distortion,
+            _jl_oracle(),
+        ),
+    }
+)

@@ -1,8 +1,8 @@
 """Round-9-prepared (round-10-deferred) cohort: driver-identical oracle
 comparison + semantic property tests + registration-freeze pin.
 
-Every pair in PREPARED_R10 (batches 1-5: 7 + 5 + 6 + 6 + 6 = 30) is
-verified through the exact harness the driver
+Every pair in PREPARED_R10 (batches 1-6: 7 + 5 + 6 + 6 + 6 + 4 = 34)
+is verified through the exact harness the driver
 uses (tests.oracle_harness.compare) but are NOT registered: round 9
 froze registrations so the driver's correctness window can drain the
 pending backlog (r8 verdict ask #1). test_r10_cohort_not_registered
@@ -558,3 +558,74 @@ def test_hill_curve_shapes(spark, sf_dir):
     ks = sorted(rows)
     for k1, k2 in zip(ks, ks[1:]):
         assert rows[k2].threshold <= rows[k1].threshold + 1e-9
+
+
+def test_hubness_mass_conservation(spark, sf_dir):
+    """Total k-occurrence mass must equal the number of emitted top-k
+    slots (HUB_QUERIES * HUB_K when the corpus is large enough);
+    antihub share consistent with appearing count."""
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        HUB_K, HUB_QUERIES, hubness_score,
+    )
+
+    rows = hubness_score(spark, sf_dir).collect()
+    assert rows
+    r0 = rows[0]
+    total = sum(r.k_occurrence for r in rows)
+    assert total == HUB_QUERIES * HUB_K
+    assert len(rows) == r0.n_appearing
+    assert abs(
+        r0.antihub_share - (r0.n_corpus - r0.n_appearing) / r0.n_corpus
+    ) < 1e-4
+    for r in rows:
+        assert 1 <= r.k_occurrence <= HUB_QUERIES
+
+
+def test_ngram_coverage_bounds(spark, sf_dir):
+    """Coverages are probabilities; occurrence coverage >= distinct
+    coverage is NOT an identity (frequent bigrams pull it up), but
+    both must be positive on the repetitive synthetic corpus."""
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        ngram_coverage_overlap,
+    )
+
+    rows = ngram_coverage_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.occurrence_coverage <= 1.0 + 2e-6
+        assert 0.0 < r.distinct_coverage <= 1.0 + 2e-6
+        assert 0 < r.n_distinct_bigrams <= r.n_bigrams
+
+
+def test_boilerplate_clusters_are_plural(spark, sf_dir):
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        boilerplate_prefix_clusters,
+    )
+
+    rows = boilerplate_prefix_clusters(spark, sf_dir).collect()
+    # the synthetic corpus draws from a small template pool, so some
+    # prefix collisions must exist at every SF
+    assert rows
+    assert len({r.prefix_hash for r in rows}) == len(rows)
+    for r in rows:
+        assert r.n_docs > 1
+        assert 1 <= r.n_sources <= r.n_docs
+
+
+def test_jl_distortion_concentrates(spark, sf_dir):
+    """Every ratio is positive; the mean ratio must concentrate near 1
+    (unbiasedness of the +-1 projection) within a loose JL-style
+    band for 8 output dims."""
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        random_projection_distortion,
+    )
+
+    rows = random_projection_distortion(spark, sf_dir).collect()
+    assert rows
+    r0 = rows[0]
+    assert 0.5 < r0.mean_ratio < 1.5
+    assert r0.max_abs_dev >= 0
+    for r in rows:
+        assert r.true_d2 > 0
+        assert r.distortion_ratio > 0
+        assert abs(r.distortion_ratio - 1) <= r0.max_abs_dev + 1e-4
