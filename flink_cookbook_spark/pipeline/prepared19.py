@@ -4241,3 +4241,404 @@ PREPARED_R10.update(
         ),
     }
 )
+
+
+# ==========================================================================
+# batch 7 (same deferred contract) — warehouse / supply-chain analytics
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# 35. ABC / XYZ inventory classification grid
+# --------------------------------------------------------------------------
+
+ABC_P_A = 0.8  #: revenue-percentile floor for class A
+ABC_P_B = 0.5  #: revenue-percentile floor for class B
+XYZ_CV_X = 0.5  #: demand-CV ceiling for class X
+XYZ_CV_Y = 1.0  #: demand-CV ceiling for class Y
+
+
+def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ CLASSIFICATION GRID: every part classed by revenue
+    (A/B/C — percentile-of-part-revenue cutpoints, the
+    bucket-granularity form that broadcasts two scalars instead of
+    running a cumulative-share sort over the full part catalog; the
+    deviation from textbook cumulative-ABC is deliberate and
+    documented here) crossed with demand variability (X/Y/Z —
+    coefficient of variation of MONTHLY shipped quantity), summarized
+    to the bounded class grid with part counts and revenue shares —
+    the standard inventory-policy segmentation. Part revenues are
+    pre-rounded to 4 dp before cutpoint comparison (sums of
+    price-products are order-sensitive in the last ulp; the class
+    boundary must not be). Monthly quantity sums are integer-valued,
+    so the CV side is exact without rounding.
+
+    Scale shape: two combinable per-part aggregates (revenue; monthly
+    demand then its moments), TWO broadcast percentile scalars, one
+    bounded-grid rollup. No ranking window at part cardinality."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+                + F.lit(NUDGE),
+                4,
+            ).alias("rev")
+        )
+    )
+    cuts = rev.agg(
+        F.expr(f"percentile(rev, {ABC_P_A})").alias("cut_a"),
+        F.expr(f"percentile(rev, {ABC_P_B})").alias("cut_b"),
+    )
+    monthly = (
+        li.select(
+            "l_partkey",
+            (
+                F.floor(
+                    F.floor(F.col("l_shipdate").cast("double") / 86400)
+                    / 30
+                )
+            )
+            .cast("long")
+            .alias("month_idx"),
+            "l_quantity",
+        )
+        .groupBy("l_partkey", "month_idx")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    dem = monthly.groupBy("l_partkey").agg(
+        F.count("*").alias("n_months"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    n = F.col("n_months").cast("double")
+    mean_q = F.col("sq") / n
+    var_q = F.when(
+        F.col("n_months") > 1,
+        (F.col("sqq") - n * mean_q * mean_q) / (n - 1),
+    ).otherwise(F.lit(0.0))
+    cv = F.sqrt(F.greatest(var_q, F.lit(0.0))) / mean_q
+    classed = (
+        rev.join(dem, "l_partkey")
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "l_partkey",
+            "rev",
+            F.when(F.col("rev") >= F.col("cut_a"), F.lit("A"))
+            .when(F.col("rev") >= F.col("cut_b"), F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("class_abc"),
+            F.when(cv < XYZ_CV_X, F.lit("X"))
+            .when(cv < XYZ_CV_Y, F.lit("Y"))
+            .otherwise(F.lit("Z"))
+            .alias("class_xyz"),
+            cv.alias("cv_u"),
+        )
+    )
+    tot = classed.agg(F.sum("rev").alias("rev_total"))
+    return (
+        classed.groupBy("class_abc", "class_xyz")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev").alias("rev_sum"),
+            F.avg("cv_u").alias("cv_avg"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "class_abc",
+            "class_xyz",
+            "n_parts",
+            rnd(F.col("rev_sum") / F.col("rev_total"), 6).alias(
+                "revenue_share"
+            ),
+            rnd("cv_avg", 6).alias("avg_demand_cv"),
+        )
+    )
+
+
+_ABC_ORACLE = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)) + {NUDGE}, 4)
+           AS rev
+  FROM lineitem GROUP BY 1
+),
+cuts AS (
+  SELECT quantile_cont(rev, {ABC_P_A}) AS cut_a,
+         quantile_cont(rev, {ABC_P_B}) AS cut_b
+  FROM rev
+),
+monthly AS (
+  SELECT l_partkey,
+         (CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400) // 30
+           AS month_idx,
+         sum(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+dem AS (
+  SELECT l_partkey, count(*) AS n_months,
+         sum(q) AS sq, sum(q * q) AS sqq
+  FROM monthly GROUP BY 1
+),
+classed AS (
+  SELECT r.l_partkey, r.rev,
+         CASE WHEN r.rev >= c.cut_a THEN 'A'
+              WHEN r.rev >= c.cut_b THEN 'B' ELSE 'C' END AS class_abc,
+         CASE WHEN cv < {XYZ_CV_X} THEN 'X'
+              WHEN cv < {XYZ_CV_Y} THEN 'Y' ELSE 'Z' END AS class_xyz,
+         cv AS cv_u
+  FROM (
+    SELECT d.l_partkey, d.n_months, d.sq, d.sqq,
+           sqrt(greatest(CASE WHEN d.n_months > 1
+             THEN (d.sqq - d.n_months * (d.sq / d.n_months)
+                   * (d.sq / d.n_months)) / (d.n_months - 1)
+             ELSE 0.0 END, 0.0)) / (d.sq / d.n_months) AS cv
+    FROM dem d) x
+  JOIN rev r ON x.l_partkey = r.l_partkey
+  CROSS JOIN cuts c
+),
+tot AS (SELECT sum(rev) AS rev_total FROM classed)
+SELECT class_abc, class_xyz, count(*) AS n_parts,
+       round(sum(rev) / t.rev_total + {NUDGE}, 6) AS revenue_share,
+       round(avg(cv_u) + {NUDGE}, 6) AS avg_demand_cv
+FROM classed CROSS JOIN tot t
+GROUP BY class_abc, class_xyz, t.rev_total
+"""
+
+
+# --------------------------------------------------------------------------
+# 36. order-to-ship lead-time profile
+# --------------------------------------------------------------------------
+
+LATE_DAYS = 90  #: lead-time SLA bound (days)
+
+
+def ship_lead_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-TO-SHIP LEAD TIME per order priority: exact p50/p90/p99,
+    mean, and the share of line items beyond the LATE_DAYS SLA — the
+    fulfillment-latency profile that `order_backlog_profile` (queue
+    depth) and `q4_order_priority` (late-commit counts in the
+    reference adaptation) don't give: the full latency DISTRIBUTION
+    conditioned on promised priority. Lead time is computed on
+    INTEGER epoch-day indexes, so every percentile interpolates
+    between exact integers identically in both engines.
+
+    Scale shape: one orderkey equi-join (fact-to-fact, AQE-planned),
+    then ONE combinable aggregate per priority (exact percentiles over
+    the priority-bounded groups)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_shipdate").cast("double") / 86400)
+        .cast("long")
+        .alias("ship_day"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_orderdate").cast("double") / 86400)
+        .cast("long")
+        .alias("order_day"),
+    )
+    j = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        "o_orderpriority",
+        (F.col("ship_day") - F.col("order_day")).alias("lead_days"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        rnd(F.avg("lead_days"), 4).alias("mean_lead_days"),
+        rnd(F.expr("percentile(lead_days, 0.5)"), 4).alias("p50"),
+        rnd(F.expr("percentile(lead_days, 0.9)"), 4).alias("p90"),
+        rnd(F.expr("percentile(lead_days, 0.99)"), 4).alias("p99"),
+        rnd(
+            F.sum((F.col("lead_days") > LATE_DAYS).cast("double"))
+            / F.count("*"),
+            6,
+        ).alias("late_share"),
+    )
+
+
+_LEAD_ORACLE = f"""
+WITH j AS (
+  SELECT o.o_orderpriority,
+         (CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400)
+         - (CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400)
+           AS lead_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(avg(lead_days) + {NUDGE}, 4) AS mean_lead_days,
+       round(quantile_cont(lead_days, 0.5) + {NUDGE}, 4) AS p50,
+       round(quantile_cont(lead_days, 0.9) + {NUDGE}, 4) AS p90,
+       round(quantile_cont(lead_days, 0.99) + {NUDGE}, 4) AS p99,
+       round(sum(CASE WHEN lead_days > {LATE_DAYS} THEN 1.0
+                 ELSE 0.0 END) / count(*) + {NUDGE}, 6) AS late_share
+FROM j GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 37. supplier concentration per part (sourcing risk)
+# --------------------------------------------------------------------------
+
+
+def supplier_concentration_by_part(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SOURCING-RISK PROFILE: per part, the supplier count and the HHI
+    of quantity share across its suppliers, summarized by supplier-
+    count bucket with the single-source share riding along — the
+    supply-chain mirror of `source_concentration_hhi` (which scores
+    the document corpus): how much of the catalog depends on one
+    supplier? Quantity sums are integer-valued doubles, so the HHI is
+    exact without rounding tricks.
+
+    Scale shape: one (part, supplier) combinable aggregate, one
+    per-part rollup, one bounded bucket rollup — three shuffles total,
+    all on shrinking keys."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    per_part = ps.groupBy("l_partkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("q").alias("qt"),
+        F.sum(F.col("q") * F.col("q")).alias("qsq"),
+    )
+    hhi = per_part.select(
+        "l_partkey",
+        "n_suppliers",
+        (F.col("qsq") / (F.col("qt") * F.col("qt"))).alias("hhi_u"),
+    )
+    tot = hhi.agg(
+        F.count("*").alias("n_parts_total"),
+        F.sum((F.col("n_suppliers") == 1).cast("long")).alias("n_single"),
+    )
+    return (
+        hhi.groupBy("n_suppliers")
+        .agg(F.count("*").alias("n_parts"), F.avg("hhi_u").alias("hhi_avg"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_suppliers",
+            "n_parts",
+            rnd("hhi_avg", 6).alias("avg_hhi"),
+            rnd(
+                F.col("n_single").cast("double") / F.col("n_parts_total"),
+                6,
+            ).alias("single_source_share"),
+        )
+    )
+
+
+_SUPCON_ORACLE = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, count(*) AS n_suppliers,
+         sum(q) AS qt, sum(q * q) AS qsq
+  FROM ps GROUP BY 1
+),
+hhi AS (
+  SELECT l_partkey, n_suppliers, qsq / (qt * qt) AS hhi_u
+  FROM per_part
+),
+tot AS (
+  SELECT count(*) AS n_parts_total,
+         CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_single
+  FROM hhi
+)
+SELECT h.n_suppliers, count(*) AS n_parts,
+       round(avg(h.hhi_u) + {NUDGE}, 6) AS avg_hhi,
+       round(CAST(t.n_single AS DOUBLE) / t.n_parts_total + {NUDGE}, 6)
+         AS single_source_share
+FROM hhi h CROSS JOIN tot t
+GROUP BY h.n_suppliers, t.n_single, t.n_parts_total
+"""
+
+
+# --------------------------------------------------------------------------
+# 38. unit-price dispersion audit
+# --------------------------------------------------------------------------
+
+UPD_CV_FLAG = 0.25  #: dispersion flag threshold on the ROUNDED CV
+
+
+def unit_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIT-PRICE DISPERSION per part: coefficient of variation of the
+    realized unit price (extendedprice/quantity) across a part's line
+    items — the pricing-integrity audit behind "is this part sold at
+    wildly inconsistent prices" (a data-quality smell or a
+    discounting-policy breach; `expectation_checks` validates schema
+    ranges, this validates pricing CONSISTENCY). The flag reads the
+    ROUNDED CV, per the cohort discipline.
+
+    Scale shape: one map-only unit-price projection + ONE combinable
+    per-part moment aggregate — a single shuffle on the part key."""
+    li = load(spark, sf_dir, "lineitem")
+    up = li.select(
+        "l_partkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("u"),
+    )
+    g = up.groupBy("l_partkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("u").alias("su"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+    )
+    n = F.col("n_lines").cast("double")
+    mean_u = F.col("su") / n
+    var_u = F.when(
+        F.col("n_lines") > 1,
+        F.greatest(
+            (F.col("suu") - n * mean_u * mean_u) / (n - 1), F.lit(0.0)
+        ),
+    ).otherwise(F.lit(0.0))
+    cv_r = rnd(F.sqrt(var_u) / mean_u, 6)
+    return g.select(
+        "l_partkey",
+        "n_lines",
+        rnd(mean_u, 4).alias("mean_unit_price"),
+        cv_r.alias("price_cv"),
+        (cv_r > UPD_CV_FLAG).alias("dispersed"),
+    )
+
+
+_UPD_ORACLE = f"""
+WITH up AS (
+  SELECT l_partkey, l_extendedprice / l_quantity AS u FROM lineitem
+),
+g AS (
+  SELECT l_partkey, count(*) AS n_lines,
+         sum(u) AS su, sum(u * u) AS suu
+  FROM up GROUP BY 1
+),
+eff AS (
+  SELECT l_partkey, n_lines,
+         round(su / n_lines + {NUDGE}, 4) AS mean_unit_price,
+         round(sqrt(CASE WHEN n_lines > 1
+                    THEN greatest((suu - n_lines * (su / n_lines)
+                                   * (su / n_lines)) / (n_lines - 1), 0.0)
+                    ELSE 0.0 END) / (su / n_lines) + {NUDGE}, 6)
+           AS price_cv
+  FROM g
+)
+SELECT *, price_cv > {UPD_CV_FLAG} AS dispersed FROM eff
+"""
+
+
+PREPARED_R10.update(
+    {
+        "abc_xyz_classification": (abc_xyz_classification, _ABC_ORACLE),
+        "ship_lead_time_profile": (ship_lead_time_profile, _LEAD_ORACLE),
+        "supplier_concentration_by_part": (
+            supplier_concentration_by_part,
+            _SUPCON_ORACLE,
+        ),
+        "unit_price_dispersion": (unit_price_dispersion, _UPD_ORACLE),
+    }
+)

@@ -1,8 +1,8 @@
 """Round-9-prepared (round-10-deferred) cohort: driver-identical oracle
 comparison + semantic property tests + registration-freeze pin.
 
-Every pair in PREPARED_R10 (batches 1-6: 7 + 5 + 6 + 6 + 6 + 4 = 34)
-is verified through the exact harness the driver
+Every pair in PREPARED_R10 (batches 1-7: 7 + 5 + 6 + 6 + 6 + 4 + 4 =
+38) is verified through the exact harness the driver
 uses (tests.oracle_harness.compare) but are NOT registered: round 9
 froze registrations so the driver's correctness window can drain the
 pending backlog (r8 verdict ask #1). test_r10_cohort_not_registered
@@ -629,3 +629,72 @@ def test_jl_distortion_concentrates(spark, sf_dir):
         assert r.true_d2 > 0
         assert r.distortion_ratio > 0
         assert abs(r.distortion_ratio - 1) <= r0.max_abs_dev + 1e-4
+
+
+def test_abc_xyz_grid_identities(spark, sf_dir):
+    """Revenue shares sum to 1; class labels come from the legal
+    alphabets; A-class cells cannot be outnumbered by their revenue
+    rank (A holds the top revenue percentile, so its per-part mean
+    revenue share must exceed C's)."""
+    from flink_cookbook_spark.pipeline.prepared19 import abc_xyz_classification
+
+    rows = abc_xyz_classification(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.class_abc in {"A", "B", "C"}
+        assert r.class_xyz in {"X", "Y", "Z"}
+        assert r.n_parts > 0
+        assert r.avg_demand_cv >= -1e-6
+    by_abc: dict = {}
+    for r in rows:
+        a = by_abc.setdefault(r.class_abc, [0, 0.0])
+        a[0] += r.n_parts
+        a[1] += r.revenue_share
+    if "A" in by_abc and "C" in by_abc:
+        per_a = by_abc["A"][1] / by_abc["A"][0]
+        per_c = by_abc["C"][1] / by_abc["C"][0]
+        assert per_a > per_c
+
+
+def test_lead_time_percentiles_ordered(spark, sf_dir):
+    from flink_cookbook_spark.pipeline.prepared19 import ship_lead_time_profile
+
+    rows = ship_lead_time_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p50 <= r.p90 <= r.p99
+        assert 0.0 <= r.late_share <= 1.0 + 2e-6
+        assert r.n_lines > 0
+        assert r.mean_lead_days >= 0
+
+
+def test_supplier_concentration_identities(spark, sf_dir):
+    """HHI of an n-supplier split lives in [1/n, 1]; the single-source
+    bucket (n=1) must have HHI exactly 1; bucket part counts sum to the
+    catalog size implied by the constant share."""
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        supplier_concentration_by_part,
+    )
+
+    rows = supplier_concentration_by_part(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_parts for r in rows)
+    for r in rows:
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.avg_hhi <= 1.0 + 2e-6
+        if r.n_suppliers == 1:
+            assert abs(r.avg_hhi - 1.0) < 2e-6
+            assert abs(r.single_source_share - r.n_parts / total) < 1e-4
+
+
+def test_unit_price_dispersion_flags(spark, sf_dir):
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        UPD_CV_FLAG, unit_price_dispersion,
+    )
+
+    rows = unit_price_dispersion(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mean_unit_price > 0
+        assert r.price_cv >= -1e-9
+        assert r.dispersed == (r.price_cv > UPD_CV_FLAG)
