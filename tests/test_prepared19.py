@@ -698,3 +698,126 @@ def test_unit_price_dispersion_flags(spark, sf_dir):
         assert r.mean_unit_price > 0
         assert r.price_cv >= -1e-9
         assert r.dispersed == (r.price_cv > UPD_CV_FLAG)
+
+
+# --------------------------------------------------------------------------
+# constructed-fixture axiom tests (independent of the DuckDB oracle,
+# which shares the formula — these pin the formula itself)
+# --------------------------------------------------------------------------
+
+_MONTH = 1704067200  # 2024-01-01 UTC
+
+
+def _write_events(spark, base, rows):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, tsec long, user_id long, event_type string,"
+        " value double",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("tsec").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.write.parquet(f"{base}/events.parquet")
+
+
+def test_mann_kendall_closed_form_on_constructed_series(
+    spark, tmp_path_factory
+):
+    """A strictly linear daily series must give S = n(n-1)/2, Sen's
+    slope EXACTLY the construction slope, and trend 'increasing'; a
+    constant series must give S = 0, slope 0, 'no_trend' (its
+    variance degenerates under full tie correction and the z branch
+    must return 0, not NaN)."""
+    from flink_cookbook_spark.pipeline.prepared19 import mann_kendall_trend
+
+    base = str(tmp_path_factory.mktemp("mk_fx") / "lin")
+    rows = []
+    eid = 0
+    n_days = 30
+    for d in range(n_days):
+        t = _MONTH + d * 86400 + 3600
+        rows.append((eid, t, d, "rising", 5.0 + 0.5 * d)); eid += 1
+        rows.append((eid, t, d, "flat", 7.0)); eid += 1
+    _write_events(spark, base, rows)
+    got = {r.event_type: r for r in mann_kendall_trend(spark, base).collect()}
+    r = got["rising"]
+    assert r.n_days == n_days
+    assert r.s_stat == n_days * (n_days - 1) // 2
+    assert abs(r.sen_slope_per_day - 0.5) < 1e-5
+    assert r.trend == "increasing"
+    f = got["flat"]
+    assert f.s_stat == 0
+    assert abs(f.sen_slope_per_day) < 1e-5
+    assert f.trend == "no_trend"
+    assert f.z_stat == 0.0
+
+
+def test_friedman_closed_form_on_constant_ordering(spark, tmp_path_factory):
+    """Three treatments with the SAME ordering every day: ranks are
+    (1,2,3) in every block, so Q = 12/(n*k*(k+1)) * n^2*(1+4+9)
+    - 3n(k+1) = 20 for n = 10 — checked against the hand computation,
+    plus exact mean ranks."""
+    from flink_cookbook_spark.pipeline.prepared19 import friedman_test
+
+    base = str(tmp_path_factory.mktemp("fr_fx") / "const")
+    rows = []
+    eid = 0
+    for d in range(10):
+        t = _MONTH + d * 86400 + 3600
+        for j, (et, v) in enumerate(
+            [("low", 1.0), ("mid", 2.0), ("high", 3.0)]
+        ):
+            rows.append((eid, t + j, d, et, v)); eid += 1
+    _write_events(spark, base, rows)
+    got = {r.event_type: r for r in friedman_test(spark, base).collect()}
+    # the +1e-6 display nudge rides on the 6-dp columns
+    assert abs(got["low"].mean_rank - 1.0) < 2e-6
+    assert abs(got["mid"].mean_rank - 2.0) < 2e-6
+    assert abs(got["high"].mean_rank - 3.0) < 2e-6
+    r = got["low"]
+    assert r.n_days == 10
+    assert abs(r.q_stat - 20.0) < 1e-3
+    assert r.df == 2
+
+
+def test_isotonic_matches_sequential_pav(spark, sf_dir):
+    """The minimax-formula isotonic fit must equal the classic
+    sequential pool-adjacent-violators algorithm run IN THE TEST on
+    the operator's own (n, empirical_rate) bins — an independent
+    implementation of the same optimization, no SQL involved."""
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        isotonic_calibration_binned,
+    )
+
+    rows = sorted(
+        isotonic_calibration_binned(spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    assert rows
+    # sequential weighted PAV over (weight, mean) blocks
+    blocks = [[r.n, r.s / r.n] for r in rows]
+    stack: list = []
+    for w, m in blocks:
+        stack.append([w, m])
+        while len(stack) > 1 and stack[-2][1] > stack[-1][1] - 1e-15:
+            w2, m2 = stack.pop()
+            w1, m1 = stack.pop()
+            stack.append([w1 + w2, (w1 * m1 + w2 * m2) / (w1 + w2)])
+    fitted = []
+    for w, m in stack:
+        # expand back to per-bin values (blocks preserve bin order)
+        n_bins = 0
+        acc = 0
+        while acc < w:
+            acc += blocks[len(fitted) + n_bins][0]
+            n_bins += 1
+        fitted.extend([m] * n_bins)
+    assert len(fitted) == len(rows)
+    for r, m in zip(rows, fitted):
+        assert abs(r.isotonic_rate - m) < 5e-6, r.bin
