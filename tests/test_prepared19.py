@@ -821,3 +821,73 @@ def test_isotonic_matches_sequential_pav(spark, sf_dir):
     assert len(fitted) == len(rows)
     for r, m in zip(rows, fitted):
         assert abs(r.isotonic_rate - m) < 5e-6, r.bin
+
+
+def test_granger_directionality_on_constructed_pair(
+    spark, tmp_path_factory
+):
+    """Construct b(t) = a(t-1) + tiny deterministic wiggle from an
+    aperiodic base series: the a -> b direction must show a (vastly)
+    larger F than b -> a, and only a -> b may clear the causal flag —
+    the directionality property that IS the point of the test."""
+    from flink_cookbook_spark.pipeline.prepared19 import (
+        granger_causality_proxy,
+    )
+
+    base_vals = [
+        5.0, 9.2, 6.1, 10.5, 7.3, 11.8, 4.4, 8.9, 12.6, 6.7,
+        10.1, 5.5, 9.8, 13.2, 7.9, 11.3, 6.2, 10.9, 8.4, 12.1,
+        5.8, 9.5, 13.7, 7.1, 11.6, 6.9, 10.3, 8.8, 12.9, 7.6,
+    ]
+    base = str(tmp_path_factory.mktemp("gr_fx") / "pair")
+    rows = []
+    eid = 0
+    for d, v in enumerate(base_vals):
+        t = _MONTH + d * 86400 + 3600
+        rows.append((eid, t, d, "a", v)); eid += 1
+        if d >= 1:
+            wiggle = 0.001 * ((d % 3) - 1)
+            rows.append((eid, t + 1, d, "b", base_vals[d - 1] + wiggle))
+            eid += 1
+    _write_events(spark, base, rows)
+    got = {
+        (r.type_a, r.type_b): r
+        for r in granger_causality_proxy(spark, base).collect()
+    }
+    fwd, rev = got[("a", "b")], got[("b", "a")]
+    assert fwd.f_stat > 100 * max(rev.f_stat, 1e-9)
+    assert fwd.granger_causal
+    assert not rev.granger_causal
+
+
+def test_page_hinkley_alarms_after_constructed_shift(
+    spark, tmp_path_factory
+):
+    """A flat series that jumps +20 on day 20 must not alarm before
+    the shift and MUST alarm within a few post-shift days (each
+    post-shift day adds ~(20 - running-mean drift - delta) to the
+    excursion, crossing lambda = 10 almost immediately)."""
+    from flink_cookbook_spark.pipeline.prepared19 import page_hinkley_drift
+
+    base = str(tmp_path_factory.mktemp("ph_fx") / "shift")
+    rows = []
+    eid = 0
+    shift_day = 20
+    for d in range(30):
+        t = _MONTH + d * 86400 + 3600
+        v = 10.0 if d < shift_day else 30.0
+        rows.append((eid, t, d, "metric", v)); eid += 1
+    _write_events(spark, base, rows)
+    out = sorted(
+        page_hinkley_drift(spark, base).collect(),
+        key=lambda r: r.day_start,
+    )
+    assert len(out) == 30
+    shift_ts = _MONTH + shift_day * 86400
+    for r in out:
+        if r.day_start < shift_ts:
+            assert not r.alarm, r.day_start
+    alarmed = [r for r in out if r.alarm]
+    assert alarmed
+    first = min(r.day_start for r in alarmed)
+    assert shift_ts <= first <= shift_ts + 2 * 86400
