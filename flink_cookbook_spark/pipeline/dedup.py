@@ -35,7 +35,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_cookbook_spark.catalog import load
@@ -52,6 +52,53 @@ JACCARD_THRESHOLD = 0.5
 MINHASH_K = 16
 LSH_BANDS = 4
 LSH_ROWS = 4  # MINHASH_K / LSH_BANDS
+
+#: Candidate-volume guard for the EXACT verification paths
+#: (``ngram_jaccard_pairs``, ``prefix_filter_jaccard_pairs``,
+#: ``containment_pairs``). The df-cap bounds the worst SINGLE shingle's
+#: fan-out, but TOTAL candidate volume still scales with how duplicated
+#: the corpus is — the 10x dup-saturated probe (PERF.md "candidate-
+#: volume guard") verified ~250k-500k pairs and paid 122-205 s, while
+#: MinHash+LSH produced the same near-dup answer in 8.6 s because its
+#: band join prunes candidates BEFORE exact verification. Measured
+#: operating points (candidates/doc from this counter): sf0.001 organic
+#: 24, sf0.1 organic 226 (1.13M candidates, 1.9 s — comfortably exact),
+#: 10x dup-saturated ~1.4k/doc (122 s exact vs 8.6 s MinHash — blown).
+#: The crossover sits between those: past ~500 candidates/doc,
+#: ``minhash_lsh_pairs`` must take over (recall P(candidate | j>=0.5)
+#: ~ 0.986 with the 4x4 band scheme). The metric is an ``observe()``
+#: counter on each query's candidate stage — zero extra passes,
+#: readable after any action on the returned DataFrame.
+EXACT_CANDIDATE_BUDGET_PER_DOC = 500.0
+
+#: query name -> Observation attached by that query's LAST build in
+#: this process (each build creates a fresh Observation; an Observation
+#: yields metrics only for the first action on its DataFrame).
+_CANDIDATE_OBS: dict[str, Observation] = {}
+
+
+def _observe_candidates(df: DataFrame, query: str) -> DataFrame:
+    """Attach the candidate-pair ``observe()`` counter to a candidate
+    stage (one input row per candidate pair). Plan-only: CollectMetrics
+    adds no exchange and changes no output values, so driver hashes and
+    plan pins are unaffected."""
+    obs = Observation()
+    _CANDIDATE_OBS[query] = obs
+    return df.observe(obs, F.count(F.lit(1)).alias("candidate_pairs"))
+
+
+def last_candidate_volume(query: str) -> int:
+    """Candidate pairs counted by the last executed build of ``query``
+    (blocks until that DataFrame's first action completes)."""
+    return int(_CANDIDATE_OBS[query].get["candidate_pairs"])
+
+
+def exact_path_over_budget(query: str, n_docs: int) -> bool:
+    """True when the exact-verification path exceeded its candidate
+    budget and the MinHash+LSH path should take over (the operational
+    check a pipeline runs after a dedup action; the threshold's
+    derivation is the comment on ``EXACT_CANDIDATE_BUDGET_PER_DOC``)."""
+    return last_candidate_volume(query) > EXACT_CANDIDATE_BUDGET_PER_DOC * n_docs
 
 
 def _portable_hash(col) -> F.Column:
@@ -170,6 +217,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .agg(F.count("*").alias("n_common"))
     )
+    inter = _observe_candidates(inter, "ngram_jaccard_pairs")
     sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_shingles").alias("n1"))
     sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_shingles").alias("n2"))
     jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
@@ -1243,6 +1291,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("src_doc"), F.col("b.doc_id").alias("in_doc"))
         .agg(F.count("*").alias("n_common"))
     )
+    inter = _observe_candidates(inter, "containment_pairs")
     ssz = sizes.select(F.col("doc_id").alias("src_doc"), F.col("n_shingles").alias("n_src"))
     return (
         inter.join(ssz, "src_doc")
@@ -1422,6 +1471,7 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
+    cands = _observe_candidates(cands, "prefix_filter_jaccard_pairs")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     sh1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
     sh2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")

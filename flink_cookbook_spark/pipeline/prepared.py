@@ -3427,6 +3427,17 @@ for _batch in (
         raise ValueError(f"prepared batches collide: {sorted(_dups)}")
     PREPARED_R8.update(_batch)
 
+# Round 10: the 38-pair cohort deferred through the round-9
+# registration freeze (r8 verdict ask #1) goes live — the pending
+# backlog drained to 9 in CORRECTNESS_r09, so 9 + 38 = 47 fits the
+# driver's 50-slot correctness window. Same activation contract, its
+# own tag so driver artifacts can attribute the wave.
+from flink_cookbook_spark.pipeline.prepared19 import PREPARED_R10
+
+_dups = set(PREPARED_R8) & set(PREPARED_R10)
+if _dups:
+    raise ValueError(f"prepared r10 cohort collides: {sorted(_dups)}")
+
 
 def activate() -> None:
     """Register every prepared pair with the live registry — called by
@@ -3439,14 +3450,18 @@ def activate() -> None:
     cohort test to notice."""
     from flink_cookbook_spark import registry
 
-    for name, (fn, oracle) in PREPARED_R8.items():
-        existing = registry._REGISTRY.get(name)
-        if existing is not None:
-            if existing.fn is not fn:
-                raise ValueError(
-                    f"prepared query {name!r} is shadowed by a foreign "
-                    f"registration ({existing.fn.__module__}."
-                    f"{existing.fn.__qualname__}) — rename one of them"
-                )
-            continue
-        registry.register(name, oracle=oracle, tags=("prepared-r8",))(fn)
+    for cohort, tag in (
+        (PREPARED_R8, "prepared-r8"),
+        (PREPARED_R10, "prepared-r10"),
+    ):
+        for name, (fn, oracle) in cohort.items():
+            existing = registry._REGISTRY.get(name)
+            if existing is not None:
+                if existing.fn is not fn:
+                    raise ValueError(
+                        f"prepared query {name!r} is shadowed by a foreign "
+                        f"registration ({existing.fn.__module__}."
+                        f"{existing.fn.__qualname__}) — rename one of them"
+                    )
+                continue
+            registry.register(name, oracle=oracle, tags=(tag,))(fn)

@@ -109,10 +109,14 @@ LOGIT_ITERS = 5  #: full-batch gradient steps
 LOGIT_LR = 1.0  #: learning rate
 LOGIT_CONVERT_VALUE = 90.0  #: conversion predicate threshold
 LOGIT_AUC_BINS = 1_000_000  #: fixed score-histogram grid for the binned AUC
-#  1e-6-wide cells: finer than the 9-dp score rounding is discriminative
-#  at this score spread, so the binned AUC tracks the exact Mann-Whitney
-#  value; the histogram is still bounded by the grid (and in practice by
-#  the distinct-score count), never by user cardinality.
+#  1e-6-wide cells: the binned AUC is an APPROXIMATION of the exact
+#  Mann-Whitney value — distinct scores landing in the same cell are
+#  counted as ties (half-credit), a coarsening that grows with score
+#  density (the 1e-6 grid is 1000x coarser than the 9-dp score
+#  rounding, so at high cardinality real orderings inside a cell are
+#  lost). Engine-vs-oracle parity is unaffected: both sides bin on the
+#  identical grid. The histogram stays bounded by the grid (and in
+#  practice by the distinct-score count), never by user cardinality.
 
 
 def _user_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,15 +1,14 @@
-"""Round-9-prepared operators, DEFERRED for round-10 registration.
+"""Round-9-prepared operators, registered LIVE since round 10.
 
 Round 9 froze registrations so the driver's ~50-slot correctness window
-can drain the 59-query pending backlog (round-8 verdict ask #1). This
-module follows the round-7 discipline that the r8 verdict endorsed:
-build the next cohort NOW, verify every pair through the
-driver-identical harness in pytest (tests/test_prepared19.py), and keep
-it OUT of the live registry until the backlog clears — ``PREPARED_R10``
-is deliberately NOT merged into ``prepared.PREPARED_R8`` and
-``registry._ensure_loaded`` does not import this module. Flipping in
-round 10 is one line (merge + REVERIFY untouched — these names have no
-prior driver record).
+could drain the 59-query pending backlog (round-8 verdict ask #1); the
+cohort was built and verified through the driver-identical harness that
+round but held out of the registry. Round 10 flipped it: with the
+backlog down to 9 pending names in CORRECTNESS_r09, ``PREPARED_R10``
+now merges into the activation path (pipeline/prepared.py, tag
+``prepared-r10``) and every pair is exercised by the registry-wide
+driver replica in tests/test_oracle.py. REVERIFY_AFTER needs no
+entries — these names had no driver record before registration.
 
 Batch 1's seven operators close real gaps (later batches are
 documented at their own section headers below):
@@ -959,11 +958,10 @@ FROM calc
     )
 
 
-#: name -> (query fn, oracle SQL). DELIBERATELY NOT merged into
-#: prepared.PREPARED_R8 and NOT imported by registry._ensure_loaded:
-#: round 9 froze registrations (r8 verdict ask #1). Round 10 flips the
-#: cohort by merging this dict into the activation path once the
-#: pending backlog has drained.
+#: name -> (query fn, oracle SQL). Live since round 10:
+#: pipeline/prepared.py imports this dict and ``activate()`` registers
+#: every pair under tag "prepared-r10" (round 9 held it out of the
+#: registry while the pending backlog drained — r8 verdict ask #1).
 PREPARED_R10: dict = {
     "welch_t_test": (welch_t_test, _WELCH_ORACLE),
     "pacf_durbin_levinson": (pacf_durbin_levinson, _PACF_ORACLE),
@@ -993,12 +991,15 @@ PH_LAMBDA = 10.0  #: alarm threshold on the PH excursion
 def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAGE-HINKLEY DRIFT REPLAY over each event type's daily mean
     series: m_t = sum_{i<=t}(x_i - xbar_i - delta) with xbar_i the
-    RUNNING mean at step i, excursion PH_t = m_t - min_{i<=t} m_i,
-    alarm when PH_t exceeds lambda — the classic sequential mean-shift
-    detector, completing the drift battery's SEQUENTIAL corner (CUSUM
-    here is a two-half excursion test; PH is the online form that
-    names its alarm day). Alarmed on the ROUNDED excursion so a
-    last-ulp running-mean divergence cannot flip the flag.
+    RUNNING mean at step i, excursion PH_t = m_t - min_{0<=i<=t} m_i
+    with m_0 = 0 (the min includes the initial state, matching the
+    streaming twin ``streaming/pagehinkley.py`` which seeds
+    m_min = 0.0), alarm when PH_t exceeds lambda — the classic
+    sequential mean-shift detector, completing the drift battery's
+    SEQUENTIAL corner (CUSUM here is a two-half excursion test; PH is
+    the online form that names its alarm day). Alarmed on the ROUNDED
+    excursion so a last-ulp running-mean divergence cannot flip the
+    flag.
 
     Scale shape: one combinable (event_type, day) aggregate; three
     window passes (running mean, running sum, prefix min) over the SAME
@@ -1033,7 +1034,9 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day_start",
         rnd("x", 4).alias("x"),
-        (F.col("m") - F.min("m").over(wp)).alias("ph_raw"),
+        (F.col("m") - F.least(F.lit(0.0), F.min("m").over(wp))).alias(
+            "ph_raw"
+        ),
     )
     ph_r = rnd("ph_raw", 4)
     return ph.select(
@@ -1066,8 +1069,9 @@ m AS (
 ),
 ph AS (
   SELECT event_type, day_start, round(x + {NUDGE}, 4) AS x,
-         m - min(m) OVER (PARTITION BY event_type ORDER BY day_start
-                          ROWS UNBOUNDED PRECEDING) AS ph_raw
+         m - least(0, min(m) OVER (PARTITION BY event_type
+                                   ORDER BY day_start
+                                   ROWS UNBOUNDED PRECEDING)) AS ph_raw
   FROM m
 )
 SELECT event_type, day_start, x,

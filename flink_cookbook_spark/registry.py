@@ -137,6 +137,12 @@ REVERIFY_AFTER: dict[str, int] = {
     # values share a score (value-quantiles, not equal-count buckets),
     # so r/f/m_score and segment values differ from the ntile form
     "rfm_segments": 8,
+    # logistic_churn_baseline needs NO entry despite its round-9 AUC
+    # rewrite (exact midrank Mann-Whitney -> 1e6-cell binned): its ONLY
+    # driver record is CORRECTNESS_r09, taken AFTER the rewrite, so the
+    # stored hash already describes the current (binned) form — an
+    # entry of 8 would be a no-op and an entry of 9 would wrongly
+    # discard a valid green.
 }
 
 

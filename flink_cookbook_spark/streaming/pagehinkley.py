@@ -4,7 +4,10 @@ changepoint test in its native stateful-streaming form.
 Page's cumulative-deviation test (the PH variant of CUSUM) tracks, per
 key, m_t = sum_{i<=t} (x_i - xbar_i - delta) where xbar_i is the
 RUNNING mean at step i, and alarms when the excursion
-PH_t = m_t - min_{i<=t} m_i exceeds ``PH_STREAM_LAMBDA``. Unlike the
+PH_t = m_t - min_{0<=i<=t} m_i exceeds ``PH_STREAM_LAMBDA`` — the
+min includes the initial m_0 = 0 (``page_hinkley_fold`` seeds
+m_min = 0.0), and the batch twin takes least(0, min over observed
+prefix sums) so the two detectors share the identical convention. Unlike the
 windowed drift monitor (``streaming/driftmon.py``, a two-sample KS gap
 per window), PH is STRICTLY ONLINE: constant state per key — five
 scalars — no window buffer, no reference histogram; it is the

@@ -827,3 +827,45 @@ def test_adaptive_clamp_parity_sweep():
             f"{TARGET_CELL}, 1))) AS BIGINT)), 64)"
         ).fetchone()[0]
         assert _imi_k(n) == kp_sql, n
+
+
+def test_exact_dedup_candidate_volume_guard(spark, sf_dir):
+    """The observe() counter on each exact-verification candidate stage
+    must report the TRUE candidate volume (independently recomputed from
+    the shingle index), every emitted pair must have been a candidate,
+    and at fixture scale the MinHash-takeover guard must NOT fire (the
+    crossover is ~2 candidates/doc; fixtures sit far under it)."""
+    from flink_cookbook_spark.catalog import load
+    from flink_cookbook_spark.pipeline import dedup
+
+    n_docs = load(spark, sf_dir, "documents").count()
+
+    n_pairs = dedup.ngram_jaccard_pairs(spark, sf_dir).count()
+    vol = dedup.last_candidate_volume("ngram_jaccard_pairs")
+    assert vol >= n_pairs > 0
+    sh = dedup._shingles(spark, sf_dir)
+    a, b = sh.alias("a"), sh.alias("b")
+    expected = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    assert vol == expected
+    assert not dedup.exact_path_over_budget("ngram_jaccard_pairs", n_docs)
+    # budget arithmetic: with a zero-doc denominator any volume trips it
+    assert dedup.exact_path_over_budget("ngram_jaccard_pairs", 0)
+
+    # the other two exact paths carry the same counter
+    n_contain = dedup.containment_pairs(spark, sf_dir).count()
+    assert dedup.last_candidate_volume("containment_pairs") >= n_contain > 0
+    n_prefix = dedup.prefix_filter_jaccard_pairs(spark, sf_dir).count()
+    vol_prefix = dedup.last_candidate_volume("prefix_filter_jaccard_pairs")
+    assert vol_prefix >= n_prefix > 0
+    # prefix filtering's whole point: it must not generate MORE
+    # candidates than the unfiltered inverted index
+    assert vol_prefix <= vol

@@ -1,13 +1,12 @@
-"""Round-9-prepared (round-10-deferred) cohort: driver-identical oracle
-comparison + semantic property tests + registration-freeze pin.
+"""Round-9-prepared cohort (live since round 10): registration pin +
+semantic property tests.
 
 Every pair in PREPARED_R10 (batches 1-7: 7 + 5 + 6 + 6 + 6 + 4 + 4 =
-38) is verified through the exact harness the driver
-uses (tests.oracle_harness.compare) but are NOT registered: round 9
-froze registrations so the driver's correctness window can drain the
-pending backlog (r8 verdict ask #1). test_r10_cohort_not_registered
-pins the freeze; flipping the cohort in round 10 must flip that test.
-"""
+38) is registered since round 10 (the round-9 freeze drained the
+pending backlog first — r8 verdict ask #1), so the driver-identical
+oracle comparison now runs through the registry-wide replica in
+tests/test_oracle.py; this module pins the registration (exact fn +
+oracle identity) and keeps the cohort's semantic property tests."""
 
 from __future__ import annotations
 
@@ -26,30 +25,22 @@ def con(sf_dir):
     c.close()
 
 
-def test_r10_cohort_not_registered():
-    """Round-9 registration freeze: the deferred cohort must be absent
-    from the live registry (and collide with no live name)."""
+def test_r10_cohort_registered_verbatim():
+    """Round-10 flip: every cohort pair must be live in the registry as
+    THIS module's fn + oracle (a foreign registration shadowing a
+    harness-verified pair, or a silent drop, both fail here). The
+    oracle comparison itself runs in tests/test_oracle.py like every
+    other registered query."""
     from flink_cookbook_spark.registry import all_specs
 
-    live = set(all_specs())
-    leaked = set(PREPARED_R10) & live
-    assert not leaked, (
-        f"deferred r10 cohort leaked into the live registry: {sorted(leaked)}"
-        " — the round-9 freeze is broken (or round 10 flipped the cohort"
-        " without flipping this test)"
-    )
-
-
-@pytest.mark.parametrize(
-    "name", sorted(PREPARED_R10), ids=sorted(PREPARED_R10)
-)
-def test_r10_pair_matches_oracle(name, spark, sf_dir, con):
-    """Driver-identical comparison (row count + schema dtype kinds +
-    order-insensitive value hash + non-empty guard) for every deferred
-    pair — the same bar the live registry passes in test_oracle.py."""
-    fn, oracle = PREPARED_R10[name]
-    problems = compare(fn(spark, sf_dir), con, oracle, name, require_rows=True)
-    assert not problems, "\n".join(problems)
+    live = all_specs()
+    missing = sorted(set(PREPARED_R10) - set(live))
+    assert not missing, f"r10 cohort not registered: {missing}"
+    for name, (fn, oracle) in PREPARED_R10.items():
+        spec = live[name]
+        assert spec.fn is fn, name
+        assert spec.oracle == oracle, name
+        assert "prepared-r10" in spec.tags, name
 
 
 def test_welch_df_and_flag_are_consistent(spark, sf_dir):

@@ -962,7 +962,13 @@ def test_streaming_rate_limiter_equals_replay(spark, sf_dir, tmp_path_factory):
     data_dir, ckpt, out_dir = (
         str(base / "req"), str(base / "ckpt"), str(base / "out"),
     )
-    ev.where(F.col("t") <= split_t).write.parquet(data_dir, mode="overwrite")
+    # one part-file per phase: micro-batch chunking follows FILE order,
+    # not time order, so a multi-file phase under maxFilesPerTrigger
+    # could fold events out of (t, event_id) order and break the
+    # bit-identical replay equality
+    ev.where(F.col("t") <= split_t).coalesce(1).write.parquet(
+        data_dir, mode="overwrite"
+    )
     schema = spark.read.parquet(data_dir).schema
 
     def run_phase():
@@ -980,7 +986,9 @@ def test_streaming_rate_limiter_equals_replay(spark, sf_dir, tmp_path_factory):
         q.stop()
 
     run_phase()
-    ev.where(F.col("t") > split_t).write.parquet(data_dir, mode="append")
+    ev.where(F.col("t") > split_t).coalesce(1).write.parquet(
+        data_dir, mode="append"
+    )
     run_phase()
     # latest cumulative row per user
     from pyspark.sql import Window
@@ -1113,7 +1121,13 @@ def test_streaming_heavy_hitters_equals_replay(spark, sf_dir, tmp_path_factory):
     data_dir, ckpt, out_dir = (
         str(base / "items"), str(base / "ckpt"), str(base / "out"),
     )
-    ev.where(F.col("t") <= split_t).write.parquet(data_dir, mode="overwrite")
+    # one part-file per phase: micro-batch chunking follows FILE order,
+    # not time order, so a multi-file phase under maxFilesPerTrigger
+    # could fold events out of (t, event_id) order and break the
+    # bit-identical replay equality
+    ev.where(F.col("t") <= split_t).coalesce(1).write.parquet(
+        data_dir, mode="overwrite"
+    )
     schema = spark.read.parquet(data_dir).schema
 
     def run_phase():
@@ -1131,7 +1145,9 @@ def test_streaming_heavy_hitters_equals_replay(spark, sf_dir, tmp_path_factory):
         q.stop()
 
     run_phase()
-    ev.where(F.col("t") > split_t).write.parquet(data_dir, mode="append")
+    ev.where(F.col("t") > split_t).coalesce(1).write.parquet(
+        data_dir, mode="append"
+    )
     run_phase()
 
     from pyspark.sql import Window
@@ -1195,7 +1211,13 @@ def test_streaming_page_hinkley_equals_replay(spark, sf_dir, tmp_path_factory):
     data_dir, ckpt, out_dir = (
         str(base / "vals"), str(base / "ckpt"), str(base / "out"),
     )
-    ev.where(F.col("t") <= split_t).write.parquet(data_dir, mode="overwrite")
+    # one part-file per phase: micro-batch chunking follows FILE order,
+    # not time order, so a multi-file phase under maxFilesPerTrigger
+    # could fold events out of (t, event_id) order and break the
+    # bit-identical replay equality
+    ev.where(F.col("t") <= split_t).coalesce(1).write.parquet(
+        data_dir, mode="overwrite"
+    )
     schema = spark.read.parquet(data_dir).schema
 
     def run_phase():
@@ -1213,7 +1235,9 @@ def test_streaming_page_hinkley_equals_replay(spark, sf_dir, tmp_path_factory):
         q.stop()
 
     run_phase()
-    ev.where(F.col("t") > split_t).write.parquet(data_dir, mode="append")
+    ev.where(F.col("t") > split_t).coalesce(1).write.parquet(
+        data_dir, mode="append"
+    )
     run_phase()
 
     from pyspark.sql import Window
