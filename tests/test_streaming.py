@@ -1269,3 +1269,99 @@ def test_streaming_page_hinkley_equals_replay(spark, sf_dir, tmp_path_factory):
         assert r.alarm == (r.ph_stat > PH_STREAM_LAMBDA), et
         assert r.n_alarm_crossings == crossings, et
         assert r.n_alarm_crossings >= (1 if r.alarm else 0), et
+
+
+def test_streaming_page_hinkley_restart_parity_1000_keys(
+    spark, tmp_path_factory
+):
+    """Restart parity at 200x the fixture's key cardinality: 1000 keys
+    x 40 events, two checkpointed availableNow phases vs one continuous
+    Python pass of the SAME shared fold — every key's final state must
+    be bit-identical. This pins that the determinism contract (fold in
+    (t, event_id) order, constant five-scalar state) is independent of
+    how keys hash across the state-store partitions: with 1000 keys
+    every shuffle partition holds many keys and every Arrow batch
+    carries multiple groups, none of which the 5-key fixture test
+    exercises."""
+    import random
+
+    from flink_cookbook_spark.streaming.pagehinkley import (
+        PH_STREAM_LAMBDA, page_hinkley_fold, page_hinkley_streaming,
+    )
+
+    rng = random.Random(20260815)
+    data = []
+    eid = 0
+    for k in range(1000):
+        key = f"k{k:04d}"
+        for i in range(40):
+            # per-key level; a third of keys shift +15 mid-series so
+            # alarm/crossing state is exercised, not just the quiet path
+            level = 10.0 + (k % 7) + (15.0 if i >= 25 and k % 3 == 0 else 0.0)
+            t = 1704067200.0 + i * 60 + (k % 50)
+            data.append((key, t, eid, level + rng.uniform(-1.0, 1.0)))
+            eid += 1
+    ev = spark.createDataFrame(
+        data, "event_type string, t double, event_id long, value double"
+    )
+    split_t = 1704067200.0 + 20 * 60
+
+    base = tmp_path_factory.mktemp("ph_stream_1k")
+    data_dir, ckpt, out_dir = (
+        str(base / "vals"), str(base / "ckpt"), str(base / "out"),
+    )
+    ev.where(F.col("t") <= split_t).coalesce(1).write.parquet(
+        data_dir, mode="overwrite"
+    )
+    schema = spark.read.parquet(data_dir).schema
+
+    def run_phase():
+        stream = spark.readStream.schema(schema).parquet(data_dir)
+        q = (
+            page_hinkley_streaming(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_phase()
+    ev.where(F.col("t") > split_t).coalesce(1).write.parquet(
+        data_dir, mode="append"
+    )
+    run_phase()
+
+    from pyspark.sql import Window
+
+    out = spark.read.parquet(out_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("n_processed").desc())
+    final = {
+        r.event_type: r
+        for r in out.withColumn("rk", F.dense_rank().over(w))
+        .where("rk = 1")
+        .collect()
+    }
+
+    per_key: dict = {}
+    for key, t, e, v in sorted(data, key=lambda r: (r[1], r[2])):
+        per_key.setdefault(key, []).append(v)
+    assert len(final) == 1000
+    n_alarmed = 0
+    for key, xs in per_key.items():
+        n, sum_x, m, m_min, crossings = page_hinkley_fold(
+            (0, 0.0, 0.0, 0.0, 0), xs
+        )
+        r = final[key]
+        assert r.n_processed == n == 40, key
+        assert r.running_mean == sum_x / n, key
+        assert r.ph_stat == m - m_min, key
+        assert r.alarm == (r.ph_stat > PH_STREAM_LAMBDA), key
+        assert r.n_alarm_crossings == crossings, key
+        n_alarmed += int(r.alarm)
+    # the shifted third must actually alarm (fixture sanity, not a
+    # property of the operator)
+    assert n_alarmed >= 300
