@@ -67,29 +67,38 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
-    # teardown: release memoized pipeline indexes so a harness embedding
-    # this main() in a longer-lived session doesn't accumulate storage.
+    # teardown: the memoized pipeline indexes are released in the
+    # finally below — AFTER --check's warm-confirm pass, which must see
+    # the same warm memo state the sweep ran under (minhash_lsh_pairs
+    # et al. would otherwise pay a full index rebuild and read as false
+    # regressions).
     from flink_cookbook_spark.pipeline._cache import clear
 
-    clear()
+    try:
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        out = {
+            "metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        }
+        print(json.dumps(out))
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-    }
-    print(json.dumps(out))
+        budget_path = os.path.join(REPO_ROOT, "perf_budgets.json")
+        if "--write-budgets" in sys.argv:
+            with open(budget_path, "w") as f:
+                json.dump({"sf": out["sf"], "budgets": timings}, f, indent=1, sort_keys=True)
+            print(f"wrote {budget_path}", file=sys.stderr)
+        if "--check" in sys.argv:
+            def _rerun(name: str) -> float:
+                t0 = time.perf_counter()
+                specs[name].fn(spark, SF_DIR).count()
+                return round(time.perf_counter() - t0, 3)
 
-    budget_path = os.path.join(REPO_ROOT, "perf_budgets.json")
-    if "--write-budgets" in sys.argv:
-        with open(budget_path, "w") as f:
-            json.dump({"sf": out["sf"], "budgets": timings}, f, indent=1, sort_keys=True)
-        print(f"wrote {budget_path}", file=sys.stderr)
-    if "--check" in sys.argv:
-        sys.exit(_check(out, budget_path))
+            sys.exit(_check(out, budget_path, _rerun))
+    finally:
+        clear()
 
 
 #: allowed drift over budget before --check flags a query. Budgets are the
@@ -103,7 +112,7 @@ def main() -> None:
 DRIFT = 1.30
 
 
-def _check(out: dict, budget_path: str) -> int:
+def _check(out: dict, budget_path: str, rerun=None) -> int:
     if not os.path.exists(budget_path):
         print("--check: no perf_budgets.json; run --write-budgets first", file=sys.stderr)
         return 1
@@ -133,6 +142,20 @@ def _check(out: dict, budget_path: str) -> int:
         # floor tiny budgets: sub-0.3 s queries jitter by scheduler noise
         if budget is not None and sec * speed > max(budget, 0.3) * DRIFT:
             flagged.append((name, sec * speed, budget))
+    # PERF.md bench policy, applied mechanically (same as --tier2): a
+    # min-of-2 flag on a shared host is not actionable by itself — re-run
+    # only the flagged few warm and keep the min; real plan regressions
+    # reproduce, scheduler/GC jitter does not.
+    if flagged and rerun is not None:
+        confirmed = []
+        for name, _, budget in flagged:
+            warm = min(out["queries"][name], rerun(name))
+            if warm * speed > max(budget, 0.3) * DRIFT:
+                confirmed.append((name, warm * speed, budget))
+            else:
+                print(f"--check {name}: min-of-2 {out['queries'][name]:.3f}s was "
+                      f"jitter; warm re-run {warm:.3f}s within budget", file=sys.stderr)
+        flagged = confirmed
     for name, sec, budget in flagged:
         print(f"--check DRIFT {name}: {sec:.3f}s (speed-normalized x{speed:.2f}) "
               f"vs budget {budget:.3f}s ({sec / budget:.2f}x)", file=sys.stderr)
