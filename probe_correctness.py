@@ -12,6 +12,7 @@ record results in PERF.md.
 
     python probe_correctness.py                      # default query set
     SPARK_GRAFT_PROBE_QUERIES=q1,q2 python probe_correctness.py
+    SPARK_GRAFT_PROBE_QUERIES=ALL python probe_correctness.py  # whole registry
 """
 
 from __future__ import annotations
@@ -95,6 +96,10 @@ def main() -> None:
                 specs[n] = QuerySpec(name=n, fn=fn, oracle=oracle)
             if names == _DEFAULT:
                 names = tuple(_cohort)
+        if names == ("ALL",):
+            # whole-registry sweep: every registered query with an
+            # oracle, alphabetically (rows-only queries report SKIP)
+            names = tuple(sorted(specs))
         # Spark writes each table as a DIRECTORY of part files — glob it
         con = duckdb.connect()
         for t in TABLES:
@@ -108,7 +113,14 @@ def main() -> None:
                 results[name] = "SKIP (no oracle)"
                 continue
             try:
-                problems = compare(spec.fn(spark, out_dir), con, spec.oracle, name)
+                problems = compare(
+                    spec.fn(spark, out_dir), con, spec.oracle, name,
+                    # 10x outputs can exceed driver collect limits (the
+                    # gap-fill grid is ~42M rows); past this row count
+                    # the harness switches to its memory-bounded
+                    # streamed checksum with identical pass semantics
+                    stream_threshold=2_000_000,
+                )
                 results[name] = "OK" if not problems else "FAIL: " + "; ".join(problems)
             except Exception as exc:  # record, keep probing
                 results[name] = f"ERROR: {type(exc).__name__}: {exc}"

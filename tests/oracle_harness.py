@@ -69,19 +69,125 @@ def _canon_dtype(dt: str) -> str:
     return _DTYPE_EQUIV.get(dt, dt)
 
 
+#: chunk canonicalization for the streamed-checksum path: same value
+#: semantics as ``_normalize`` (sorted columns, str-ified objects,
+#: -0.0 -> 0.0, widened numeric dtypes) but vectorized per chunk so
+#: arbitrarily large outputs hash in bounded memory.
+def _canon_chunk(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        dt = str(df[c].dtype)
+        if dt.startswith("float"):
+            col = df[c].astype("float64")
+            df[c] = col.where(col != 0, 0.0)
+        elif dt.startswith(("int", "uint")):
+            df[c] = df[c].astype("int64")
+        elif dt.startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        else:
+            df[c] = df[c].astype(str)
+    return df
+
+
+def _chunk_checksum(chunks) -> tuple[int, int, dict[str, str]]:
+    """(row_count, order-insensitive uint64 checksum, canonical dtypes)
+    over an iterable of pandas chunks. The checksum is the mod-2^64 sum
+    of per-row hashes, so chunking and row order cannot affect it."""
+    n = 0
+    total = np.uint64(0)
+    dtypes: dict[str, str] = {}
+    with np.errstate(over="ignore"):
+        for chunk in chunks:
+            if not len(chunk):
+                continue
+            canon = _canon_chunk(chunk)
+            if not dtypes:
+                dtypes = {c: _canon_dtype(str(canon[c].dtype)) for c in canon.columns}
+            h = pd.util.hash_pandas_object(canon, index=False).to_numpy()
+            total = np.uint64(total + np.sum(h, dtype=np.uint64))
+            n += len(chunk)
+    return n, int(total), dtypes
+
+
+def _spark_chunks(spark_df, batch_rows: int = 500_000):
+    """Stream a Spark result as pandas chunks via a temp parquet spill
+    (parquet round-trips doubles/longs/strings exactly), never holding
+    more than one batch in driver memory."""
+    import shutil
+    import tempfile
+
+    import pyarrow.dataset as ds
+
+    tmp = tempfile.mkdtemp(prefix="fcs_cmp_")
+    try:
+        spark_df.write.mode("overwrite").parquet(tmp)
+        dataset = ds.dataset(tmp, format="parquet")
+        for batch in dataset.to_batches(batch_size=batch_rows):
+            yield batch.to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _duckdb_chunks(con: duckdb.DuckDBPyConnection, sql: str):
+    con.execute(sql)
+    while True:
+        chunk = con.fetch_df_chunk(256)  # ~512k rows per chunk
+        if chunk is None or not len(chunk):
+            break
+        yield chunk
+
+
+def _compare_streamed(spark_df, con, sql: str, name: str) -> list[str]:
+    """Driver-shaped comparison (row count + canonical dtype kinds +
+    order-insensitive value checksum) in bounded memory, for results too
+    large to collect. Weaker diagnostics than the collected path (a
+    mismatch reports the checksum, not the first differing row) but the
+    same pass/fail semantics."""
+    sn, sh, sd = _chunk_checksum(_spark_chunks(spark_df))
+    wn, wh, wd = _chunk_checksum(_duckdb_chunks(con, sql))
+    problems: list[str] = []
+    if sd and wd and sorted(sd) != sorted(wd):
+        return [f"{name}: columns differ spark={sorted(sd)} oracle={sorted(wd)}"]
+    for c in sd:
+        if sd[c] != wd.get(c, sd[c]) and not (sd[c] == wd.get(c) == "object"):
+            problems.append(
+                f"{name}.{c}: dtype kind differs spark={sd[c]} oracle={wd[c]} "
+                "(driver hash is type-sensitive)"
+            )
+    if problems:
+        return problems
+    if sn != wn:
+        return [f"{name}: row count spark={sn} oracle={wn}"]
+    if sh != wh:
+        problems.append(
+            f"{name}: streamed checksum mismatch over {sn} rows "
+            f"(spark={sh:#x} oracle={wh:#x})"
+        )
+    return problems
+
+
 def compare(
     spark_df,
     con: duckdb.DuckDBPyConnection,
     sql: str,
     name: str,
     require_rows: bool = False,
+    stream_threshold: int | None = None,
 ) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass).
 
     ``require_rows`` flags a 0-row == 0-row match as a problem (the
     vacuous-green class: both engines agreeing on the empty set
-    verifies nothing about the query's logic)."""
+    verifies nothing about the query's logic).
+
+    ``stream_threshold``: when set and the Spark result exceeds this
+    many rows, switch to the memory-bounded streamed-checksum
+    comparison (probe-scale outputs — e.g. the 10x gap-fill grid at
+    ~42M rows — exceed spark.driver.maxResultSize when collected; the
+    driver's own gate at sf0.01 never needs this)."""
     problems: list[str] = []
+    if stream_threshold is not None and spark_df.count() > stream_threshold:
+        return _compare_streamed(spark_df, con, sql, name)
     got = spark_df.toPandas()
     want = con.execute(sql).fetchdf()
     if sorted(got.columns) != sorted(want.columns):

@@ -735,3 +735,31 @@ def test_mode_and_listagg_match_python_reference(spark, tmp_path):
         ]
         name = f"NATION_{nk}"
         assert got_agg[name] == (len(grp), ",".join(want_names)), name
+
+
+def test_streamed_checksum_agrees_with_collected_compare(spark, sf_dir):
+    """The memory-bounded streamed-checksum path (probe-scale results)
+    must reach the same verdict as the collected path: green on a real
+    matching pair (forced via a 1-row threshold), and red on a planted
+    value difference that row count and schema cannot see."""
+    from flink_cookbook_spark.registry import get_query
+    from tests.oracle_harness import compare, duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    try:
+        spec = get_query("q1_pricing_summary")
+        # threshold far below the result size -> streamed path, green
+        assert compare(
+            spec.fn(spark, sf_dir), con, spec.oracle, spec.name,
+            stream_threshold=1,
+        ) == []
+        # same shape, one aggregate perturbed -> checksum must trip
+        bad_sql = spec.oracle.replace("sum(l_quantity)", "sum(l_quantity) + 1", 1)
+        assert bad_sql != spec.oracle
+        problems = compare(
+            spec.fn(spark, sf_dir), con, bad_sql, spec.name,
+            stream_threshold=1,
+        )
+        assert problems and "checksum" in problems[0], problems
+    finally:
+        con.close()
