@@ -72,9 +72,16 @@ def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     joined = salted_join(li, part, "p_partkey", n_salts=8)
+    # revenue sums in DECIMAL (exact 2-dp fixture money; see
+    # q9_product_profit's money discipline — double summation flipped a
+    # cent at the 10x probe), rounded half-up on the exact value and
+    # cast back to double for the driver's type-sensitive hash
+    revenue = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
     return joined.groupBy("p_brand").agg(
         F.count("*").alias("n_lines"),
-        rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
         rnd(F.avg("l_quantity")).alias("avg_qty"),
     )
 
@@ -84,7 +91,9 @@ register(
     oracle="""
 SELECT p_brand,
        count(*) AS n_lines,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS revenue,
        round(avg(l_quantity) + 1e-6, 4) AS avg_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand

@@ -436,20 +436,34 @@ GROUP BY o_orderpriority
 
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9-style: profit by nation and year with a part-name filter
-    (regex-ish LIKE pushdown through a 5-way join)."""
+    (regex-ish LIKE pushdown through a 5-way join).
+
+    Money discipline (100 TB): the profit sum runs in DECIMAL, not
+    double. The fixture's money columns are exact 2-dp values (TPC-H
+    spec), so the decimal sum is EXACT and engine-identical at any
+    scale, whereas double summation error grows with row count and
+    flipped a 2-dp rounding boundary at the 10x probe (4/175 group
+    sums of ~3e8 magnitude differed in the last cent). Final value is
+    rounded half-up on the exact decimal (no tie nudge needed —
+    nothing is approximate) and cast back to double for the driver's
+    type-sensitive hash."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     supplier = load(spark, sf_dir, "supplier")
     orders = load(spark, sf_dir, "orders")
     nation = load(spark, sf_dir, "nation")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col("l_tax") * F.col("l_quantity")
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    qty = F.col("l_quantity").cast("decimal(14,2)")
+    profit = price * (F.lit(1).cast("decimal(3,2)") - disc) - tax * qty
     return (
         li.join(part.where(F.col("p_name").contains("gear")), F.col("l_partkey") == F.col("p_partkey"))
         .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(rnd(F.sum(profit), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
     )
 
 
@@ -458,8 +472,11 @@ register(
     oracle="""
 SELECT n_name AS nation,
        CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount) - l_tax * l_quantity) + 1e-6, 2)
-         AS sum_profit
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      - CAST(l_tax AS DECIMAL(4,2))
+                        * CAST(l_quantity AS DECIMAL(14,2))), 2)
+            AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey

@@ -441,11 +441,20 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutpoints are a tiny per-group aggregate, broadcast back onto the
     fact scan (map-only), then one bounded hash aggregate. No global
     sort, no second fact shuffle.
+
+    Cutpoints are DISCRETE percentiles (actual stored values — Spark
+    ``percentile_disc`` / DuckDB ``quantile_disc`` agree on the
+    smallest-value-with-cume_dist>=q definition), the ``rfm_segments``
+    pattern: the 10x probe caught the interpolated form flipping
+    ``n_clipped_lo`` by a whole tie-mass of 50 rows when the two
+    engines' interpolation arithmetic diverged by one ulp exactly on a
+    replicated data value. A discrete cutpoint is bit-identical on
+    both engines, so boundary ties can never reclassify.
     """
     ev = load(spark, sf_dir, "events")
     cuts = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("p05"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").alias("p05"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
     )
     j = ev.join(F.broadcast(cuts), "event_type")
     wv = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
@@ -465,8 +474,8 @@ register(
     oracle="""
 WITH cuts AS (
   SELECT event_type,
-         quantile_cont(value, 0.05) AS p05,
-         quantile_cont(value, 0.95) AS p95
+         quantile_disc(value, 0.05) AS p05,
+         quantile_disc(value, 0.95) AS p95
   FROM events GROUP BY 1
 )
 SELECT e.event_type,

@@ -137,6 +137,12 @@ REVERIFY_AFTER: dict[str, int] = {
     # values share a score (value-quantiles, not equal-count buckets),
     # so r/f/m_score and segment values differ from the ntile form
     "rfm_segments": 8,
+    # round 10: p05/p95 cutpoints moved from interpolated percentiles
+    # to discrete order statistics (the 10x probe caught the engines'
+    # interpolation arithmetic diverging by an ulp exactly on a
+    # boundary tie-mass) — cutpoint values, clip counts, and the
+    # winsorized mean all shift slightly
+    "winsorized_stats": 9,
     # logistic_churn_baseline needs NO entry despite its round-9 AUC
     # rewrite (exact midrank Mann-Whitney -> 1e6-cell binned): its ONLY
     # driver record is CORRECTNESS_r09, taken AFTER the rewrite, so the
