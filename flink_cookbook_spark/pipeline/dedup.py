@@ -184,6 +184,11 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ``shingles`` is MATERIALIZED: DuckDB (1.0) inlines CTEs by default,
+#: so every reference re-derives the whole extraction — the pair-family
+#: oracles reference it 3-5x (sizes + both join sides), which measured
+#: 23x slower on dedup_pair_triangles at sf0.1 and a 30+ minute hang at
+#: the 10x probe. Materialization is oracle-plan-only: values unchanged.
 _SHINGLES_CTE = f"""
 toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
          WHERE len(string_split(text, ' ')) >= 3),
@@ -194,7 +199,7 @@ shingles_all AS (
                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
         FROM toks)
 ),
-shingles AS (
+shingles AS MATERIALIZED (
   SELECT doc_id, shingle
   FROM (SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
         FROM shingles_all)
@@ -1150,7 +1155,7 @@ inter AS (
   JOIN shingles s2 ON s2.doc_id = c.doc2 AND s1.shingle = s2.shingle
   GROUP BY 1, 2
 ),
-verified AS (
+verified AS MATERIALIZED (
   SELECT i.doc1, i.doc2
   FROM inter i
   JOIN sizes sa ON i.doc1 = sa.doc_id
