@@ -17,22 +17,65 @@ from pyspark.sql import functions as F
 from flink_cookbook_spark.catalog import load
 from flink_cookbook_spark.registry import register, rnd
 
+# ---------------------------------------------------------------------------
+# Money discipline (100 TB): the fixture's money columns are exact 2-dp
+# values (TPC-H spec), so money SUMS run in DECIMAL — exact and
+# engine-identical at any scale. Double summation error grows with row
+# count: the 10x probe flipped a cent on q9/salted_join_agg, the 30x
+# probe on q1/q5, and q15's self-join-on-max returned 0 oracle rows at
+# 30x because DuckDB's inlined CTE re-derived the double sum in a
+# different order than its own max. The exact decimal sum is rounded
+# half-up (no tie nudge — nothing is approximate) and cast back to
+# double for the driver's type-sensitive hash. AVERAGES and ratios of
+# sums stay double: their error is relative (~1e-16 x n / n) and the
+# 4-6-dp rounding absorbs it at any feasible scale. Integer-valued
+# sums (quantities, counts) are exact in double to 2^53 and stay as-is.
+# ---------------------------------------------------------------------------
+
+
+def _dec(col: str, prec: str = "14,2") -> F.Column:
+    return F.col(col).cast(f"decimal({prec})")
+
+
+#: l_extendedprice * (1 - l_discount), exact (scale 4)
+_DISC_PRICE = _dec("l_extendedprice") * (
+    F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
+)
+#: ... * (1 + l_tax), exact (scale 6)
+_CHARGE = _DISC_PRICE * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax", "4,2"))
+
+
+def money_sum(expr: F.Column, dp: int = 2) -> F.Column:
+    """Exact decimal SUM of a money expression, rounded half-up at
+    ``dp`` and cast to double (see module money discipline)."""
+    return F.round(F.sum(expr), dp).cast("double")
+
+
+#: oracle-side fragments of the same expressions
+DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(14,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+CHARGE_SQL = f"{DISC_PRICE_SQL} * (1 + CAST(l_tax AS DECIMAL(4,2)))"
+
+
+def money_sum_sql(expr: str, dp: int = 2) -> str:
+    return f"CAST(round(sum({expr}), {dp}) AS DOUBLE)"
+
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: scan-heavy groupBy with 8 aggs.
     The Catalyst plan is a single-pass hash aggregate over a pruned
     4-column scan with the shipdate filter pushed to parquet."""
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
-            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
-            rnd(F.sum(charge), 2).alias("sum_charge"),
+            money_sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            money_sum(_DISC_PRICE).alias("sum_disc_price"),
+            money_sum(_CHARGE).alias("sum_charge"),
             rnd(F.avg("l_quantity")).alias("avg_qty"),
             rnd(F.avg("l_extendedprice")).alias("avg_price"),
             rnd(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -43,12 +86,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity) + 1e-6, 2) AS sum_qty,
-       round(sum(l_extendedprice) + 1e-6, 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-6, 2) AS sum_charge,
+       {money_sum_sql("CAST(l_extendedprice AS DECIMAL(14,2))")} AS sum_base_price,
+       {money_sum_sql(DISC_PRICE_SQL)} AS sum_disc_price,
+       {money_sum_sql(CHARGE_SQL)} AS sum_charge,
        round(avg(l_quantity) + 1e-6, 4) AS avg_qty,
        round(avg(l_extendedprice) + 1e-6, 4) AS avg_price,
        round(avg(l_discount) + 1e-6, 6) AS avg_disc,
@@ -118,7 +161,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, sf_dir, "supplier")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -126,15 +168,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(rnd(revenue, 2).alias("revenue"), F.count("*").alias("n_lineitems"))
+        .agg(money_sum(_DISC_PRICE).alias("revenue"), F.count("*").alias("n_lineitems"))
     )
 
 
 register(
     "q5_local_supplier_volume",
-    oracle="""
+    oracle=f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue,
+       {money_sum_sql(DISC_PRICE_SQL)} AS revenue,
        count(*) AS n_lineitems
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -161,7 +203,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            money_sum(_dec("l_extendedprice") * _dec("l_discount", "4,2")).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -169,8 +211,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "q6_forecast_revenue",
-    oracle="""
-SELECT round(sum(l_extendedprice * l_discount) + 1e-6, 2) AS revenue,
+    oracle=f"""
+SELECT {money_sum_sql("CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(4,2))")} AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -282,17 +324,17 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
-        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"))
+        .agg(money_sum(_DISC_PRICE).alias("volume"))
     )
 
 
 register(
     "q7_volume_shipping",
-    oracle="""
+    oracle=f"""
 SELECT n1.n_name AS supp_nation,
        n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS volume
+       {money_sum_sql(DISC_PRICE_SQL)} AS volume
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -578,17 +620,17 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.substring("c_name", 1, 10).alias("name_code"))
         .agg(
             F.count("*").alias("numcust"),
-            rnd(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money_sum(_dec("c_acctbal")).alias("totacctbal"),
         )
     )
 
 
 register(
     "q22_global_sales_opportunity",
-    oracle="""
+    oracle=f"""
 SELECT substring(c_name, 1, 10) AS name_code,
        count(*) AS numcust,
-       round(sum(c_acctbal) + 1e-6, 2) AS totacctbal
+       {money_sum_sql("CAST(c_acctbal AS DECIMAL(14,2))")} AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -683,7 +725,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_nation = nation.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
     )
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # numerator/denominator sums run exact in decimal (money
+    # discipline); the single ratio division happens once in double on
+    # identical inputs, so the 6-dp rounded share is engine-identical
+    volume = _DISC_PRICE
+    zero = F.lit(0).cast("decimal(4,4)")
     return (
         li.join(part.where(F.col("p_type") == "PROMO"), F.col("l_partkey") == F.col("p_partkey"))
         .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -696,8 +742,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             rnd(
-                F.sum(F.when(F.col("supp_nation") == "NATION_7", volume).otherwise(0.0))
-                / F.sum(volume),
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", volume).otherwise(zero)).cast("double")
+                / F.sum(volume).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -706,11 +752,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "q8_market_share",
-    oracle="""
+    oracle=f"""
 SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       round(sum(CASE WHEN sn.n_name = 'NATION_7'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)) + 1e-6, 6) AS mkt_share
+       round(CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+                      THEN {DISC_PRICE_SQL} ELSE 0 END) AS DOUBLE)
+             / CAST(sum({DISC_PRICE_SQL}) AS DOUBLE) + 1e-6, 6) AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -741,31 +787,37 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     asia_li = li.join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
-    value = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # exact decimal sums (money discipline): the HAVING-vs-threshold
+    # compare is then deterministic — a double sum near the 0.001-of-
+    # total boundary could flip membership between engines at scale
+    value = F.sum(_DISC_PRICE)
     per_part = asia_li.groupBy("l_partkey").agg(value.alias("part_value"))
-    total = asia_li.agg((value * 0.001).alias("threshold"))
+    total = asia_li.agg((value.cast("double") * 0.001).alias("threshold"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("part_value") > F.col("threshold"))
-        .select("l_partkey", rnd(F.col("part_value"), 2).alias("part_value"))
+        .where(F.col("part_value").cast("double") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            F.round(F.col("part_value"), 2).cast("double").alias("part_value"),
+        )
     )
 
 
 register(
     "q11_important_part_values",
-    oracle="""
+    oracle=f"""
 WITH asia_li AS (
-  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+  SELECT l_partkey, {DISC_PRICE_SQL} AS v
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey
   WHERE r_name = 'ASIA'
 )
-SELECT l_partkey, round(sum(v) + 1e-6, 2) AS part_value
+SELECT l_partkey, CAST(round(sum(v), 2) AS DOUBLE) AS part_value
 FROM asia_li
 GROUP BY l_partkey
-HAVING sum(v) > (SELECT sum(v) * 0.001 FROM asia_li)
+HAVING CAST(sum(v) AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) * 0.001 FROM asia_li)
 """,
     tags=("tpch", "bench"),
 )(q11_important_part_values)
@@ -783,7 +835,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        # exact decimal sum (money discipline): the == max(...) match is
+        # only deterministic on exact values — the 30x probe saw the
+        # oracle's inlined double re-derivation disagree with its own
+        # max and return 0 rows (same engine, different summation order)
+        .agg(F.sum(_DISC_PRICE).alias("total_revenue"))
     )
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -792,22 +848,23 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey"), F.col("s_name"),
-            rnd(F.col("total_revenue"), 2).alias("total_revenue"),
+            F.round(F.col("total_revenue"), 2).cast("double").alias("total_revenue"),
         )
     )
 
 
 register(
     "q15_top_supplier",
-    oracle="""
-WITH revenue AS (
-  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+    oracle=f"""
+WITH revenue AS MATERIALIZED (
+  SELECT l_suppkey, sum({DISC_PRICE_SQL}) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, round(total_revenue + 1e-6, 2) AS total_revenue
+SELECT s_suppkey, s_name,
+       CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
 FROM revenue JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """,
