@@ -37,12 +37,20 @@ def _dec(col: str, prec: str = "14,2") -> F.Column:
     return F.col(col).cast(f"decimal({prec})")
 
 
-#: l_extendedprice * (1 - l_discount), exact (scale 4)
-_DISC_PRICE = _dec("l_extendedprice") * (
-    F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
-)
-#: ... * (1 + l_tax), exact (scale 6)
-_CHARGE = _DISC_PRICE * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax", "4,2"))
+# The shared expressions are FUNCTIONS, not module constants: classic
+# PySpark Column construction needs an active SparkContext, and this
+# module imports at registry load time (pytest collection) before any
+# session exists.
+def _disc_price() -> F.Column:
+    """l_extendedprice * (1 - l_discount), exact (scale 4)."""
+    return _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", "4,2")
+    )
+
+
+def _charge() -> F.Column:
+    """... * (1 + l_tax), exact (scale 6)."""
+    return _disc_price() * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax", "4,2"))
 
 
 def money_sum(expr: F.Column, dp: int = 2) -> F.Column:
@@ -74,8 +82,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
             money_sum(_dec("l_extendedprice")).alias("sum_base_price"),
-            money_sum(_DISC_PRICE).alias("sum_disc_price"),
-            money_sum(_CHARGE).alias("sum_charge"),
+            money_sum(_disc_price()).alias("sum_disc_price"),
+            money_sum(_charge()).alias("sum_charge"),
             rnd(F.avg("l_quantity")).alias("avg_qty"),
             rnd(F.avg("l_extendedprice")).alias("avg_price"),
             rnd(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -168,7 +176,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(money_sum(_DISC_PRICE).alias("revenue"), F.count("*").alias("n_lineitems"))
+        .agg(money_sum(_disc_price()).alias("revenue"), F.count("*").alias("n_lineitems"))
     )
 
 
@@ -324,7 +332,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
-        .agg(money_sum(_DISC_PRICE).alias("volume"))
+        .agg(money_sum(_disc_price()).alias("volume"))
     )
 
 
@@ -728,7 +736,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # numerator/denominator sums run exact in decimal (money
     # discipline); the single ratio division happens once in double on
     # identical inputs, so the 6-dp rounded share is engine-identical
-    volume = _DISC_PRICE
+    volume = _disc_price()
     zero = F.lit(0).cast("decimal(4,4)")
     return (
         li.join(part.where(F.col("p_type") == "PROMO"), F.col("l_partkey") == F.col("p_partkey"))
@@ -790,7 +798,7 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact decimal sums (money discipline): the HAVING-vs-threshold
     # compare is then deterministic — a double sum near the 0.001-of-
     # total boundary could flip membership between engines at scale
-    value = F.sum(_DISC_PRICE)
+    value = F.sum(_disc_price())
     per_part = asia_li.groupBy("l_partkey").agg(value.alias("part_value"))
     total = asia_li.agg((value.cast("double") * 0.001).alias("threshold"))
     return (
@@ -839,7 +847,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # only deterministic on exact values — the 30x probe saw the
         # oracle's inlined double re-derivation disagree with its own
         # max and return 0 rows (same engine, different summation order)
-        .agg(F.sum(_DISC_PRICE).alias("total_revenue"))
+        .agg(F.sum(_disc_price()).alias("total_revenue"))
     )
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
