@@ -66,6 +66,9 @@ import os
 from pyspark.sql import functions as F
 
 from flink_cookbook_spark.catalog import load
+from flink_cookbook_spark.operators.tpch import (
+    DISC_PRICE_SQL, _disc_price, money_sum, money_sum_sql,
+)
 from flink_cookbook_spark.registry import register, rnd
 
 _FMT_CACHE_ROOT = os.path.join(
@@ -290,16 +293,18 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_lines"),
-            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            # decimal money sum (operators/tpch.py money discipline):
+            # the 30x probe flipped a cent on this ~3e11 double sum
+            money_sum(_disc_price()).alias("revenue"),
         )
     )
 
 
 register(
     "bucketed_join_agg",
-    oracle="""
+    oracle=f"""
 SELECT o_orderstatus, count(*) AS n_lines,
-       round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+       {money_sum_sql(DISC_PRICE_SQL)} AS revenue
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderstatus
 """,
