@@ -125,16 +125,73 @@ FROM (
 )(unpivot_stack)
 
 
+#: percentiles computed by ``exact_quantiles`` (name -> p).
+_EXACT_QUANTILE_PS = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+
+
 def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles per group: Spark ``percentile`` ==
-    DuckDB ``quantile_cont`` (both linear interpolation on the sorted
-    set). The approx sketch variant is tested in pytest for accuracy."""
+    """Exact interpolated quantiles per group as a DISTRIBUTED two-pass
+    order statistic — same semantics as DuckDB ``quantile_cont`` (linear
+    interpolation at fractional rank h = p*(n-1) over the sorted set).
+
+    Spark's exact ``percentile`` buffers EVERY raw value in its
+    aggregation state; at 18M lineitems the serialized partials blew the
+    driver limits and took down the 30x-probe JVM (PERF.md round-10).
+    This form never materializes a value buffer:
+
+    1. counts per (group, value) — state is one row per DISTINCT value;
+    2. cumulative counts via a per-group ordered window (a sort over the
+       distinct values only, which spills rather than OOMs);
+    3. per-group totals n -> the bracketing 1-indexed ranks
+       lo = floor(h)+1 and lo+1 for each percentile, broadcast back
+       (3 groups x 3 percentiles — a handful of rows);
+    4. order statistic r == MIN value whose cumulative count reaches r,
+       as conditional MINs in one bounded aggregate, then interpolate
+       v_lo + frac*(v_hi - v_lo) exactly as DuckDB does.
+
+    Memory is bounded by distinct values per group everywhere; no
+    aggregate state grows with raw row count. Ref: src/flinkarima.py has
+    no quantile op — this is engine-scope surface (SURVEY.md section 2.2).
+    """
+    from pyspark.sql import Window
+
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        rnd(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
-        rnd(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90"),
-        rnd(F.expr("percentile(l_extendedprice, 0.99)")).alias("p99"),
+    vc = li.groupBy("l_returnflag", "l_extendedprice").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    cum = vc.withColumn("cum", F.sum("cnt").over(w))
+    targets = load(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.count("*").alias("n")
     )
+    target_cols = ["l_returnflag"]
+    for name, p in _EXACT_QUANTILE_PS.items():
+        h = F.lit(p) * (F.col("n") - 1).cast("double")
+        target_cols.append(h.alias(f"h_{name}"))
+        target_cols.append((F.floor(h) + 1).alias(f"lo_{name}"))
+    targets = targets.select(*target_cols)
+    j = cum.join(F.broadcast(targets), "l_returnflag")
+    aggs = []
+    for name in _EXACT_QUANTILE_PS:
+        lo_rank = F.col(f"lo_{name}")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= lo_rank, F.col("l_extendedprice"))).alias(
+                f"vlo_{name}"
+            )
+        )
+        aggs.append(
+            F.min(F.when(F.col("cum") >= lo_rank + 1, F.col("l_extendedprice"))).alias(
+                f"vhi_{name}"
+            )
+        )
+        aggs.append(F.min(f"h_{name}").alias(f"h_{name}"))
+    res = j.groupBy("l_returnflag").agg(*aggs)
+    out = [F.col("l_returnflag")]
+    for name in _EXACT_QUANTILE_PS:
+        h, vlo = F.col(f"h_{name}"), F.col(f"vlo_{name}")
+        vhi = F.coalesce(F.col(f"vhi_{name}"), vlo)  # h integral at the top end
+        frac = h - F.floor(h)
+        interp = F.when(frac == 0, vlo).otherwise(vlo + frac * (vhi - vlo))
+        out.append(rnd(interp).alias(name))
+    return res.select(*out)
 
 
 register(

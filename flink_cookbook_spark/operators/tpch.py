@@ -30,6 +30,18 @@ from flink_cookbook_spark.registry import register, rnd
 # sums stay double: their error is relative (~1e-16 x n / n) and the
 # 4-6-dp rounding absorbs it at any feasible scale. Integer-valued
 # sums (quantities, counts) are exact in double to 2^53 and stay as-is.
+#
+# Known boundary of the final DECIMAL -> DOUBLE cast: the decimal SUM
+# itself is exact at any scale, but once a group's UNSCALED 2-dp sum
+# exceeds 2^53 (~9e13 money units, i.e. ~$900 billion per group —
+# q1-sized groups would cross it somewhere past ~1000x fixture scale),
+# the cast is no longer the same operation in both engines: Spark's
+# BigDecimal.doubleValue is correctly rounded, while DuckDB casts via
+# int -> double then divides (double-rounding), and they can diverge by
+# 1 ulp (verified empirically). If a >1000x probe ever flags a money
+# query, suspect this cast boundary before the sum; the fix is to
+# compare at DECIMAL type end-to-end (driver hash permitting) or keep
+# per-group sums under the boundary by sub-grouping.
 # ---------------------------------------------------------------------------
 
 

@@ -89,7 +89,15 @@ def _observe_candidates(df: DataFrame, query: str) -> DataFrame:
 
 def last_candidate_volume(query: str) -> int:
     """Candidate pairs counted by the last executed build of ``query``
-    (blocks until that DataFrame's first action completes)."""
+    (blocks until that DataFrame's first action completes).
+
+    HANG MODE — call only after an action on the MOST RECENT build:
+    each build replaces the Observation, and ``Observation.get`` blocks
+    indefinitely waiting for the first action on ITS DataFrame. If a
+    caller rebuilds the plan, acts on an OLDER DataFrame, then reads
+    this, the newest Observation never receives metrics and this call
+    never returns. There is no timeout by design (a timeout would turn
+    a caller-ordering bug into a silently wrong candidate count)."""
     return int(_CANDIDATE_OBS[query].get["candidate_pairs"])
 
 

@@ -143,6 +143,14 @@ REVERIFY_AFTER: dict[str, int] = {
     # boundary tie-mass) — cutpoint values, clip counts, and the
     # winsorized mean all shift slightly
     "winsorized_stats": 9,
+    # round 11: rewritten from Spark's value-buffering exact
+    # ``percentile`` (whose serialized partials killed the 30x-probe
+    # JVM) to the distributed two-pass distinct-value order statistic.
+    # Interpolation now evaluates lo + frac*(hi - lo) (DuckDB's
+    # expression) instead of Percentile's lo*(1-frac) + hi*frac — can
+    # differ by an ulp, which a rounding tie could surface, so the old
+    # green does not vouch for the new arithmetic.
+    "exact_quantiles": 10,
     # logistic_churn_baseline needs NO entry despite its round-9 AUC
     # rewrite (exact midrank Mann-Whitney -> 1e6-cell binned): its ONLY
     # driver record is CORRECTNESS_r09, taken AFTER the rewrite, so the

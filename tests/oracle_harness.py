@@ -89,24 +89,34 @@ def _canon_chunk(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def _chunk_checksum(chunks) -> tuple[int, int, dict[str, str]]:
-    """(row_count, order-insensitive uint64 checksum, canonical dtypes)
-    over an iterable of pandas chunks. The checksum is the mod-2^64 sum
-    of per-row hashes, so chunking and row order cannot affect it."""
+def _chunk_checksum(chunks) -> tuple[int, int, dict[str, str], dict[str, int]]:
+    """(row_count, order-insensitive uint64 checksum, canonical dtypes,
+    per-column signed-zero counts) over an iterable of pandas chunks.
+    The checksum is the mod-2^64 sum of per-row hashes, so chunking and
+    row order cannot affect it. Signed zeros are counted BEFORE the
+    -0.0 -> 0.0 canonicalization: the driver's value hash is
+    type-sensitive and sees -0.0 != 0.0, so the streamed path must
+    report the asymmetry the collected path reports (negative-zero
+    count check below)."""
     n = 0
     total = np.uint64(0)
     dtypes: dict[str, str] = {}
+    negzero: dict[str, int] = {}
     with np.errstate(over="ignore"):
         for chunk in chunks:
             if not len(chunk):
                 continue
+            for c in chunk.columns:
+                if str(chunk[c].dtype).startswith("float"):
+                    nz = int(((chunk[c] == 0) & _signbit(chunk[c])).sum())
+                    negzero[c] = negzero.get(c, 0) + nz
             canon = _canon_chunk(chunk)
             if not dtypes:
                 dtypes = {c: _canon_dtype(str(canon[c].dtype)) for c in canon.columns}
             h = pd.util.hash_pandas_object(canon, index=False).to_numpy()
             total = np.uint64(total + np.sum(h, dtype=np.uint64))
             n += len(chunk)
-    return n, int(total), dtypes
+    return n, int(total), dtypes, negzero
 
 
 def _spark_chunks(spark_df, batch_rows: int = 500_000):
@@ -143,8 +153,8 @@ def _compare_streamed(spark_df, con, sql: str, name: str) -> list[str]:
     large to collect. Weaker diagnostics than the collected path (a
     mismatch reports the checksum, not the first differing row) but the
     same pass/fail semantics."""
-    sn, sh, sd = _chunk_checksum(_spark_chunks(spark_df))
-    wn, wh, wd = _chunk_checksum(_duckdb_chunks(con, sql))
+    sn, sh, sd, sz = _chunk_checksum(_spark_chunks(spark_df))
+    wn, wh, wd, wz = _chunk_checksum(_duckdb_chunks(con, sql))
     problems: list[str] = []
     if sd and wd and sorted(sd) != sorted(wd):
         return [f"{name}: columns differ spark={sorted(sd)} oracle={sorted(wd)}"]
@@ -153,6 +163,14 @@ def _compare_streamed(spark_df, con, sql: str, name: str) -> list[str]:
             problems.append(
                 f"{name}.{c}: dtype kind differs spark={sd[c]} oracle={wd[c]} "
                 "(driver hash is type-sensitive)"
+            )
+    for c in set(sz) | set(wz):
+        if sz.get(c, 0) != wz.get(c, 0):
+            problems.append(
+                f"{name}.{c}: negative-zero count differs spark={sz.get(c, 0)} "
+                f"oracle={wz.get(c, 0)} (normalize with + 0.0 after round on "
+                "both sides; the checksum canonicalizes -0.0 but the driver "
+                "hash does not)"
             )
     if problems:
         return problems

@@ -855,3 +855,19 @@ def test_ljung_box_lag_windows_stay_partitioned(spark, sf_dir):
 
     plan = formatted_plan(ljung_box_test(spark, sf_dir))
     assert "SinglePartition" not in plan
+
+
+def test_exact_quantiles_has_no_value_buffering_aggregate(spark, sf_dir):
+    """exact_quantiles must be the distributed two-pass order statistic:
+    no Percentile aggregate anywhere (its state buffers every raw value
+    and killed the 30x-probe JVM — PERF.md round-10), rank targets
+    broadcast, and a bounded number of exchanges (distinct-value count,
+    cumulative window, tiny per-group totals)."""
+    from flink_cookbook_spark.functions.collections import exact_quantiles
+    from flink_cookbook_spark.plans.explain import count_exchanges
+
+    df = exact_quantiles(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Percentile" not in plan, "value-buffering exact percentile is back"
+    assert "BroadcastExchange" in plan, "rank targets must broadcast"
+    assert count_exchanges(df) <= 3, plan

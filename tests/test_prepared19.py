@@ -12,17 +12,7 @@ from __future__ import annotations
 
 import math
 
-import pytest
-
 from flink_cookbook_spark.pipeline.prepared19 import PREPARED_R10
-from tests.oracle_harness import compare, duckdb_connection
-
-
-@pytest.fixture(scope="module")
-def con(sf_dir):
-    c = duckdb_connection(sf_dir)
-    yield c
-    c.close()
 
 
 def test_r10_cohort_registered_verbatim():

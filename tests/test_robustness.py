@@ -761,5 +761,21 @@ def test_streamed_checksum_agrees_with_collected_compare(spark, sf_dir):
             stream_threshold=1,
         )
         assert problems and "checksum" in problems[0], problems
+        # signed-zero asymmetry: the checksum canonicalizes -0.0 -> 0.0
+        # on both sides, but the driver hash is type-sensitive, so the
+        # streamed path must still count and report it (collected-path
+        # parity; DuckDB round() preserves the sign of zero)
+        from pyspark.sql import functions as F
+
+        zero_df = spark.range(1).select(F.lit(0.0).alias("v"))
+        problems = compare(
+            zero_df, con, "SELECT round(-1e-7, 4) AS v", "negzero_probe",
+            stream_threshold=0,
+        )
+        assert problems and "negative-zero" in problems[0], problems
+        assert compare(
+            zero_df, con, "SELECT round(1e-7, 4) AS v", "zero_probe",
+            stream_threshold=0,
+        ) == []
     finally:
         con.close()
