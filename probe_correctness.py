@@ -162,8 +162,20 @@ def main() -> None:
                 names = tuple(_cohort)
         if names == ("ALL",):
             # whole-registry sweep: every registered query with an
-            # oracle, alphabetically (rows-only queries report SKIP)
-            names = tuple(sorted(specs))
+            # oracle, alphabetically (rows-only queries report SKIP).
+            # SPARK_GRAFT_PROBE_EXCLUDE names queries to leave out —
+            # used by the 30x sweep for the exact pair family, whose
+            # dup-saturated workload is quadratic in the replication
+            # factor by fixture construction (each exclusion must be
+            # named with its reason in PERF.md).
+            exclude = {
+                q.strip()
+                for q in os.environ.get("SPARK_GRAFT_PROBE_EXCLUDE", "").split(",")
+                if q.strip()
+            }
+            names = tuple(n for n in sorted(specs) if n not in exclude)
+            if exclude:
+                print(json.dumps({"excluded": sorted(exclude)}), flush=True)
         # Spark writes each table as a DIRECTORY of part files — glob it
         con = duckdb.connect()
         for t in TABLES:
