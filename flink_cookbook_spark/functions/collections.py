@@ -129,69 +129,96 @@ FROM (
 _EXACT_QUANTILE_PS = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
 
 
-def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles per group as a DISTRIBUTED two-pass
-    order statistic — same semantics as DuckDB ``quantile_cont`` (linear
-    interpolation at fractional rank h = p*(n-1) over the sorted set).
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: dict[str, float],
+) -> DataFrame:
+    """Exact interpolated percentiles per group as a DISTRIBUTED
+    two-pass order statistic — same semantics as Spark ``percentile`` /
+    DuckDB ``quantile_cont`` (linear interpolation at fractional rank
+    h = p*(n-1) over the sorted non-null set), WITHOUT the
+    value-buffering aggregation state that makes Spark's exact
+    ``percentile`` a scale-killer (its serialized partials grow with
+    distinct values per group PER PARTITION and took down the 30x-probe
+    JVM at 18M 97%-distinct lineitem prices — PERF.md round-10/11).
 
-    Spark's exact ``percentile`` buffers EVERY raw value in its
-    aggregation state; at 18M lineitems the serialized partials blew the
-    driver limits and took down the 30x-probe JVM (PERF.md round-10).
-    This form never materializes a value buffer:
+    Shape (memory bounded by distinct values per group everywhere):
 
-    1. counts per (group, value) — state is one row per DISTINCT value;
-    2. cumulative counts via a per-group ordered window (a sort over the
-       distinct values only, which spills rather than OOMs);
-    3. per-group totals n -> the bracketing 1-indexed ranks
-       lo = floor(h)+1 and lo+1 for each percentile, broadcast back
-       (3 groups x 3 percentiles — a handful of rows);
+    1. counts per (group, value) — one row per DISTINCT value;
+    2. cumulative counts via a per-group ordered window (a sort over
+       the distinct values only, which spills rather than OOMs);
+    3. per-group non-null totals n -> the bracketing 1-indexed ranks
+       lo = floor(h)+1 and lo+1 per percentile, broadcast back
+       (groups x percentiles rows — tiny);
     4. order statistic r == MIN value whose cumulative count reaches r,
        as conditional MINs in one bounded aggregate, then interpolate
        v_lo + frac*(v_hi - v_lo) exactly as DuckDB does.
 
-    Memory is bounded by distinct values per group everywhere; no
-    aggregate state grows with raw row count. Ref: src/flinkarima.py has
-    no quantile op — this is engine-scope surface (SURVEY.md section 2.2).
+    Returns one row per group with an UNROUNDED double column per name
+    in ``ps`` (callers apply ``rnd``). NULL values are ignored like the
+    builtin; groups whose values are ALL null are dropped (the builtin
+    would emit them with NULL percentiles — callers needing those rows
+    must re-join the group list). Interpolation evaluates
+    lo + frac*(hi - lo) (DuckDB's expression); Spark's Percentile uses
+    lo*(1-frac) + hi*frac, which can differ by an ulp.
     """
     from pyspark.sql import Window
 
-    li = load(spark, sf_dir, "lineitem")
-    vc = li.groupBy("l_returnflag", "l_extendedprice").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    gcols = list(group_cols) or ["_g"]
+    if not group_cols:
+        df = df.withColumn("_g", F.lit(1))
+    vals = df.select(*gcols, value_col).where(F.col(value_col).isNotNull())
+    vc = vals.groupBy(*gcols, value_col).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(*gcols).orderBy(value_col)
     cum = vc.withColumn("cum", F.sum("cnt").over(w))
-    targets = load(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
-        F.count("*").alias("n")
-    )
-    target_cols = ["l_returnflag"]
-    for name, p in _EXACT_QUANTILE_PS.items():
+    targets = vals.groupBy(*gcols).agg(F.count("*").alias("n"))
+    target_cols = [F.col(c) for c in gcols]
+    for name, p in ps.items():
         h = F.lit(p) * (F.col("n") - 1).cast("double")
-        target_cols.append(h.alias(f"h_{name}"))
-        target_cols.append((F.floor(h) + 1).alias(f"lo_{name}"))
+        target_cols.append(h.alias(f"_h_{name}"))
+        target_cols.append((F.floor(h) + 1).alias(f"_lo_{name}"))
     targets = targets.select(*target_cols)
-    j = cum.join(F.broadcast(targets), "l_returnflag")
+    j = cum.join(F.broadcast(targets), gcols)
     aggs = []
-    for name in _EXACT_QUANTILE_PS:
-        lo_rank = F.col(f"lo_{name}")
+    for name in ps:
+        lo_rank = F.col(f"_lo_{name}")
         aggs.append(
-            F.min(F.when(F.col("cum") >= lo_rank, F.col("l_extendedprice"))).alias(
-                f"vlo_{name}"
+            F.min(F.when(F.col("cum") >= lo_rank, F.col(value_col))).alias(
+                f"_vlo_{name}"
             )
         )
         aggs.append(
-            F.min(F.when(F.col("cum") >= lo_rank + 1, F.col("l_extendedprice"))).alias(
-                f"vhi_{name}"
+            F.min(F.when(F.col("cum") >= lo_rank + 1, F.col(value_col))).alias(
+                f"_vhi_{name}"
             )
         )
-        aggs.append(F.min(f"h_{name}").alias(f"h_{name}"))
-    res = j.groupBy("l_returnflag").agg(*aggs)
-    out = [F.col("l_returnflag")]
-    for name in _EXACT_QUANTILE_PS:
-        h, vlo = F.col(f"h_{name}"), F.col(f"vlo_{name}")
-        vhi = F.coalesce(F.col(f"vhi_{name}"), vlo)  # h integral at the top end
+        aggs.append(F.min(f"_h_{name}").alias(f"_h_{name}"))
+    res = j.groupBy(*gcols).agg(*aggs)
+    out = [] if not group_cols else [F.col(c) for c in group_cols]
+    for name in ps:
+        h, vlo = F.col(f"_h_{name}"), F.col(f"_vlo_{name}")
+        vhi = F.coalesce(F.col(f"_vhi_{name}"), vlo)  # h integral at the top end
         frac = h - F.floor(h)
-        interp = F.when(frac == 0, vlo).otherwise(vlo + frac * (vhi - vlo))
-        out.append(rnd(interp).alias(name))
+        out.append(F.when(frac == 0, vlo).otherwise(vlo + frac * (vhi - vlo)).alias(name))
     return res.select(*out)
+
+
+def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group via the distributed
+    two-pass order statistic (``grouped_exact_percentiles`` — memory
+    bounded by distinct values; no aggregate state grows with raw row
+    count). Ref: src/flinkarima.py has no quantile op — this is
+    engine-scope surface (SURVEY.md section 2.2)."""
+    li = load(spark, sf_dir, "lineitem")
+    res = grouped_exact_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", _EXACT_QUANTILE_PS
+    )
+    return res.select(
+        "l_returnflag",
+        *[rnd(F.col(name)).alias(name) for name in _EXACT_QUANTILE_PS],
+    )
 
 
 register(

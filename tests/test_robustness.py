@@ -779,3 +779,50 @@ def test_streamed_checksum_agrees_with_collected_compare(spark, sf_dir):
         ) == []
     finally:
         con.close()
+
+
+def test_grouped_exact_percentiles_matches_builtin(spark):
+    """The distributed order-statistic helper must reproduce Spark's
+    exact ``percentile`` bit-for-bit-after-rounding on adversarial
+    small data: heavy ties, single-value groups, single-row groups,
+    nulls ignored, and exact-integral ranks (where frac == 0 must take
+    the lower order statistic, not interpolate with a missing upper)."""
+    from pyspark.sql import functions as F
+
+    from flink_cookbook_spark.functions.collections import grouped_exact_percentiles
+
+    rows = []
+    # group a: heavy tie mass + a tail
+    rows += [("a", 1.0)] * 7 + [("a", 2.0)] * 3 + [("a", 100.0)]
+    # group b: single distinct value
+    rows += [("b", 5.5)] * 4
+    # group c: single row
+    rows += [("c", -3.25)]
+    # group d: nulls interleaved (ignored by both forms)
+    rows += [("d", None), ("d", 1.0), ("d", None), ("d", 4.0), ("d", 9.0)]
+    # group e: n-1 divisible cases -> integral h for p=0.5
+    rows += [("e", float(v)) for v in range(1, 6)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = {"p10": 0.1, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+    got = {
+        r["g"]: tuple(round(r[name], 9) if r[name] is not None else None for name in ps)
+        for r in grouped_exact_percentiles(df, ["g"], "v", ps).collect()
+    }
+    want = {
+        r["g"]: tuple(round(r[name], 9) for name in ps)
+        for r in df.where(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(
+            *[
+                F.expr(f"percentile(v, {p})").alias(name)
+                for name, p in ps.items()
+            ]
+        )
+        .collect()
+    }
+    assert got == want
+
+    # global (ungrouped) form
+    g = grouped_exact_percentiles(df, [], "v", {"med": 0.5}).collect()
+    w = df.agg(F.expr("percentile(v, 0.5)").alias("med")).collect()
+    assert round(g[0]["med"], 9) == round(w[0]["med"], 9)
