@@ -1145,9 +1145,12 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     convert" companion to ``funnel_conversion``'s "how many".
 
     One exchange on user_id for the two conditional-MIN window passes,
-    then a single global aggregate over one row per user (exact
-    interpolated percentiles over user-cardinality data; at 100 TB swap
-    for percentile_approx or the broadcast-cutpoint pattern).
+    then exact interpolated percentiles over one row per user via the
+    distributed order statistic (grouped_exact_percentiles — conversion
+    latencies are ~all-distinct reals, so Spark's value-buffering exact
+    ``percentile`` would grow its state with user cardinality, the
+    class that killed the 30x-probe JVM; PERF.md round-10/11) plus a
+    count/mean aggregate, combined as broadcast 1-row frames.
     """
     ev = load(spark, sf_dir, "events")
     sec = epoch_seconds("ts")
@@ -1168,11 +1171,22 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("fv").isNotNull() & F.col("fp").isNotNull())
         .select(((F.col("fp") - F.col("fv")) / 3600.0).alias("hours"))
     )
-    return users.agg(
+    from flink_cookbook_spark.functions.collections import (
+        grouped_exact_percentiles,
+    )
+
+    pct = grouped_exact_percentiles(
+        users, [], "hours", {"p50_raw": 0.5, "p90_raw": 0.9}
+    )
+    stats = users.agg(
         F.count("*").alias("n_converted"),
-        rnd(F.expr("percentile(hours, 0.5)"), 4).alias("p50_hours"),
-        rnd(F.expr("percentile(hours, 0.9)"), 4).alias("p90_hours"),
         rnd(F.avg("hours"), 4).alias("mean_hours"),
+    )
+    return stats.crossJoin(F.broadcast(pct)).select(
+        "n_converted",
+        rnd(F.col("p50_raw"), 4).alias("p50_hours"),
+        rnd(F.col("p90_raw"), 4).alias("p90_hours"),
+        "mean_hours",
     )
 
 

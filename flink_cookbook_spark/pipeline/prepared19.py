@@ -4292,9 +4292,17 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev")
         )
     )
-    cuts = rev.agg(
-        F.expr(f"percentile(rev, {ABC_P_A})").alias("cut_a"),
-        F.expr(f"percentile(rev, {ABC_P_B})").alias("cut_b"),
+    # distributed-exact percentile cutpoints (grouped_exact_percentiles):
+    # part revenues are ~all-distinct, so Spark's value-buffering exact
+    # ``percentile`` would grow its aggregation state with the part
+    # catalog — the class of state that killed the 30x-probe JVM on
+    # lineitem prices (PERF.md round-10/11)
+    from flink_cookbook_spark.functions.collections import (
+        grouped_exact_percentiles,
+    )
+
+    cuts = grouped_exact_percentiles(
+        rev, [], "rev", {"cut_a": ABC_P_A, "cut_b": ABC_P_B}
     )
     monthly = (
         li.select(

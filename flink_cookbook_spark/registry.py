@@ -151,6 +151,12 @@ REVERIFY_AFTER: dict[str, int] = {
     # differ by an ulp, which a rounding tie could surface, so the old
     # green does not vouch for the new arithmetic.
     "exact_quantiles": 10,
+    # round 11: same conversion for the other two unbounded-cardinality
+    # exact-percentile users (conversion latencies ~all-distinct per
+    # user; part revenues ~all-distinct per part) — identical
+    # ulp-of-interpolation caveat as exact_quantiles above.
+    "funnel_time_to_convert": 10,
+    "abc_xyz_classification": 10,
     # logistic_churn_baseline needs NO entry despite its round-9 AUC
     # rewrite (exact midrank Mann-Whitney -> 1e6-cell binned): its ONLY
     # driver record is CORRECTNESS_r09, taken AFTER the rewrite, so the
