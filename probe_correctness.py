@@ -135,9 +135,18 @@ def main() -> None:
                 fh.write(json.dumps({name: status}) + "\n")
 
     spark = get_spark(app_name="fcs-correctness-probe")
-    out_dir = tempfile.mkdtemp(prefix="fcs_cprobe_")
+    # SPARK_GRAFT_PROBE_DATA_DIR: reuse (and keep) an already-scaled
+    # dataset directory across sweep restarts — regenerating the 30x
+    # tables costs minutes per relaunch. The directory is created and
+    # populated on first use; when unset, a throwaway tempdir is used.
+    data_dir = os.environ.get("SPARK_GRAFT_PROBE_DATA_DIR")
+    keep_data = data_dir is not None
+    out_dir = data_dir or tempfile.mkdtemp(prefix="fcs_cprobe_")
     try:
-        _scale(spark, out_dir)
+        if not (keep_data and os.path.exists(os.path.join(out_dir, "_SCALED_OK"))):
+            _scale(spark, out_dir)
+            if keep_data:
+                open(os.path.join(out_dir, "_SCALED_OK"), "w").close()
         clear()
         specs = all_specs()
         which = os.environ.get("SPARK_GRAFT_PROBE_PREPARED")
@@ -215,7 +224,8 @@ def main() -> None:
         con.close()
     finally:
         clear()
-        shutil.rmtree(out_dir, ignore_errors=True)
+        if not keep_data:
+            shutil.rmtree(out_dir, ignore_errors=True)
     n_ok = sum(1 for v in results.values() if v == "OK")
     print(json.dumps({"metric": "correctness_probe", "ok": n_ok, "total": len(results)}))
     if n_ok != len(results):
