@@ -127,9 +127,17 @@ def main() -> None:
     from flink_cookbook_spark.session import get_spark
 
     spark = get_spark(app_name="fcs-sf1-probe")
-    out_dir = tempfile.mkdtemp(prefix="fcs_sf1_")
+    # SPARK_GRAFT_PROBE_DATA_DIR: reuse (and keep) an already-scaled
+    # dataset — same contract as probe_correctness.py, so a sweep's
+    # data directory can be re-probed for timings without regeneration.
+    data_dir = os.environ.get("SPARK_GRAFT_PROBE_DATA_DIR")
+    keep_data = data_dir is not None
+    out_dir = data_dir or tempfile.mkdtemp(prefix="fcs_sf1_")
     try:
-        _scale(spark, out_dir)
+        if not (keep_data and os.path.exists(os.path.join(out_dir, "_SCALED_OK"))):
+            _scale(spark, out_dir)
+            if keep_data:
+                open(os.path.join(out_dir, "_SCALED_OK"), "w").close()
         clear()
         results = {}
         for name in QUERIES:
@@ -149,7 +157,8 @@ def main() -> None:
         print(json.dumps({"metric": "sf1_probe", "copies": COPIES, "queries": results}))
     finally:
         clear()
-        shutil.rmtree(out_dir, ignore_errors=True)
+        if not keep_data:
+            shutil.rmtree(out_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
