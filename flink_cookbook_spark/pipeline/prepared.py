@@ -3007,9 +3007,22 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the last ulp and, when duplicate revenues sit at a decile edge,
     reclassifies a whole duplicate run (caught by the 10x probe —
     Spark/DuckDB disagreed on 10 replicated customers); a discrete
-    boundary is the same stored double on both sides."""
+    boundary is the same stored double on both sides.
+
+    Money discipline (caught by the 100x probe): the per-DECILE revenue
+    sums ~1.5M customers' money values, so it runs in DECIMAL like the
+    TPC-H family (operators/tpch.py) — the double sum flipped a cent at
+    4.6e11 money units. The per-CUSTOMER double sum stays: it is the
+    quantity the boundary percentiles and decile assignment are defined
+    over (a handful of orders per customer; both engines' doubles agreed
+    at every probe scale — assignment never diverged, only the big sum),
+    and shares/lift divide the exact decimal (cast to double, identical
+    on both sides) by its own total."""
     orders = load(spark, sf_dir, "orders")
-    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev_d"),
+    )
     rev.createOrReplaceTempView("_fcs_decile_rev")
     qs = [i / 10.0 for i in range(1, 10)]
     bounds = spark.sql(
@@ -3023,6 +3036,7 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.crossJoin(F.broadcast(bounds))
         .select(
             "rev",
+            "rev_d",
             (
                 1
                 + F.aggregate(
@@ -3038,17 +3052,20 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = assigned.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
-        F.sum("rev").alias("decile_rev"),
+        F.sum("rev_d").alias("decile_rev_d"),
     )
     wall = Window.partitionBy()
     w_cum = Window.orderBy(F.col("decile").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    share = F.col("decile_rev") / F.sum("decile_rev").over(wall)
+    # exact decimal -> double: the same stored double on both engines
+    # (unscaled sums sit orders below the 2^53 cast boundary)
+    rev_dbl = F.col("decile_rev_d").cast("double")
+    share = rev_dbl / F.sum("decile_rev_d").over(wall).cast("double")
     return per.select(
         "decile",
         "n_customers",
-        rnd("decile_rev", 2).alias("decile_rev"),
+        F.round(F.col("decile_rev_d"), 2).cast("double").alias("decile_rev"),
         rnd(share, 6).alias("rev_share"),
         rnd(F.sum(share).over(w_cum), 6).alias("cum_share_from_top"),
         rnd(share * 10.0, 4).alias("lift"),
@@ -3057,7 +3074,9 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECILE_ORACLE = """
 WITH rev AS (
-  SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey
+  SELECT o_custkey, sum(o_totalprice) AS rev,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev_d
+  FROM orders GROUP BY o_custkey
 ),
 bounds AS (
   SELECT quantile_disc(rev, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
@@ -3065,22 +3084,23 @@ bounds AS (
   FROM rev
 ),
 assigned AS (
-  SELECT rev,
+  SELECT rev, rev_d,
          1 + list_sum([CASE WHEN rev > b THEN 1 ELSE 0 END for b in bs])
            AS decile
   FROM rev CROSS JOIN bounds
 ),
 per AS (
-  SELECT decile, count(*) AS n_customers, sum(rev) AS decile_rev
+  SELECT decile, count(*) AS n_customers, sum(rev_d) AS decile_rev_d
   FROM assigned GROUP BY decile
 ),
 shared AS (
-  SELECT CAST(decile AS INTEGER) AS decile, n_customers, decile_rev,
-         decile_rev / sum(decile_rev) OVER () AS share
+  SELECT CAST(decile AS INTEGER) AS decile, n_customers, decile_rev_d,
+         CAST(decile_rev_d AS DOUBLE) /
+           CAST(sum(decile_rev_d) OVER () AS DOUBLE) AS share
   FROM per
 )
 SELECT decile, n_customers,
-       round(decile_rev + 1e-6, 2) AS decile_rev,
+       CAST(round(decile_rev_d, 2) AS DOUBLE) AS decile_rev,
        round(share + 1e-6, 6) AS rev_share,
        round(sum(share) OVER (ORDER BY decile DESC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-6, 6)

@@ -3725,7 +3725,13 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             rnd("threshold", 4).alias("threshold"),
             rnd("h_u", 6).alias("hill_h"),
-            rnd(F.lit(1.0) / F.col("h_u"), 4).alias("tail_alpha"),
+            # h_u == 0 when the top-(k+1) values are ALL ties (a
+            # replicated corpus saturates the tail: the 100x probe hit
+            # this — every order has 99 twins, so the top-101 are one
+            # value and ln(x/x_k1) == 0 for every row). The estimator
+            # is undefined there; DuckDB's x/0 is NULL, so try_divide
+            # is the engine-identical spelling, not an error guard.
+            rnd(F.try_divide(F.lit(1.0), F.col("h_u")), 4).alias("tail_alpha"),
         )
     )
 

@@ -157,6 +157,16 @@ REVERIFY_AFTER: dict[str, int] = {
     # ulp-of-interpolation caveat as exact_quantiles above.
     "funnel_time_to_convert": 10,
     "abc_xyz_classification": 10,
+    # round 11: per-decile revenue converted to the DECIMAL money sum
+    # (the 100x heavy-table sweep flipped a cent at 4.6e11 money units
+    # in the double sum) and shares now divide the exact decimal-cast
+    # doubles — decile_rev/rev_share/cum/lift can all move in the last
+    # rounded digit vs the old double arithmetic.
+    "decile_lift_table": 10,
+    # hill_tail_index needs NO entry for its round-11 try_divide fix:
+    # the NULL branch only fires when the top-(k+1) order statistics
+    # are ALL ties (a >=100x-replication artifact); at driver scale the
+    # division is unchanged, so existing greens still describe it.
     # logistic_churn_baseline needs NO entry despite its round-9 AUC
     # rewrite (exact midrank Mann-Whitney -> 1e6-cell binned): its ONLY
     # driver record is CORRECTNESS_r09, taken AFTER the rewrite, so the
