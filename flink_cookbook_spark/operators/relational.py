@@ -1371,10 +1371,13 @@ def parameterized_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "orders").createOrReplaceTempView("_fcs_param_orders")
     return spark.sql(
+        # money discipline: the exact DECIMAL sum (the 100x sweep
+        # flipped the double sum's cent), same SQL text both engines
         """
         SELECT o_orderpriority,
                count(*) AS n_orders,
-               round(sum(o_totalprice) + 1e-6, 2) AS sum_price
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                    AS DOUBLE) AS sum_price
         FROM _fcs_param_orders
         WHERE o_orderpriority <= :prio AND o_totalprice >= :floor
         GROUP BY o_orderpriority
@@ -1388,7 +1391,8 @@ register(
     oracle="""
 SELECT o_orderpriority,
        count(*) AS n_orders,
-       round(sum(o_totalprice) + 1e-6, 2) AS sum_price
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS sum_price
 FROM orders
 WHERE o_orderpriority <= '3-MEDIUM' AND o_totalprice >= 1000.0
 GROUP BY o_orderpriority

@@ -451,15 +451,16 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40) & (F.col("p_size") <= 30))
     )
     return joined.where(cond).agg(
-        rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        # money discipline: the 100x sweep caught this double sum's cent
+        money_sum(_disc_price()).alias("revenue"),
         F.count("*").alias("n_rows"),
     )
 
 
 register(
     "q19_disjunctive_predicates",
-    oracle="""
-SELECT round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue,
+    oracle=f"""
+SELECT {money_sum_sql(DISC_PRICE_SQL)} AS revenue,
        count(*) AS n_rows
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size <= 10)
@@ -602,7 +603,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, F.col("l_partkey") == F.col("pk"))
         .where(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            rnd(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            # money discipline: exact decimal SUM (the 100x sweep
+            # flipped the double sum's cent), then the /7 ratio in
+            # double — identical on both engines given the same sum
+            rnd(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            ),
             F.count("*").alias("n_rows"),
         )
     )
@@ -611,7 +617,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "q17_small_quantity_revenue",
     oracle="""
-SELECT round(sum(l_extendedprice) / 7.0 + 1e-6, 2) AS avg_yearly,
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+             / 7.0 + 1e-6, 2) AS avg_yearly,
        count(*) AS n_rows
 FROM lineitem
 JOIN part ON l_partkey = p_partkey

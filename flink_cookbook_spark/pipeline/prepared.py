@@ -1539,62 +1539,75 @@ def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue) and the revenue share of the top decile of customers.
     The whale-vs-long-tail diagnostic a mixture/quota policy is tuned
     against.  One shuffle to per-customer revenue, per-nation windows
-    (25 bounded partitions at TPC-H shape), one final agg — every
-    intermediate double derives from exact integer/double sums, so
-    Spark and DuckDB agree bit-for-bit before rounding."""
+    (25 bounded partitions at TPC-H shape), one final agg.
+
+    Money discipline (caught by the 100x heavy-table sweep): the
+    per-nation revenue totals sum ~60k customers' money values each and
+    the double sum flipped a cent at 1.4e11 units — total/top-decile
+    revenue run in DECIMAL (operators/tpch.py discipline). The
+    per-CUSTOMER double stays as the ranking quantity, and the
+    rank-weighted irev stays double: gini is a ratio, whose relative
+    error the 6-dp rounding absorbs."""
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     rev = orders.groupBy("o_custkey").agg(
-        F.sum("o_totalprice").alias("rev")
+        F.sum("o_totalprice").alias("rev"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev_d"),
     )
     per_cust = (
         rev.join(cust, rev.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == F.col("n_nationkey"))
-        .select("n_name", "c_custkey", "rev")
+        .select("n_name", "c_custkey", "rev", "rev_d")
     )
     w = Window.partitionBy("n_name").orderBy(
         F.col("rev").asc(), F.col("c_custkey").asc()
     )
     wn = Window.partitionBy("n_name")
     ranked = per_cust.select(
-        "n_name", "rev",
+        "n_name", "rev", "rev_d",
         F.row_number().over(w).cast("long").alias("i"),
         F.count("*").over(wn).alias("n"),
     )
     ntop = F.floor((F.col("n") + 9) / 10)
     agg = ranked.groupBy("n_name").agg(
         F.max("n").alias("n_customers"),
-        F.sum("rev").alias("total_rev"),
+        F.sum("rev_d").alias("total_rev_d"),
         F.sum(F.col("i") * F.col("rev")).alias("irev"),
+        # no otherwise: sum skips NULLs, mirroring CASE WHEN with no ELSE
         F.sum(
-            F.when(F.col("i") > F.col("n") - ntop, F.col("rev")).otherwise(0.0)
-        ).alias("top_rev"),
+            F.when(F.col("i") > F.col("n") - ntop, F.col("rev_d"))
+        ).alias("top_rev_d"),
     )
+    total_dbl = F.col("total_rev_d").cast("double")
     gini = (
-        2.0 * F.col("irev") / (F.col("n_customers") * F.col("total_rev"))
+        2.0 * F.col("irev") / (F.col("n_customers") * total_dbl)
         - (F.col("n_customers") + 1.0) / F.col("n_customers")
     )
     return agg.select(
         "n_name",
         "n_customers",
-        rnd("total_rev", 2).alias("total_rev"),
+        F.round(F.col("total_rev_d"), 2).cast("double").alias("total_rev"),
         rnd(gini, 6).alias("gini"),
-        rnd(F.col("top_rev") / F.col("total_rev"), 6).alias("top_decile_share"),
+        rnd(F.col("top_rev_d").cast("double") / total_dbl, 6).alias(
+            "top_decile_share"
+        ),
     )
 
 
 _GINI_ORACLE = """
 WITH rev AS (
-  SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey
+  SELECT o_custkey, sum(o_totalprice) AS rev,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev_d
+  FROM orders GROUP BY o_custkey
 ),
 pc AS (
-  SELECT n.n_name, c.c_custkey, rev.rev
+  SELECT n.n_name, c.c_custkey, rev.rev, rev.rev_d
   FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
 ),
 ranked AS (
-  SELECT n_name, rev,
+  SELECT n_name, rev, rev_d,
          CAST(row_number() OVER (PARTITION BY n_name
               ORDER BY rev ASC, c_custkey ASC) AS BIGINT) AS i,
          count(*) OVER (PARTITION BY n_name) AS n
@@ -1603,17 +1616,18 @@ ranked AS (
 agg AS (
   SELECT n_name,
          max(n) AS n_customers,
-         sum(rev) AS total_rev,
+         sum(rev_d) AS total_rev_d,
          sum(i * rev) AS irev,
          sum(CASE WHEN i > n - CAST(floor((n + 9) / 10) AS BIGINT)
-                  THEN rev ELSE 0.0 END) AS top_rev
+                  THEN rev_d END) AS top_rev_d
   FROM ranked GROUP BY n_name
 )
 SELECT n_name, CAST(n_customers AS BIGINT) AS n_customers,
-       round(total_rev + 1e-6, 2) AS total_rev,
-       round(2.0 * irev / (n_customers * total_rev)
+       CAST(round(total_rev_d, 2) AS DOUBLE) AS total_rev,
+       round(2.0 * irev / (n_customers * CAST(total_rev_d AS DOUBLE))
              - (n_customers + 1.0) / n_customers + 1e-6, 6) AS gini,
-       round(top_rev / total_rev + 1e-6, 6) AS top_decile_share
+       round(CAST(top_rev_d AS DOUBLE) / CAST(total_rev_d AS DOUBLE)
+             + 1e-6, 6) AS top_decile_share
 FROM agg
 """
 

@@ -163,6 +163,16 @@ REVERIFY_AFTER: dict[str, int] = {
     # doubles — decile_rev/rev_share/cum/lift can all move in the last
     # rounded digit vs the old double arithmetic.
     "decile_lift_table": 10,
+    # round 11: the rest of the 100x heavy-table sweep's cent-flip
+    # harvest — money sums converted to the DECIMAL discipline, so the
+    # rounded money outputs (and gini's shares, whose denominators now
+    # come from the exact decimal) can move in the last digit
+    "q17_small_quantity_revenue": 10,
+    "q19_disjunctive_predicates": 10,
+    "orc_scan_roundtrip": 10,
+    "schema_evolution_scan": 10,
+    "parameterized_sql_query": 10,
+    "revenue_concentration_gini": 10,
     # hill_tail_index needs NO entry for its round-11 try_divide fix:
     # the NULL branch only fires when the top-(k+1) order statistics
     # are ALL ties (a >=100x-replication artifact); at driver scale the

@@ -67,7 +67,7 @@ from pyspark.sql import functions as F
 
 from flink_cookbook_spark.catalog import load
 from flink_cookbook_spark.operators.tpch import (
-    DISC_PRICE_SQL, _disc_price, money_sum, money_sum_sql,
+    DISC_PRICE_SQL, _dec, _disc_price, money_sum, money_sum_sql,
 )
 from flink_cookbook_spark.registry import register, rnd
 
@@ -235,16 +235,17 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_lines"),
-        rnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        # money discipline: the 100x sweep flipped the double sum's cent
+        money_sum(_dec("l_extendedprice")).alias("sum_price"),
         F.max(F.date_format("l_shipdate", "yyyy-MM-dd")).alias("max_shipdate"),
     )
 
 
 register(
     "orc_scan_roundtrip",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
-       round(sum(l_extendedprice) + 1e-6, 2) AS sum_price,
+       {money_sum_sql("CAST(l_extendedprice AS DECIMAL(14,2))")} AS sum_price,
        strftime(max(l_shipdate), '%Y-%m-%d') AS max_shipdate
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
@@ -339,13 +340,14 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("priority")
     ).agg(
         F.count("*").alias("n_orders"),
-        rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        # money discipline: the 100x sweep flipped the double sum's cent
+        money_sum(_dec("o_totalprice")).alias("sum_price"),
     )
 
 
 register(
     "schema_evolution_scan",
-    oracle="""
+    oracle=f"""
 WITH merged AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice,
          CAST(NULL AS VARCHAR) AS o_orderpriority
@@ -355,7 +357,7 @@ WITH merged AS (
   FROM orders WHERE o_orderkey % 2 = 1)
 SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
        count(*) AS n_orders,
-       round(sum(o_totalprice) + 1e-6, 2) AS sum_price
+       {money_sum_sql("CAST(o_totalprice AS DECIMAL(14,2))")} AS sum_price
 FROM merged GROUP BY 1
 """,
     tags=("file-format", "parquet", "schema-evolution", "source"),
