@@ -3023,18 +3023,18 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark/DuckDB disagreed on 10 replicated customers); a discrete
     boundary is the same stored double on both sides.
 
-    Money discipline (caught by the 100x probe): the per-DECILE revenue
-    sums ~1.5M customers' money values, so it runs in DECIMAL like the
-    TPC-H family (operators/tpch.py) — the double sum flipped a cent at
-    4.6e11 money units. The per-CUSTOMER double sum stays: it is the
-    quantity the boundary percentiles and decile assignment are defined
-    over (a handful of orders per customer; both engines' doubles agreed
-    at every probe scale — assignment never diverged, only the big sum),
-    and shares/lift divide the exact decimal (cast to double, identical
-    on both sides) by its own total."""
+    Money discipline (caught by the 100x probe, twice): EVERY revenue
+    here is the exact DECIMAL sum (operators/tpch.py discipline). The
+    per-decile totals flipped a cent in double at 4.6e11 money units —
+    and after that first conversion the re-probe caught the subtler
+    layer: the per-CUSTOMER double sum (then still the boundary /
+    assignment quantity) differs between engines by an ulp at scale, so
+    customers tied AT a decile boundary flipped sides (14 of 1.5M).
+    Discrete boundaries only help when the quantity they slice is
+    itself engine-identical — so ordering, boundaries, and assignment
+    all run on the exact decimal as well."""
     orders = load(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
-        F.sum("o_totalprice").alias("rev"),
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev_d"),
     )
     rev.createOrReplaceTempView("_fcs_decile_rev")
@@ -3042,21 +3042,20 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = spark.sql(
         "SELECT array("
         + ", ".join(
-            f"percentile_disc({q}) WITHIN GROUP (ORDER BY rev)" for q in qs
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY rev_d)" for q in qs
         )
         + ") AS bounds FROM _fcs_decile_rev"
     )
     assigned = (
         rev.crossJoin(F.broadcast(bounds))
         .select(
-            "rev",
             "rev_d",
             (
                 1
                 + F.aggregate(
                     F.transform(
                         "bounds",
-                        lambda b: (F.col("rev") > b).cast("int"),
+                        lambda b: (F.col("rev_d") > b).cast("int"),
                     ),
                     F.lit(0),
                     lambda acc, x: acc + x,
@@ -3088,18 +3087,18 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECILE_ORACLE = """
 WITH rev AS (
-  SELECT o_custkey, sum(o_totalprice) AS rev,
+  SELECT o_custkey,
          sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev_d
   FROM orders GROUP BY o_custkey
 ),
 bounds AS (
-  SELECT quantile_disc(rev, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+  SELECT quantile_disc(rev_d, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
            AS bs
   FROM rev
 ),
 assigned AS (
-  SELECT rev, rev_d,
-         1 + list_sum([CASE WHEN rev > b THEN 1 ELSE 0 END for b in bs])
+  SELECT rev_d,
+         1 + list_sum([CASE WHEN rev_d > b THEN 1 ELSE 0 END for b in bs])
            AS decile
   FROM rev CROSS JOIN bounds
 ),
