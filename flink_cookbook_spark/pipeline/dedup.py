@@ -43,11 +43,20 @@ from flink_cookbook_spark.pipeline._cache import memo_persist
 from flink_cookbook_spark.registry import register, rnd
 
 SHINGLE_K = 3
-#: drop shingles appearing in more than this many documents before any
-#: self-join: caps the worst hot-shingle fan-out at DF_CAP^2 rows. 100
-#: is far above the fixture max df (25 at sf0.1) and far below the df of
-#: true boilerplate (site headers repeat millions of times at 100 TB).
+#: stop-shingle removal: drop shingles appearing in more than
+#: max(SHINGLE_DF_CAP, SHINGLE_DF_FRAC x corpus docs) documents before
+#: any self-join — capping the worst hot-shingle fan-out while staying
+#: SCALE-RELATIVE. The floor (100) is far above the fixture max df (25
+#: at sf0.1), so every driver-scale output is bit-identical to the old
+#: absolute cap; the relative term is what survives growth: a FIXED
+#: absolute cap is corpus-size-dependent — the 100x pair probe measured
+#: it silently dropping ~95% of TRUE near-dup pairs (1.02M of ~24.7M),
+#: because replicating the corpus 100x pushes every cross-document
+#: shingle's df past 100 even though nothing about the documents is
+#: boilerplate. df > 2% of the corpus is the boilerplate definition;
+#: df that merely scales with the corpus is signal.
 SHINGLE_DF_CAP = 100
+SHINGLE_DF_FRAC = 0.02
 JACCARD_THRESHOLD = 0.5
 MINHASH_K = 16
 LSH_BANDS = 4
@@ -142,9 +151,21 @@ FROM documents GROUP BY md5(text)
 )(exact_dedup)
 
 
+def _shingle_df_cap(spark: SparkSession, sf_dir: str) -> int:
+    """Effective stop-shingle df cap: max(floor, frac x corpus size).
+    A driver-side scalar (one count per memoized index build) so the
+    cap stays a LITERAL in the plan — the pinned Window-then-Filter
+    one-exchange shape is unchanged."""
+    import math
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    return max(SHINGLE_DF_CAP, math.ceil(SHINGLE_DF_FRAC * n_docs))
+
+
 def _shingles_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unmemoized shingle-index plan: distinct (doc_id, shingle) word
-    3-grams, with ultra-frequent shingles (df > SHINGLE_DF_CAP) dropped.
+    3-grams, with ultra-frequent shingles (df > the scale-relative
+    ``_shingle_df_cap``) dropped.
 
     The whole index is ONE hash exchange on ``shingle``: the explicit
     repartition satisfies both the (doc_id, shingle) dedup aggregate
@@ -175,7 +196,7 @@ def _shingles_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.repartition("shingle")
         .dropDuplicates(["doc_id", "shingle"])
         .withColumn("_df", F.count("*").over(df_w))
-        .where(F.col("_df") <= SHINGLE_DF_CAP)
+        .where(F.col("_df") <= _shingle_df_cap(spark, sf_dir))
         .drop("_df")
     )
 
@@ -211,7 +232,9 @@ shingles AS MATERIALIZED (
   SELECT doc_id, shingle
   FROM (SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
         FROM shingles_all)
-  WHERE df <= {SHINGLE_DF_CAP}
+  WHERE df <= greatest({SHINGLE_DF_CAP},
+                       CAST(ceil({SHINGLE_DF_FRAC} *
+                            (SELECT count(*) FROM documents)) AS BIGINT))
 )
 """
 
