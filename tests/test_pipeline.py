@@ -406,6 +406,71 @@ def test_shingle_df_cap_drops_boilerplate_pairs(spark, tmp_path):
     assert not problems, problems
 
 
+def test_shingle_df_cap_scales_with_corpus(spark, tmp_path):
+    """The stop-shingle cap is RELATIVE past the floor: in a corpus
+    where 2% of docs > 100, a shingle whose df merely scaled with the
+    corpus must SURVIVE (the 100x probe measured the old absolute cap
+    silently dropping ~95% of true near-dup pairs), while a shingle in
+    more than 2% of documents is still boilerplate and dropped. The
+    oracle's greatest()-of-floor-and-fraction must agree exactly."""
+    import duckdb
+    import pandas as pd
+
+    from flink_cookbook_spark.pipeline._cache import clear
+    from flink_cookbook_spark.pipeline.dedup import (
+        _shingle_df_cap,
+        _shingles,
+        ngram_jaccard_pairs,
+    )
+    from flink_cookbook_spark.registry import get_query
+    from tests.oracle_harness import compare
+
+    n_docs = 10_000  # effective cap = max(100, 200) = 200
+    rows = []
+    for i in range(n_docs):
+        if i < 150:
+            # a "duplicated document" run: 150 docs sharing one rare
+            # 10-token sentence (shingle df 150 — above the old absolute
+            # cap of 100, under the relative cap of 200) + a 2-token
+            # unique tail; pairwise Jaccard = 8/12 >= 0.5
+            text = (
+                "quantum flux capacitor alignment manual for temporal "
+                f"drive systems calibration u{i}a u{i}b"
+            )
+        elif i < 450:
+            # true boilerplate: 300 docs (3% of corpus > 2%) -> dropped
+            text = f"all rights reserved contact us today b{i}a b{i}b b{i}c b{i}d b{i}e"
+        else:
+            text = f"filler c{i}a c{i}b c{i}c c{i}d c{i}e c{i}f c{i}g"
+        rows.append({"doc_id": i, "text": text})
+    pdf = pd.DataFrame(rows)
+    pdf["lang"] = "en"
+    pdf["source"] = "synthetic"
+    pdf["n_chars"] = pdf["text"].str.len()
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+    sf_dir = str(tmp_path)
+
+    clear()
+    assert _shingle_df_cap(spark, sf_dir) == 200
+    idx = _shingles(spark, sf_dir)
+    kept = {r.shingle for r in idx.select("shingle").distinct().collect()}
+    assert "quantum flux capacitor" in kept  # df 150: scaled, kept
+    assert "all rights reserved" not in kept  # df 300 > 2%: dropped
+
+    # the duplicated-document run produces its full pair clique through
+    # the surviving shared shingles, and the oracle agrees exactly
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    dup_pairs = pairs.where("doc1 < 150 AND doc2 < 150").count()
+    assert dup_pairs == 150 * 149 // 2, dup_pairs
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    problems = compare(
+        pairs, con, get_query("ngram_jaccard_pairs").oracle, "ngram_jaccard_pairs"
+    )
+    assert not problems, problems
+
+
 def test_similarity_threshold_curve_counts_planted_pair(spark, tmp_path):
     """The calibration curve must report REAL nonzero merge counts when
     near-identical embeddings exist (round-6 verdict: its only driver
