@@ -188,6 +188,17 @@ def main() -> None:
                 print(json.dumps({"excluded": sorted(exclude)}), flush=True)
         # Spark writes each table as a DIRECTORY of part files — glob it
         con = duckdb.connect()
+        # bound the oracle side so a 600M-row replay can't drive the
+        # PROCESS into the OOM killer (DuckDB defaults to 80% of RAM,
+        # which collides with the Spark heap in this single process) and
+        # spill somewhere with room instead of the repo cwd
+        mem = os.environ.get("SPARK_GRAFT_PROBE_DUCKDB_MEM")
+        if mem:
+            con.execute(f"SET memory_limit='{mem}'")
+        tmp = os.environ.get("SPARK_GRAFT_PROBE_DUCKDB_TMP")
+        if tmp:
+            os.makedirs(tmp, exist_ok=True)
+            con.execute(f"SET temp_directory='{tmp}'")
         for t in TABLES:
             con.execute(
                 f"CREATE OR REPLACE VIEW {t} AS "
