@@ -121,10 +121,19 @@ def main() -> None:
             )
 
         t1 = time.time()
+        # recipe parameters — the horizon math below derives from THESE,
+        # not hard-coded constants (advisor r11: the old 600/300 literals
+        # silently assumed the defaults)
+        watermark_sec = 600  # "10 minutes" passed to windowed_avg_stream
+        window_sec = 300  # "5 minutes" passed to windowed_avg_stream
         stream = spark.readStream.schema(static.schema).option(
             "maxFilesPerTrigger", files_per_chunk
         ).parquet(os.path.join(stage, "chunk_*"))
-        out = windowed_avg_stream(metrics_view(stream))
+        out = windowed_avg_stream(
+            metrics_view(stream),
+            watermark=f"{watermark_sec} seconds",
+            window=f"{window_sec} seconds",
+        )
         q = (
             out.writeStream.format("parquet")
             .option("path", sink)
@@ -135,6 +144,25 @@ def main() -> None:
         )
         q.awaitTermination()
         batches = q.lastProgress["batchId"] + 1 if q.lastProgress else -1
+        # the FINAL watermark as the engine itself reported it (advisor
+        # r11: deriving it as hi - delay uses the floor-second max ts
+        # while the watermark tracks sub-second max event time, excusing
+        # a window closing in that gap from the withheld-but-closed
+        # check). ISO-8601 UTC, e.g. "2024-01-01T00:10:00.000Z".
+        reported_wm = None
+        try:
+            wm_iso = (q.lastProgress or {}).get("eventTime", {}).get("watermark")
+            if wm_iso:
+                from datetime import datetime, timezone
+
+                fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in wm_iso else "%Y-%m-%dT%H:%M:%SZ"
+                reported_wm = int(
+                    datetime.strptime(wm_iso, fmt)
+                    .replace(tzinfo=timezone.utc)
+                    .timestamp()
+                )
+        except Exception:
+            reported_wm = None
         stream_sec = time.time() - t1
         got = spark.read.parquet(sink)
         n_got = got.count()
@@ -176,21 +204,33 @@ def main() -> None:
             | (F.abs(F.col("g.avg_value") - F.col("b.avg_value")) > 1e-9)
         ).count()
         n_extra = got.join(want, keys, "left_anti").count()
-        horizon = hi - 600  # final watermark under the 10-minute delay
+        # duplicate-emission guard (advisor r11): a window row emitted
+        # TWICE with identical values still inner-joins once per copy
+        # (n_join == n_got) and is never "extra", so the old checks were
+        # blind to it. Distinct key count must equal raw sink row count.
+        n_got_distinct = got.select(*keys).distinct().count()
+        # withheld-but-closed: prefer the engine-reported final
+        # watermark; fall back to hi - delay (documented slack: the
+        # fallback under-approximates by < 1 s of sub-second event time,
+        # so a window closing inside that sliver would be excused).
+        horizon = reported_wm if reported_wm is not None else hi - watermark_sec
         late_tail = want.join(got, keys, "left_anti")
         n_missing = late_tail.count()
         n_missing_closed = late_tail.where(
-            F.col("window_start") + 300 <= F.lit(horizon)
+            F.col("window_start") + window_sec <= F.lit(horizon)
         ).count()
         verdict = {
             "joined": n_join,
             "mismatched": n_mismatch,
             "extra_in_stream": n_extra,
+            "duplicate_emissions": n_got - n_got_distinct,
+            "watermark_source": "reported" if reported_wm is not None else "derived",
             "withheld_tail": n_missing,
             "withheld_but_closed": n_missing_closed,
             "parity": bool(
                 n_mismatch == 0
                 and n_extra == 0
+                and n_got_distinct == n_got
                 and n_missing_closed == 0
                 and n_join == n_got
                 and n_got > 0
