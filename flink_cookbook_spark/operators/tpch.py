@@ -33,15 +33,22 @@ from flink_cookbook_spark.registry import register, rnd
 #
 # Known boundary of the final DECIMAL -> DOUBLE cast: the decimal SUM
 # itself is exact at any scale, but once a group's UNSCALED 2-dp sum
-# exceeds 2^53 (~9e13 money units, i.e. ~$900 billion per group —
-# q1-sized groups would cross it somewhere past ~1000x fixture scale),
-# the cast is no longer the same operation in both engines: Spark's
-# BigDecimal.doubleValue is correctly rounded, while DuckDB casts via
-# int -> double then divides (double-rounding), and they can diverge by
-# 1 ulp (verified empirically). If a >1000x probe ever flags a money
-# query, suspect this cast boundary before the sum; the fix is to
-# compare at DECIMAL type end-to-end (driver hash permitting) or keep
-# per-group sums under the boundary by sub-grouping.
+# exceeds 2^53 (~9e13 money units, i.e. ~$90 trillion cents / ~$900
+# billion per group — q1-sized groups would cross it somewhere past
+# ~1000x fixture scale), the cast is no longer the same operation in
+# both engines: Spark's BigDecimal.doubleValue is correctly rounded,
+# while DuckDB casts via int -> double then divides (double-rounding),
+# and they diverge by 1 ulp. PROBED, not just documented
+# (probe_decimal53.py, round 12): zero divergences in 20k-cent windows
+# below 2^53; the FIRST divergent sum is exactly 2^53+1; ~32% of odd
+# cents diverge above; Spark is the correctly-rounded side at every
+# probed point. If a >1000x probe ever flags a money query, suspect
+# this cast boundary before the sum. Remediation (also probed): keep
+# the sum DECIMAL and ship CAST(... AS STRING) to the hash — raw
+# DECIMAL does NOT survive the driver's type-sensitive compare (Spark
+# toPandas -> dtype=object Decimal vs DuckDB fetchdf -> float64), but
+# the exact decimal TEXT is type-stable and green on both sides of the
+# boundary — or keep per-group sums under 2^53 by sub-grouping.
 # ---------------------------------------------------------------------------
 
 
