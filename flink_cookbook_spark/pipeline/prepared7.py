@@ -37,7 +37,19 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: everything reduces from ONE combinable pass of
     per-group (n, sum, sum-of-squares) partials; SSB/SSW come from the
-    sum identities, so no second scan for deviations-from-mean."""
+    sum identities, so no second scan for deviations-from-mean.
+
+    Round-12 scale fix (found by the 1000x tail sweep at 100M events):
+    raw SS totals are EXTENSIVE — they grow with n while double
+    partial-sum error grows too, so at 1000x the two engines' sums
+    differed at the 14th significant digit (~4e-3 absolute on ~2.5e11)
+    and no fixed-dp rounding can absorb that at any scale. The SS
+    columns are therefore reported PER OBSERVATION (ssb_per_obs =
+    SSB/N, ssw_per_obs = SSW/N — variance-explained and pooled-variance
+    units): intensive, bounded by the value's variance, absolute
+    cross-engine error ~1e-10 regardless of row count. f_stat and
+    eta_squared are ratios of the same sums (relative error ~1e-14)
+    and keep their contract; raw SS is recoverable as per_obs * n_obs."""
     ev = load(spark, sf_dir, "events")
     g = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -60,8 +72,8 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(
         F.col("k").alias("n_groups"),
         "n_obs",
-        rnd(ssb, 4).alias("ss_between"),
-        rnd(ssw, 4).alias("ss_within"),
+        rnd(ssb / F.col("n_obs"), 6).alias("ssb_per_obs"),
+        rnd(ssw / F.col("n_obs"), 6).alias("ssw_per_obs"),
         rnd(f_stat, 4).alias("f_stat"),
         rnd(ssb / (ssb + ssw), 6).alias("eta_squared"),
     )
@@ -81,8 +93,8 @@ one AS (
   FROM g
 )
 SELECT k AS n_groups, n_obs,
-       round(sb_part - ts * ts / n_obs + 1e-6, 4) AS ss_between,
-       round(tssq - sb_part + 1e-6, 4) AS ss_within,
+       round((sb_part - ts * ts / n_obs) / n_obs + 1e-6, 6) AS ssb_per_obs,
+       round((tssq - sb_part) / n_obs + 1e-6, 6) AS ssw_per_obs,
        round(CASE WHEN k > 1 AND n_obs > k AND tssq - sb_part > 0
                   THEN ((sb_part - ts * ts / n_obs) / (k - 1))
                        / ((tssq - sb_part) / (n_obs - k)) END + 1e-6, 4)

@@ -173,6 +173,12 @@ REVERIFY_AFTER: dict[str, int] = {
     "schema_evolution_scan": 10,
     "parameterized_sql_query": 10,
     "revenue_concentration_gini": 10,
+    # round 12: SS columns re-scaled per observation (ssb_per_obs /
+    # ssw_per_obs) — the 1000x tail sweep caught the raw extensive SS
+    # totals diverging at the 14th significant digit at 100M rows,
+    # which no fixed-dp rounding absorbs; column names and values both
+    # changed.
+    "anova_oneway": 11,
     # hill_tail_index needs NO entry for its round-11 try_divide fix:
     # the NULL branch only fires when the top-(k+1) order statistics
     # are ALL ties (a >=100x-replication artifact); at driver scale the

@@ -1349,8 +1349,10 @@ def test_elasticity_fits_are_well_formed(spark, sf_dir):
 
 
 def test_anova_decomposition_is_consistent(spark, sf_dir):
-    """SSB + SSW must equal the total sum of squares computed directly,
-    eta-squared in [0,1], F >= 0."""
+    """SSB/N + SSW/N must equal the total sum of squares per
+    observation computed directly, eta-squared in [0,1], F >= 0.
+    (Round 12: the SS columns are per-observation — intensive — so the
+    cross-engine hash survives extensive-sum double noise at scale.)"""
     from flink_cookbook_spark.catalog import load
     from flink_cookbook_spark.pipeline.prepared7 import anova_oneway
     from pyspark.sql import functions as F
@@ -1358,10 +1360,12 @@ def test_anova_decomposition_is_consistent(spark, sf_dir):
     [r] = anova_oneway(spark, sf_dir).collect()
     ev = load(spark, sf_dir, "events")
     [t] = ev.agg(
-        (F.sum(F.col("value") * F.col("value"))
-         - F.sum("value") * F.sum("value") / F.count("*")).alias("sst")
+        ((F.sum(F.col("value") * F.col("value"))
+          - F.sum("value") * F.sum("value") / F.count("*"))
+         / F.count("*")).alias("sst_per_obs")
     ).collect()
-    assert abs((r.ss_between + r.ss_within) - t.sst) < max(1e-4 * abs(t.sst), 1e-2)
+    got = r.ssb_per_obs + r.ssw_per_obs
+    assert abs(got - t.sst_per_obs) < max(1e-4 * abs(t.sst_per_obs), 1e-2)
     assert -1e-6 <= r.eta_squared <= 1.0 + 1e-6
     assert r.f_stat is None or r.f_stat >= 0
 
