@@ -339,7 +339,19 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg("l_extendedprice")).alias("avg_price"),
         rnd(F.stddev_samp("l_extendedprice")).alias("std_price"),
         rnd(F.var_samp("l_extendedprice"), 2).alias("var_price"),
-        rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("weighted"),
+        # round-12: money-weighted sum converted to the DECIMAL
+        # discipline (operators/tpch.py) — a raw double sum of 4-dp
+        # products over per-group row counts that grow with the corpus
+        # is the q1/q6 cent-flip class
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("weighted"),
     )
 
 
@@ -352,7 +364,9 @@ SELECT l_linestatus,
        round(avg(l_extendedprice) + 1e-6, 4) AS avg_price,
        round(stddev_samp(l_extendedprice) + 1e-6, 4) AS std_price,
        round(var_samp(l_extendedprice) + 1e-6, 2) AS var_price,
-       round(sum(l_extendedprice * l_discount) + 1e-6, 2) AS weighted
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                      * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+         AS weighted
 FROM lineitem GROUP BY l_linestatus
 """,
     tags=("agg",),

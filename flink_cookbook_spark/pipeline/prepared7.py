@@ -364,12 +364,17 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = (F.floor(F.col("ts").cast("double") / 604800)).cast("long")
     first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_wk"))
     sizes = first.groupBy("cohort_wk").agg(F.count("*").alias("n_users"))
+    # round-12: the per-cell revenue is a money sum whose cell row count
+    # grows with the corpus — DECIMAL discipline (operators/tpch.py), so
+    # the sum (and the cumulative window over it) is exact and
+    # engine-identical at any scale; the cast back to double is correctly
+    # rounded well below the 2^53 boundary (probe_decimal53.py).
     purchases = (
         ev.where(F.col("event_type") == "purchase")
         .select("user_id", wk.alias("wk"), "value")
         .join(first, "user_id")
         .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_wk"))
-        .agg(F.sum("value").alias("rev"))
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("rev"))
     )
     wcum = (
         Window.partitionBy("cohort_wk")
@@ -380,10 +385,10 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_wk",
         "age_wk",
         "n_users",
-        rnd("rev", 2).alias("revenue"),
-        rnd(F.sum("rev").over(wcum) / F.col("n_users"), 4).alias(
-            "cum_ltv_per_user"
-        ),
+        rnd(F.col("rev").cast("double"), 2).alias("revenue"),
+        rnd(
+            F.sum("rev").over(wcum).cast("double") / F.col("n_users"), 4
+        ).alias("cum_ltv_per_user"),
     )
 
 
@@ -399,16 +404,17 @@ sizes AS (
 purchases AS (
   SELECT f.cohort_wk,
          CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_wk AS age_wk,
-         sum(e.value) AS rev
+         sum(CAST(e.value AS DECIMAL(12,2))) AS rev
   FROM events e JOIN first_seen f ON e.user_id = f.user_id
   WHERE e.event_type = 'purchase'
   GROUP BY 1, 2
 )
 SELECT p.cohort_wk, p.age_wk, s.n_users,
-       round(p.rev + 1e-6, 2) AS revenue,
-       round(sum(p.rev) OVER (PARTITION BY p.cohort_wk ORDER BY p.age_wk
-                              ROWS UNBOUNDED PRECEDING) / s.n_users
-             + 1e-6, 4) AS cum_ltv_per_user
+       round(CAST(p.rev AS DOUBLE) + 1e-6, 2) AS revenue,
+       round(CAST(sum(p.rev) OVER (PARTITION BY p.cohort_wk
+                                   ORDER BY p.age_wk
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / s.n_users + 1e-6, 4) AS cum_ltv_per_user
 FROM purchases p JOIN sizes s ON p.cohort_wk = s.cohort_wk
 """
 

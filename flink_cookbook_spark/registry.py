@@ -179,6 +179,14 @@ REVERIFY_AFTER: dict[str, int] = {
     # which no fixed-dp rounding absorbs; column names and values both
     # changed.
     "anova_oneway": 11,
+    # round 12: proactive DECIMAL conversion of the remaining raw
+    # double money sums whose per-group row counts grow with the
+    # corpus (the q1/q6 cent-flip class, same audit that drove the
+    # r11 conversions): agg_stats.weighted and cohort_ltv_curve's
+    # rev/cum_ltv — the rounded money outputs can move in the last
+    # digit vs the old double arithmetic.
+    "agg_stats": 11,
+    "cohort_ltv_curve": 11,
     # hill_tail_index needs NO entry for its round-11 try_divide fix:
     # the NULL branch only fires when the top-(k+1) order statistics
     # are ALL ties (a >=100x-replication artifact); at driver scale the
