@@ -73,20 +73,58 @@ def _canon_dtype(dt: str) -> str:
 #: semantics as ``_normalize`` (sorted columns, str-ified objects,
 #: -0.0 -> 0.0, widened numeric dtypes) but vectorized per chunk so
 #: arbitrarily large outputs hash in bounded memory.
+#:
+#: ALL numerics hash as float64 (round-12 fix): a NULLABLE int column
+#: arrives as int64 in null-free chunks and float64 in chunks with a
+#: null — per-chunk, per-engine, boundary-dependent — and
+#: hash_pandas_object(5: int64) != hash(5.0: float64), so the old
+#: int64 canonicalization made the checksum depend on where each
+#: side's chunk boundaries fell relative to the nulls (reproduced:
+#: identical 3M-row nullable-BIGINT data mismatched; it false-flagged
+#: cogroup_asof_enrich at 1000x). Uniform float64 hashing is
+#: chunk-independent; NULL ints and NULL floats both hash as NaN on
+#: both sides. Caveat (documented, not reachable in practice): integer
+#: VALUES above 2^53 would conflate in the hash — fixture/probe ids
+#: and counts stay orders below; the dtype-KIND parity check is
+#: preserved separately via the merged per-chunk dtype record.
 def _canon_chunk(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         dt = str(df[c].dtype)
-        if dt.startswith("float"):
+        if dt.startswith("float") or dt.startswith(("int", "uint")):
             col = df[c].astype("float64")
             df[c] = col.where(col != 0, 0.0)
-        elif dt.startswith(("int", "uint")):
-            df[c] = df[c].astype("int64")
         elif dt.startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         else:
             df[c] = df[c].astype(str)
     return df
+
+
+def _raw_kind(dt: str) -> str:
+    """Pre-canonicalization dtype KIND of a chunk column, for the
+    type-parity check (int vs float is the driver-hash-relevant
+    distinction; width is not)."""
+    if dt.startswith("float"):
+        return "float64"
+    if dt.startswith(("int", "uint")):
+        return "int64"
+    # datetimes canonicalize to strings before hashing (both sides), so
+    # their recorded kind stays "object" — same as the pre-round-12
+    # post-canonicalization record
+    return "object"
+
+
+def _merge_kind(old: str | None, new: str) -> str:
+    """Merge per-chunk dtype kinds for one column across a stream: a
+    nullable int column legitimately reads int64 in null-free chunks
+    and float64 in chunks with nulls — the column's kind is float64
+    (what the driver's collected hash would see for the whole result)."""
+    if old is None or old == new:
+        return new
+    if {old, new} == {"int64", "float64"}:
+        return "float64"
+    return new
 
 
 def _chunk_checksum(chunks) -> tuple[int, int, dict[str, str], dict[str, int]]:
@@ -110,9 +148,13 @@ def _chunk_checksum(chunks) -> tuple[int, int, dict[str, str], dict[str, int]]:
                 if str(chunk[c].dtype).startswith("float"):
                     nz = int(((chunk[c] == 0) & _signbit(chunk[c])).sum())
                     negzero[c] = negzero.get(c, 0) + nz
+                # dtype kinds merged over EVERY chunk (round-12 fix): the
+                # first chunk alone misreads a nullable int column whose
+                # nulls happen to land in later chunks
+                dtypes[c] = _merge_kind(
+                    dtypes.get(c), _canon_dtype(_raw_kind(str(chunk[c].dtype)))
+                )
             canon = _canon_chunk(chunk)
-            if not dtypes:
-                dtypes = {c: _canon_dtype(str(canon[c].dtype)) for c in canon.columns}
             h = pd.util.hash_pandas_object(canon, index=False).to_numpy()
             total = np.uint64(total + np.sum(h, dtype=np.uint64))
             n += len(chunk)
