@@ -1651,24 +1651,28 @@ def yoy_segment_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
+    # round-12: revenue per (segment, year) sums ALL orders into ~35
+    # groups — extensive; DECIMAL discipline so the sums (and the
+    # lagged previous year) are exact and engine-identical at any scale
     yearly = (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment", F.year("o_orderdate").alias("yr"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum("o_totalprice").alias("rev"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev"),
         )
     )
     w = Window.partitionBy("c_mktsegment").orderBy("yr")
-    prev_rev = F.lag("rev").over(w)
+    rev_d = F.col("rev").cast("double")  # exact below the 2^53 boundary
+    prev_rev = F.lag(F.col("rev")).over(w).cast("double")
     return yearly.select(
         "c_mktsegment",
         "yr",
         "n_orders",
-        rnd("rev", 2).alias("revenue"),
+        rnd(rev_d, 2).alias("revenue"),
         rnd(prev_rev, 2).alias("prev_revenue"),
         rnd(
-            F.when(prev_rev > 0, (F.col("rev") - prev_rev) / prev_rev * 100.0), 4
+            F.when(prev_rev > 0, (rev_d - prev_rev) / prev_rev * 100.0), 4
         ).alias("yoy_growth_pct"),
     )
 
@@ -1678,15 +1682,17 @@ register(
     oracle="""
 WITH yearly AS (
   SELECT c_mktsegment, year(o_orderdate) AS yr,
-         count(*) AS n_orders, sum(o_totalprice) AS rev
+         count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2
 )
 SELECT c_mktsegment, CAST(yr AS INTEGER) AS yr, n_orders,
-       round(rev + 1e-6, 2) AS revenue,
-       round(lag(rev) OVER w + 1e-6, 2) AS prev_revenue,
+       round(CAST(rev AS DOUBLE) + 1e-6, 2) AS revenue,
+       round(CAST(lag(rev) OVER w AS DOUBLE) + 1e-6, 2) AS prev_revenue,
        round(CASE WHEN lag(rev) OVER w > 0
-                  THEN (rev - lag(rev) OVER w) / lag(rev) OVER w * 100.0 END
+                  THEN (CAST(rev AS DOUBLE) - CAST(lag(rev) OVER w AS DOUBLE))
+                       / CAST(lag(rev) OVER w AS DOUBLE) * 100.0 END
              + 1e-6, 4) AS yoy_growth_pct
 FROM yearly
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY yr)

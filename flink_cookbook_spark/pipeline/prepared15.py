@@ -296,14 +296,19 @@ def value_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-statistic pick is a rank-limited window."""
     ev = load(spark, sf_dir, "events")
     day = F.floor(F.col("ts").cast("double") / 86400).cast("long")
+    # round-12: daily revenue is an extensive money sum (whole corpus
+    # into ~a-month of days) — DECIMAL discipline; the day-over-day
+    # diff is exact decimal subtraction cast to double (exact below
+    # 2^53), so the order statistic ranks identical values in both
+    # engines at any scale
     daily = (
         ev.where(F.col("event_type") == "purchase")
         .groupBy(day.alias("day"))
-        .agg(F.sum("value").alias("rev"))
+        .agg(F.sum(F.col("value").cast("decimal(14,2)")).alias("rev"))
     )
     wd = Window.orderBy("day")
     diffs = daily.select(
-        (F.col("rev") - F.lag("rev").over(wd)).alias("chg")
+        (F.col("rev") - F.lag("rev").over(wd)).cast("double").alias("chg")
     ).where(F.col("chg").isNotNull())
     wrank = Window.orderBy("chg")
     wt = Window.partitionBy()
@@ -335,12 +340,14 @@ def value_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VAR_ORACLE = f"""
 WITH daily AS (
-  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, sum(value) AS rev
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         sum(CAST(value AS DECIMAL(14,2))) AS rev
   FROM events WHERE event_type = 'purchase' GROUP BY 1
 ),
 diffs AS (
   SELECT chg FROM (
-    SELECT rev - lag(rev) OVER (ORDER BY day) AS chg FROM daily
+    SELECT CAST(rev - lag(rev) OVER (ORDER BY day) AS DOUBLE) AS chg
+    FROM daily
   ) WHERE chg IS NOT NULL
 ),
 ranked AS (

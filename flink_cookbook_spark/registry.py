@@ -187,6 +187,15 @@ REVERIFY_AFTER: dict[str, int] = {
     # digit vs the old double arithmetic.
     "agg_stats": 11,
     "cohort_ltv_curve": 11,
+    # round 12 (late): partitioned_scan_pruning FLIPPED 2 cents at
+    # 2.5e12 money units in the 1000x tail sweep — its raw double
+    # sum_price (and the same pattern in csv_scan_roundtrip,
+    # yoy_segment_growth's segment-year revenue, and value_at_risk's
+    # daily revenue diffs) converted to the DECIMAL discipline.
+    "partitioned_scan_pruning": 11,
+    "csv_scan_roundtrip": 11,
+    "yoy_segment_growth": 11,
+    "value_at_risk": 11,
     # hill_tail_index needs NO entry for its round-11 try_divide fix:
     # the NULL branch only fires when the top-(k+1) order statistics
     # are ALL ties (a >=100x-replication artifact); at driver scale the

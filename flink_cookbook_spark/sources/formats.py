@@ -135,9 +135,14 @@ def csv_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
         ),
     )
+    # round-12: money sum in DECIMAL (operators/tpch.py discipline) —
+    # the 1000x sweep caught the partitioned-scan sibling flipping 2
+    # cents at 2.5e12 money units in the raw double sum
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -145,7 +150,8 @@ register(
     "csv_scan_roundtrip",
     oracle="""
 SELECT o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice) + 1e-6, 2) AS sum_price
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS sum_price
 FROM orders GROUP BY o_orderpriority
 """,
     tags=("file-format", "csv", "source"),
@@ -196,12 +202,16 @@ def partitioned_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         partition_by=["o_orderpriority"],
     )
+    # round-12: money sum in DECIMAL — this query's raw double sum
+    # flipped 2 cents at 2.5e12 money units in the 1000x tail sweep
     return (
         back.where(F.col("o_orderpriority") == "1-URGENT")
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
         )
     )
 
@@ -210,7 +220,8 @@ register(
     "partitioned_scan_pruning",
     oracle="""
 SELECT o_orderstatus, count(*) AS n_orders,
-       round(sum(o_totalprice) + 1e-6, 2) AS sum_price
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS sum_price
 FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
 """,
     tags=("file-format", "parquet", "partition-pruning", "source"),
