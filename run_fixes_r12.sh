@@ -12,7 +12,7 @@
 cd /root/repo
 export SPARK_GRAFT_DRIVER_MEM=24g
 export SPARK_GRAFT_PROBE_DATA_DIR=/tmp/fcs_scale1000
-export SPARK_GRAFT_PROBE_QUERIES=bloom_fpr_calibration,bloom_prefilter_join,column_similarity_matching,copurchase_degree_distribution,graph_assortativity,mad_outlier_flags,markov_stationary_distribution,math_funcs,odds_ratio_table,order_backlog_profile,pacf_durbin_levinson,python_datasource_metrics,revenue_share_hierarchy,simpson_reversal_check,time_weighted_avg,transition_perplexity,user_event_paths,wasserstein_drift,window_ranking,window_running_frames,zscore_flags,partitioned_scan_pruning,yoy_segment_growth,csv_scan_roundtrip,value_at_risk,anova_oneway,cogroup_asof_enrich,agg_stats,cohort_ltv_curve
+export SPARK_GRAFT_PROBE_QUERIES=partitioned_scan_pruning,yoy_segment_growth,csv_scan_roundtrip,value_at_risk,zscore_flags,math_funcs,time_weighted_avg,window_ranking,window_running_frames,transition_perplexity,order_backlog_profile,python_datasource_metrics,revenue_share_hierarchy,simpson_reversal_check,user_event_paths,wasserstein_drift,odds_ratio_table,pacf_durbin_levinson,mad_outlier_flags,bloom_prefilter_join,agg_stats,cohort_ltv_curve,anova_oneway,cogroup_asof_enrich
 export SPARK_GRAFT_PROBE_RESULTS=/root/repo/sweep1000tail_r12_fixes.jsonl
 export SPARK_GRAFT_PROBE_RESUME=1
 export SPARK_GRAFT_PROBE_TIMEOUT_S=600
