@@ -134,11 +134,21 @@ def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     running = w.rowsBetween(Window.unboundedPreceding, 0)
     trailing5 = w.rowsBetween(-4, 0)
+    # round-13: the running revenue is a per-supplier prefix sum and
+    # suppliers are FIXED dims — per-key row count (and the sum) grows
+    # with the corpus, the q1/q6 cent-flip class. DECIMAL discipline:
+    # exact decimal window sum, cast to double at the end. trailing5_avg
+    # (5-row frame) and running_max stay raw — bounded/exact.
     return li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        rnd(F.sum("l_extendedprice").over(running), 2).alias("running_revenue"),
+        rnd(
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+            .over(running)
+            .cast("double"),
+            2,
+        ).alias("running_revenue"),
         rnd(F.avg("l_extendedprice").over(trailing5), 2).alias("trailing5_avg"),
         rnd(F.max("l_extendedprice").over(running), 2).alias("running_max"),
         F.count("*").over(running).alias("n_so_far"),
@@ -149,7 +159,8 @@ register(
     "window_running_frames",
     oracle="""
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       round(sum(l_extendedprice) OVER running + 1e-6, 2) AS running_revenue,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) OVER running
+                  AS DOUBLE) + 1e-6, 2) AS running_revenue,
        round(avg(l_extendedprice) OVER trailing5 + 1e-6, 2) AS trailing5_avg,
        round(max(l_extendedprice) OVER running + 1e-6, 2) AS running_max,
        count(*) OVER running AS n_so_far

@@ -4277,26 +4277,35 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient of variation of MONTHLY shipped quantity), summarized
     to the bounded class grid with part counts and revenue shares —
     the standard inventory-policy segmentation. Part revenues are
-    pre-rounded to 4 dp before cutpoint comparison (sums of
-    price-products are order-sensitive in the last ulp; the class
-    boundary must not be). Monthly quantity sums are integer-valued,
-    so the CV side is exact without rounding.
+    EXACT decimal sums (round-13; the old 4-dp pre-round of a raw
+    double sum still let summation order move a revenue across a
+    class boundary at scale — the exact scale-4 decimal removes the
+    tie entirely). Monthly quantity sums are integer-valued, so the
+    CV side is exact without rounding.
 
     Scale shape: two combinable per-part aggregates (revenue; monthly
     demand then its moments), TWO broadcast percentile scalars, one
     bounded-grid rollup. No ranking window at part cardinality."""
     li = load(spark, sf_dir, "lineitem")
+    # round-13: per-part revenue — parts are FIXED dims, so per-group
+    # row count grows with the corpus (the q1/q6 cent-flip class, and
+    # the class boundary must not move with summation order). DECIMAL
+    # discipline: the scale-4 decimal sum is EXACT (no rounding or tie
+    # nudge needed at all) and its double cast is exactly representable
+    # orders past the 1000x rung, so cutpoints compare identical
+    # doubles in both engines.
     rev = (
         li.groupBy("l_partkey")
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (
+                    F.lit(1).cast("decimal(3,2)")
+                    - F.col("l_discount").cast("decimal(4,2)")
                 )
-                + F.lit(NUDGE),
-                4,
-            ).alias("rev")
+            ).alias("rev_dec")
         )
+        .select("l_partkey", F.col("rev_dec").cast("double").alias("rev"))
     )
     # distributed-exact percentile cutpoints (grouped_exact_percentiles):
     # part revenues are ~all-distinct, so Spark's value-buffering exact
@@ -4379,7 +4388,8 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ABC_ORACLE = f"""
 WITH rev AS (
   SELECT l_partkey,
-         round(sum(l_extendedprice * (1 - l_discount)) + {NUDGE}, 4)
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
            AS rev
   FROM lineitem GROUP BY 1
 ),

@@ -383,30 +383,41 @@ def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region"), F.col("n_name").alias("nation")
         )
         .agg(
+            # round-13: per-nation revenue sums the WHOLE lineitem
+            # corpus into <=25 groups — extensive; the raw-double form
+            # flipped cents at ~1.17e12 in the 1000x sweep (16/25
+            # rows). DECIMAL discipline: exact decimal sum, cast to
+            # double only at the end; the window sums below stay
+            # decimal (exact) so both share ratios divide identical
+            # doubles in both engines at any scale.
             F.sum(
-                F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
-            ).alias("rev_raw")
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (
+                    F.lit(1).cast("decimal(3,2)")
+                    - F.col("l_discount").cast("decimal(4,2)")
+                )
+            ).alias("rev_dec")
         )
     )
     wr = Window.partitionBy("region")
     wg = Window.partitionBy()
+    rev_d = F.col("rev_dec").cast("double")
+    region_d = F.sum("rev_dec").over(wr).cast("double")
+    global_d = F.sum("rev_dec").over(wg).cast("double")
     return rev.select(
         "region",
         "nation",
-        rnd("rev_raw", 2).alias("revenue"),
-        rnd(F.col("rev_raw") / F.sum("rev_raw").over(wr), 6).alias(
-            "share_of_region"
-        ),
-        rnd(
-            F.sum("rev_raw").over(wr) / F.sum("rev_raw").over(wg), 6
-        ).alias("region_share_of_global"),
+        rnd(rev_d, 2).alias("revenue"),
+        rnd(rev_d / region_d, 6).alias("share_of_region"),
+        rnd(region_d / global_d, 6).alias("region_share_of_global"),
     )
 
 
 _HIERARCHY_ORACLE = """
 WITH rev AS (
   SELECT r.r_name AS region, n.n_name AS nation,
-         sum(l.l_extendedprice * (1.0 - l.l_discount)) AS rev_raw
+         sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev_dec
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -415,11 +426,13 @@ WITH rev AS (
   GROUP BY 1, 2
 )
 SELECT region, nation,
-       round(rev_raw + 1e-6, 2) AS revenue,
-       round(rev_raw / sum(rev_raw) OVER (PARTITION BY region) + 1e-6, 6)
-         AS share_of_region,
-       round(sum(rev_raw) OVER (PARTITION BY region)
-             / sum(rev_raw) OVER () + 1e-6, 6) AS region_share_of_global
+       round(CAST(rev_dec AS DOUBLE) + 1e-6, 2) AS revenue,
+       round(CAST(rev_dec AS DOUBLE)
+             / CAST(sum(rev_dec) OVER (PARTITION BY region) AS DOUBLE)
+             + 1e-6, 6) AS share_of_region,
+       round(CAST(sum(rev_dec) OVER (PARTITION BY region) AS DOUBLE)
+             / CAST(sum(rev_dec) OVER () AS DOUBLE) + 1e-6, 6)
+         AS region_share_of_global
 FROM rev
 """
 

@@ -369,12 +369,17 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sum (and the cumulative window over it) is exact and
     # engine-identical at any scale; the cast back to double is correctly
     # rounded well below the 2^53 boundary (probe_decimal53.py).
+    # round-13: widened 12,2 -> 14,2 to match the package-wide money
+    # width — on per-value overflow Spark (non-ANSI) yields NULL while
+    # DuckDB errors, so a narrower width makes the engines fail
+    # DIFFERENTLY at extreme values; one width keeps failure modes
+    # aligned. Values are unchanged (no overflow at either width).
     purchases = (
         ev.where(F.col("event_type") == "purchase")
         .select("user_id", wk.alias("wk"), "value")
         .join(first, "user_id")
         .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("age_wk"))
-        .agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("rev"))
+        .agg(F.sum(F.col("value").cast("decimal(14,2)")).alias("rev"))
     )
     wcum = (
         Window.partitionBy("cohort_wk")
@@ -404,7 +409,7 @@ sizes AS (
 purchases AS (
   SELECT f.cohort_wk,
          CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_wk AS age_wk,
-         sum(CAST(e.value AS DECIMAL(12,2))) AS rev
+         sum(CAST(e.value AS DECIMAL(14,2))) AS rev
   FROM events e JOIN first_seen f ON e.user_id = f.user_id
   WHERE e.event_type = 'purchase'
   GROUP BY 1, 2

@@ -156,7 +156,8 @@ REVERIFY_AFTER: dict[str, int] = {
     # user; part revenues ~all-distinct per part) — identical
     # ulp-of-interpolation caveat as exact_quantiles above.
     "funnel_time_to_convert": 10,
-    "abc_xyz_classification": 10,
+    # (abc_xyz_classification's round-11 entry superseded by its
+    # round-13 entry below — one key, the later round)
     # round 11: per-decile revenue converted to the DECIMAL money sum
     # (the 100x heavy-table sweep flipped a cent at 4.6e11 money units
     # in the double sum) and shares now divide the exact decimal-cast
@@ -196,6 +197,23 @@ REVERIFY_AFTER: dict[str, int] = {
     "csv_scan_roundtrip": 11,
     "yoy_segment_growth": 11,
     "value_at_risk": 11,
+    # round 13: revenue_share_hierarchy was the LAST raw discounted-
+    # price sum in the package — the r12 reconciliation sweep caught
+    # 16/25 nation rows flipping cents at ~1.17e12 at 1000x. Converted
+    # to the DECIMAL discipline (exact decimal sum + decimal window
+    # sums, cast to double only for the share divisions), so revenue
+    # and both share columns can move in the last rounded digit.
+    "revenue_share_hierarchy": 12,
+    # round 13: the follow-up grep for raw money sums whose GROUP grain
+    # does not scale with sf (fixed-dim keys) converted two more:
+    # window_running_frames' per-supplier running revenue (prefix sums
+    # over a fixed supplier catalog) and abc_xyz_classification's
+    # per-part revenue (which also feeds its class cutpoints — the old
+    # 4-dp pre-round of a raw double sum could move a part across a
+    # class boundary at scale). Rounded outputs / class assignments can
+    # move in the last digit vs the double arithmetic.
+    "window_running_frames": 12,
+    "abc_xyz_classification": 12,
     # hill_tail_index needs NO entry for its round-11 try_divide fix:
     # the NULL branch only fires when the top-(k+1) order statistics
     # are ALL ties (a >=100x-replication artifact); at driver scale the

@@ -156,7 +156,12 @@ def main() -> None:
                 from datetime import datetime, timezone
 
                 fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in wm_iso else "%Y-%m-%dT%H:%M:%SZ"
-                reported_wm = int(
+                # keep the FULL float epoch (advisor r12: int() truncation
+                # re-introduced the <1 s sub-second slack that using the
+                # reported watermark was meant to eliminate — a window
+                # closing inside the truncated sliver was still excused
+                # from the withheld-but-closed check)
+                reported_wm = (
                     datetime.strptime(wm_iso, fmt)
                     .replace(tzinfo=timezone.utc)
                     .timestamp()

@@ -92,6 +92,20 @@ def _canon_chunk(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         dt = str(df[c].dtype)
         if dt.startswith("float") or dt.startswith(("int", "uint")):
+            # round-13 guard (advisor): int values past 2^53 would
+            # CONFLATE under the uniform-float64 hashing (distinct
+            # large ints within one float64 ulp hash equal), silently
+            # weakening the exactness gate. Every current output is
+            # pmod-reduced orders below this; if a future query emits
+            # raw xxhash64/hash ids, fail loudly instead.
+            if dt.startswith(("int", "uint")) and len(df[c]):
+                mx = df[c].abs().max()
+                if pd.notna(mx) and int(mx) > 2**53:
+                    raise ValueError(
+                        f"streamed checksum: int column {c!r} has |value| "
+                        f"{int(mx)} > 2^53 — float64 hashing would conflate "
+                        "distinct ints; use a string/decimal representation"
+                    )
             col = df[c].astype("float64")
             df[c] = col.where(col != 0, 0.0)
         elif dt.startswith("datetime64"):
@@ -124,7 +138,11 @@ def _merge_kind(old: str | None, new: str) -> str:
         return new
     if {old, new} == {"int64", "float64"}:
         return "float64"
-    return new
+    # round-13 guard (advisor): any OTHER within-stream kind oscillation
+    # (e.g. object in one chunk, int64 in another) is not a known-benign
+    # nullable-int artifact — surface it as a kind mismatch instead of
+    # silently adopting the latest chunk's kind.
+    return "mixed"
 
 
 def _chunk_checksum(chunks) -> tuple[int, int, dict[str, str], dict[str, int]]:

@@ -781,6 +781,38 @@ def test_streamed_checksum_agrees_with_collected_compare(spark, sf_dir):
         con.close()
 
 
+def test_streamed_checksum_guards():
+    """Round-13 advisor guards on the streamed-checksum harness: (a)
+    an int column with |value| past 2^53 must FAIL LOUDLY instead of
+    silently conflating under float64 hashing; (b) a within-stream
+    dtype-kind oscillation other than the known-benign nullable-int
+    int64/float64 pair must surface as 'mixed', not adopt the latest
+    chunk's kind."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from tests.oracle_harness import _canon_chunk, _chunk_checksum, _merge_kind
+
+    # (a) big-int guard: below the boundary passes, above raises
+    ok = pd.DataFrame({"v": [2**53, -(2**53)]})
+    _canon_chunk(ok.copy())
+    bad = pd.DataFrame({"v": [2**53 + 1]})
+    with _pytest.raises(ValueError, match="2\\^53"):
+        _canon_chunk(bad.copy())
+    with _pytest.raises(ValueError, match="2\\^53"):
+        _chunk_checksum([pd.DataFrame({"v": [5, -(2**60)]})])
+    # (b) kind-merge sentinel: benign nullable-int pair still folds to
+    # float64; anything else flags
+    assert _merge_kind(None, "int64") == "int64"
+    assert _merge_kind("int64", "float64") == "float64"
+    assert _merge_kind("float64", "int64") == "float64"
+    assert _merge_kind("object", "int64") == "mixed"
+    assert _merge_kind("int64", "object") == "mixed"
+    # and a mixed verdict is sticky-incompatible with either side's
+    # plain kind on the cross-engine dtype comparison (dict inequality)
+    assert {"c": "mixed"} != {"c": "int64"}
+
+
 def test_grouped_exact_percentiles_matches_builtin(spark):
     """The distributed order-statistic helper must reproduce Spark's
     exact ``percentile`` bit-for-bit-after-rounding on adversarial
