@@ -107,12 +107,21 @@ def main() -> None:
         w = Window.partitionBy("event_type").orderBy(
             F.col("n_processed").desc()
         )
-        final = {
-            r.event_type: r
-            for r in out.withColumn("rk", F.dense_rank().over(w))
+        final_rows = (
+            out.withColumn("rk", F.dense_rank().over(w))
             .where("rk = 1")
             .collect()
-        }
+        )
+        # duplicate-emission guard (round-13, mirroring the r12
+        # probe_stream100m hardening): a key whose FINAL state row was
+        # emitted twice with identical values would silently win the
+        # dict comprehension — the rank-1 row count must equal the key
+        # count exactly.
+        n_dup_final = len(final_rows) - len(
+            {r.event_type for r in final_rows}
+        )
+        assert n_dup_final == 0, f"{n_dup_final} duplicate final emissions"
+        final = {r.event_type: r for r in final_rows}
 
         per_key: dict = {}
         for key, t, e, v in sorted(data, key=lambda r: (r[1], r[2])):
