@@ -961,15 +961,58 @@ FROM scored
 AFFINITY_MIN_CO = 2  # minimum co-order count before scoring a part pair
 
 
+def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-order part-pair counts ``(p1 < p2, n_co)``, memoized per
+    session and shared by the basket-graph family (``part_affinity``,
+    ``copurchase_degree_distribution``, ``graph_assortativity``).
+
+    Built by per-basket ARRAY expansion instead of the basket-line
+    self-join: one keyed exchange groups each order's distinct parts
+    into a sorted array, then a map-side combination explode emits the
+    C(k, 2) in-basket pairs directly — no join, so the basket-line
+    table is never broadcast/shuffled a second time per consumer, and
+    the only other exchange is the pair aggregation itself. Baskets are
+    small by construction (single-digit lines per order at any scale),
+    so the per-row array work is bounded and skew-free."""
+    from flink_cookbook_spark.pipeline._cache import memo_persist
+
+    def build() -> DataFrame:
+        arrays = (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        )
+        pairs = F.flatten(
+            F.transform(
+                F.col("parts"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("parts"), i + F.lit(2), F.size(F.col("parts"))),
+                    lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                ),
+            )
+        )
+        return (
+            arrays.select(F.explode(pairs).alias("pr"))
+            .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+            .groupBy("p1", "p2")
+            .agg(F.count("*").alias("n_co"))
+        )
+
+    return memo_persist(spark, "basket_pair_counts", sf_dir, build)
+
+
 def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: part pairs co-ordered at least
     AFFINITY_MIN_CO times, with support and lift — the relational twin of
     ``collocation_pmi`` (lift is PMI without the log): co-purchase
     recommendation candidates straight from the order lines.
 
-    Per-order pair expansion is an equi self-join on the order key —
-    candidate pairs are per-basket combinations (baskets are small),
-    never part². The singleton-count joins are deliberately UNHINTED:
+    Per-order pair expansion comes from the shared per-basket array
+    memo (``basket_pair_counts``) — candidate pairs are per-basket
+    combinations (baskets are small), never part², and no self-join
+    re-broadcasts the basket table per run. The singleton-count joins
+    are deliberately UNHINTED:
     their cardinality is the part catalog, which at sf1e4 no longer fits
     a forced broadcast — a plain equi-join lets AQE broadcast when small
     and shuffle when not. Only the 1-row order total is broadcast;
@@ -978,9 +1021,9 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from flink_cookbook_spark.pipeline._cache import memo_persist
 
-    # the distinct basket-line table feeds FOUR consumers (both sides of
-    # the pair join, singleton counts, the order total); materialize it
-    # once instead of four distinct-aggregates over the raw scan.
+    # the distinct basket-line table feeds the singleton counts and the
+    # order total; the pair counts come from the shared array-expansion
+    # memo above (one build per session, no per-run self-join).
     li = memo_persist(
         spark,
         "basket_lines",
@@ -989,15 +1032,7 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct(),
     )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
-    co = (
-        a.join(b, "l_orderkey")
-        .where(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count("*").alias("n_co"))
-        .where(F.col("n_co") >= AFFINITY_MIN_CO)
-    )
+    co = basket_pair_counts(spark, sf_dir).where(F.col("n_co") >= AFFINITY_MIN_CO)
     singles = li.groupBy("l_partkey").agg(F.count("*").alias("n_orders_part"))
     n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     s1 = singles.select(F.col("l_partkey").alias("p1"), F.col("n_orders_part").alias("c1"))

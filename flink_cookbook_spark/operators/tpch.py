@@ -689,9 +689,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
-    offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    )
     eu = (
         supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region.where(F.col("r_name") == "EUROPE")),
@@ -699,14 +696,28 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     small = part.where((F.col("p_size") <= 10) & (F.col("p_type") == "SMALL"))
-    w = Window.partitionBy("p_partkey")
+    # Filter the fact table through the selective part dimension BEFORE
+    # the per-(part, supplier) min — Catalyst cannot push a join below an
+    # aggregate itself, and only small parts' offers can survive to the
+    # output. The explicit l_partkey repartition then serves BOTH the
+    # aggregate (partitioning on a subset of the group keys satisfies
+    # its distribution) and the per-part window, collapsing the plan's
+    # two exchanges into one that carries only qualifying lines.
+    offers = (
+        li.join(F.broadcast(small.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
     return (
         offers.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(small, F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("min_cost", F.min("unit_cost").over(w))
         .where(F.col("unit_cost") == F.col("min_cost"))
         .select(
-            "p_partkey", "s_name", "n_name", "s_acctbal",
+            F.col("l_partkey").alias("p_partkey"), "s_name", "n_name", "s_acctbal",
             rnd(F.col("min_cost"), 2).alias("supply_cost"),
         )
     )
@@ -914,15 +925,20 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     supplier = load(spark, sf_dir, "supplier")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
     excluded = supplier.where(F.col("s_acctbal") < 1000).select("s_suppkey")
     wanted = part.where(
         (F.col("p_brand") != "Brand#5")
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
     )
+    # count(DISTINCT l_suppkey) already dedups per group, so the
+    # partsupp-style pre-DISTINCT over the full fact table is redundant
+    # for this result; dropping it removes a full-lineitem exchange, and
+    # filtering through the selective part dimension FIRST means the
+    # distinct-aggregation pass only sees qualifying parts' lines.
     return (
-        ps.join(F.broadcast(excluded), ps.l_suppkey == excluded.s_suppkey, "left_anti")
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(excluded), F.col("l_suppkey") == excluded.s_suppkey, "left_anti")
         .join(wanted, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
@@ -955,12 +971,20 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     supplier = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
+    # One l_partkey repartition serves the (supplier, part) aggregate
+    # (partitioning on a subset of its group keys) AND the per-part
+    # share window — one exchange of the date+part-filtered lines
+    # instead of two back-to-back post-aggregate exchanges. The excess
+    # side of the semi-join stays unhinted: AQE sees its true (tiny)
+    # post-shuffle size and broadcasts it at runtime.
     shipped = (
         li.where(
             (F.col("l_shipdate") >= F.lit("1997-01-01"))
             & (F.col("l_shipdate") < F.lit("1998-01-01"))
         )
         .join(part.where(F.col("p_name").contains("gear")), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_suppkey", "l_partkey", "l_quantity")
+        .repartition("l_partkey")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -1014,32 +1038,34 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     supplier = load(spark, sf_dir, "supplier")
-    l1 = (
-        li.where(F.col("l_returnflag") == "R")
+    # The EXISTS / NOT EXISTS pair over per-order sibling lines is a
+    # per-order-key predicate, so it folds into ONE aggregation pass:
+    # for a returned-flag line, "another supplier exists on the order"
+    # is distinct-supplier-count > 1 and "no OTHER supplier returned" is
+    # distinct-returned-supplier-count == 1 (the line's own supplier is
+    # returned by construction). That replaces two full-table DISTINCTs
+    # and two non-equi semi/anti joins (three lineitem scans) with one
+    # scan and two stacked narrow aggregates; numwait per supplier is
+    # then the sum of the sole returned supplier's line counts over
+    # qualifying orders.
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r_lines")
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum((F.col("r_lines") > 0).cast("int")).alias("n_r_supp"),
+        F.max(F.when(F.col("r_lines") > 0, F.col("l_suppkey"))).alias("r_suppkey"),
+        F.sum(F.when(F.col("r_lines") > 0, F.col("r_lines"))).alias("r_line_cnt"),
+    )
+    qualifying = (
+        per_order.where((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
         .join(orders.where(F.col("o_orderstatus") == "F"),
               F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .select("l_orderkey", "l_suppkey")
     )
-    others = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    ).distinct()
-    others_r = li.where(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
-    ).distinct()
     return (
-        l1.join(
-            others,
-            (l1.l_orderkey == others.o2_orderkey) & (l1.l_suppkey != others.o2_suppkey),
-            "left_semi",
-        )
-        .join(
-            others_r,
-            (l1.l_orderkey == others_r.o3_orderkey) & (l1.l_suppkey != others_r.o3_suppkey),
-            "left_anti",
-        )
-        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        qualifying.join(supplier, F.col("r_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("r_line_cnt").cast("long").alias("numwait"))
     )
 
 

@@ -37,33 +37,15 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one degree aggregate, two degree-lookup joins keyed on the node,
     and a 1-row moment aggregate for the correlation.
 
-    The edge list is memoized (round-9 tier-2 bench finding): ``dirs``
-    feeds three consumers (the degree aggregate and both sides of the
-    degree lookup), and left lazy, Catalyst re-ran the basket pair
-    self-join for each — materializing the distinct edge set once cut
-    the warm time ~3x. The basket-line table itself shares
-    ``part_affinity``'s memo entry."""
-    from flink_cookbook_spark.pipeline._cache import memo_persist
+    The edge list comes from the memoized basket-pair-count table
+    (round-9 tier-2 bench finding, round-13 array-expansion rewrite):
+    ``dirs`` feeds three consumers (the degree aggregate and both sides
+    of the degree lookup), and left lazy, Catalyst re-ran the basket
+    pair generation for each — the shared memo materializes the pair
+    set once per session, with no basket self-join at all."""
+    from flink_cookbook_spark.operators.relational import basket_pair_counts
 
-    li = memo_persist(
-        spark,
-        "basket_lines",
-        sf_dir,
-        lambda: load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct(),
-    ).select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-    a = li.select("ok", F.col("pk").alias("p1"))
-    b = li.select("ok", F.col("pk").alias("p2"))
-    edges = memo_persist(
-        spark,
-        "copurchase_edges",
-        sf_dir,
-        lambda: a.join(b, "ok")
-        .where(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .distinct(),
-    )
+    edges = basket_pair_counts(spark, sf_dir).select("p1", "p2")
     dirs = edges.unionAll(
         edges.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
     )

@@ -107,31 +107,14 @@ def copurchase_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     part x part), degrees and the histogram are combinable hash
     aggregates, and the OLS fit is a 1-row aggregate over the bounded
     histogram broadcast back onto it."""
-    # basket lines and the edge set share the part_affinity /
-    # graph_assortativity memo entries: the pair self-join runs once
-    # per session, and `edges` here feeds two union legs that would
-    # otherwise each re-run it.
-    from flink_cookbook_spark.pipeline._cache import memo_persist
+    # the edge set is a projection of the shared basket-pair-count memo
+    # (part_affinity / graph_assortativity family): pairs are emitted by
+    # per-basket array expansion once per session — no basket self-join,
+    # and `edges` here feeds two union legs that would otherwise each
+    # re-run it.
+    from flink_cookbook_spark.operators.relational import basket_pair_counts
 
-    li = memo_persist(
-        spark,
-        "basket_lines",
-        sf_dir,
-        lambda: load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct(),
-    ).select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-    a = li.select("ok", F.col("pk").alias("p1"))
-    b = li.select("ok", F.col("pk").alias("p2"))
-    edges = memo_persist(
-        spark,
-        "copurchase_edges",
-        sf_dir,
-        lambda: a.join(b, "ok")
-        .where(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .distinct(),
-    )
+    edges = basket_pair_counts(spark, sf_dir).select("p1", "p2")
     both = edges.select(F.col("p1").alias("p"), F.col("p2").alias("q")).unionAll(
         edges.select(F.col("p2").alias("p"), F.col("p1").alias("q"))
     )
