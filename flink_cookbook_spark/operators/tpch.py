@@ -837,7 +837,14 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total boundary could flip membership between engines at scale
     value = F.sum(_disc_price())
     per_part = asia_li.groupBy("l_partkey").agg(value.alias("part_value"))
-    total = asia_li.agg((value.cast("double") * 0.001).alias("threshold"))
+    # the threshold re-aggregates the PER-PART decimal sums instead of
+    # re-scanning asia_li: decimal addition is exact and associative, so
+    # sum-of-part-sums is bit-identical to the direct total, and AQE's
+    # exchange-stage reuse then derives both consumers from ONE scan of
+    # the fact table instead of two
+    total = per_part.agg(
+        (F.sum("part_value").cast("double") * 0.001).alias("threshold")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
         .where(F.col("part_value").cast("double") > F.col("threshold"))
