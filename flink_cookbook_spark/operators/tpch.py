@@ -1054,9 +1054,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and two non-equi semi/anti joins (three lineitem scans) with one
     # scan and two stacked narrow aggregates; numwait per supplier is
     # then the sum of the sole returned supplier's line counts over
-    # qualifying orders.
-    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r_lines")
+    # qualifying orders. The explicit l_orderkey repartition satisfies
+    # BOTH aggregates' distributions (subset partitioning), so the whole
+    # chain costs one shuffle of three narrow columns.
+    pair = (
+        li.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r_lines")
+        )
     )
     per_order = pair.groupBy("l_orderkey").agg(
         F.count("*").alias("n_supp"),

@@ -1669,14 +1669,29 @@ def duplicate_paragraph_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seg_hash"),
         )
     )
-    seg_docs = segs.distinct()  # a segment repeated WITHIN a doc counts once
-    freq = seg_docs.groupBy("seg_hash").agg(F.count("*").alias("n_docs_with"))
+    # ONE seg_hash repartition feeds the whole chain: the (seg, doc)
+    # within-doc count (subset partitioning), the distinct-doc frequency
+    # aggregate, and the freq join (both sides already hashed by
+    # seg_hash) — one segment fan-out pass and two exchanges total,
+    # where the distinct + frequency + unhinted join + rollup shape
+    # fanned the map out twice and paid four. The within-doc multiplicity
+    # (n_in_doc) preserves the raw-segment counts the rollup reports.
+    sd = (
+        segs.repartition("seg_hash")
+        .groupBy("seg_hash", "doc_id")
+        .agg(F.count("*").alias("n_in_doc"))
+    )
+    freq = sd.groupBy("seg_hash").agg(F.count("*").alias("n_docs_with"))
     per_doc = (
-        segs.join(freq, "seg_hash")  # unhinted: segment vocab scales with corpus
+        sd.join(freq, "seg_hash")  # co-partitioned: no further exchange
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_segments"),
-            F.sum((F.col("n_docs_with") >= 2).cast("long")).alias("n_dup_segments"),
+            F.sum("n_in_doc").alias("n_segments"),
+            F.sum(
+                F.when(F.col("n_docs_with") >= 2, F.col("n_in_doc")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_dup_segments"),
         )
     )
     share = F.col("n_dup_segments") / F.col("n_segments")
