@@ -99,6 +99,15 @@ def _windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.groupBy(F.window("ts", "5 minutes").alias("w"), "user_id")
             .agg(rnd(F.avg("value")).alias("avg_value"))
             .select(epoch_seconds("w.start").alias("window_start"), "user_id", "avg_value")
+            # materialize partitioned by the key every consumer clusters
+            # on: the persisted relation's hashpartitioning(user_id) is
+            # recognized through InMemoryTableScan (the session enables
+            # canChangeCachedPlanOutputPartitioning), so each downstream
+            # per-user window/aggregate elides its Exchange. One extra
+            # 3 MB shuffle at build time buys exchange-free consumers —
+            # the on-disk analogue is writing the continuous aggregate
+            # bucketed by user_id.
+            .repartition("user_id")
         )
 
     return memo_persist(spark, "windowed_5m", sf_dir, build)
