@@ -66,20 +66,34 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()  # unweighted: adjacency, not co-supply multiplicity
         )
 
-    # materialize the edge list once: every power-iteration round (and the
-    # final degree join) consumes it, and without persistence Catalyst
-    # re-derives the distinct+self-join lineage PR_ITERS + 1 times inside
-    # one plan tree — the graph-index analogue of the memoized shingle
-    # index (the iteration loop itself stays fully lazy).
-    edges = memo_persist(spark, "pagerank_edges", sf_dir, build_edges)
+    # materialize the degree-annotated adjacency ONCE, partitioned by the
+    # iteration join key: every power-iteration round consumes
+    # edges-joined-with-degree on src, so persisting that join
+    # pre-partitioned (hashpartitioning(src), visible through
+    # InMemoryTableScan) means each round shuffles only the RANK table
+    # (one row per node) while the edge list — the big side at any real
+    # graph scale — never moves again. Without persistence Catalyst also
+    # re-derived the distinct+self-join+degree lineage PR_ITERS + 1 times
+    # inside one plan tree (the iteration loop itself stays fully lazy).
+    def build_edges_partitioned() -> DataFrame:
+        # NOTE: the repartition must be the memo's TOP node — a
+        # repartition under a further join would be elided as redundant
+        # at physical planning and the runtime broadcast-join demotion
+        # would leave the cached relation partitioned by (src, dst).
+        return build_edges().repartition("src")
+
+    edges = memo_persist(spark, "pagerank_edges", sf_dir, build_edges_partitioned)
+    # both derivations reuse the memo's hashpartitioning(src): the degree
+    # aggregate needs no exchange and the adjacency side of every
+    # iteration join never moves again
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    out_flow = edges.join(deg, "src")
     # vertex count as broadcast DATA (1-row aggregate), not a collect:
     # the plan stays fully lazy and cluster-side.
     nc = sup.agg(F.count("*").alias("nc"))
     ranks = sup.crossJoin(F.broadcast(nc)).select(
         "node", "nc", (F.lit(1.0) / F.col("nc")).alias("pr")
     )
-    out_flow = edges.join(deg, "src")
     for _ in range(PR_ITERS):
         contrib = (
             out_flow.join(

@@ -855,6 +855,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("e.doc1", "e.doc2")
             .distinct()
+            # persist partitioned by the propagation join key: every
+            # label-propagation round joins edges.doc2 == labels.doc_id,
+            # so the edge list — the big side at corpus scale — is
+            # shuffled once here and never again; each round moves only
+            # the per-doc label table.
+            .repartition("doc2")
         )
 
     edges = memo_persist(spark, "cluster_edges", sf_dir, build_edges)
