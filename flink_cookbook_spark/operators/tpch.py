@@ -483,7 +483,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     late (semi-join against a filtered fact)."""
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    late = li.select("l_orderkey").where(F.col("l_returnflag") == "R").distinct()
+    # no .distinct() on the semi-join build side: LeftSemi output is
+    # match-existence, so duplicates are absorbed by the join's own hash
+    # relation — a pre-distinct only adds a full exchange of the keys.
+    late = li.select("l_orderkey").where(F.col("l_returnflag") == "R")
     return (
         orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")

@@ -376,31 +376,62 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the first report a 100 TB ingest runs after landing a batch
     (an orphan spike means a late or dropped dimension load).
 
-    Scale shape: each edge is one left join of the child's FK column
-    against the parent's DISTINCT key (dimension-sized build sides
-    broadcast under AQE; the orders/customer edges shuffle on the key)
-    followed by a combinable aggregate; the five 1-row results union
-    in-plan with no driver-side collection."""
-    parts = []
+    Scale shape: edges are grouped BY CHILD TABLE so each child is
+    scanned once — every parent's DISTINCT key left-joins onto the same
+    pass (parents are deduplicated, so the joins preserve row
+    multiplicity and the per-edge counts are unchanged), and one
+    combinable aggregate emits every edge's counters from that single
+    scan (lineitem's three FK edges ride one scan instead of three).
+    Dimension-sized build sides broadcast under AQE; the five 1-row
+    results union in-plan with no driver-side collection."""
+    by_child: dict[str, list[tuple[str, str, str, str]]] = {}
     for edge, child_t, fk, parent_t, pk in FK_EDGES:
-        child = load(spark, sf_dir, child_t).select(F.col(fk).alias("k"))
-        parent = (
-            load(spark, sf_dir, parent_t)
-            .select(F.col(pk).alias("k"))
-            .distinct()
-            .withColumn("hit", F.lit(1))
+        by_child.setdefault(child_t, []).append((edge, fk, parent_t, pk))
+    parts = []
+    for child_t, edges in by_child.items():
+        child = load(spark, sf_dir, child_t).select(
+            *[F.col(fk).alias(f"k{i}") for i, (_, fk, _, _) in enumerate(edges)]
         )
-        joined = child.join(parent, "k", "left")
-        agg = joined.agg(
-            F.count("*").alias("n_rows"),
-            F.sum(F.col("k").isNull().cast("long")).alias("n_null_fk"),
-            F.sum(
-                (F.col("k").isNotNull() & F.col("hit").isNull()).cast("long")
-            ).alias("n_orphans"),
-        )
+        joined = child
+        for i, (_, _, parent_t, pk) in enumerate(edges):
+            parent = (
+                load(spark, sf_dir, parent_t)
+                .select(F.col(pk).alias(f"k{i}"))
+                .distinct()
+                .withColumn(f"hit{i}", F.lit(1))
+            )
+            joined = joined.join(parent, f"k{i}", "left")
+        agg_cols = [F.count("*").alias("n_rows")]
+        for i in range(len(edges)):
+            k, hit = F.col(f"k{i}"), F.col(f"hit{i}")
+            agg_cols.append(F.sum(k.isNull().cast("long")).alias(f"n_null_fk{i}"))
+            agg_cols.append(
+                F.sum((k.isNotNull() & hit.isNull()).cast("long")).alias(
+                    f"n_orphans{i}"
+                )
+            )
+        agg = joined.agg(*agg_cols)
+        # unstack the one aggregate row to per-edge rows via explode —
+        # NOT one union branch per edge, which would re-derive the whole
+        # scan+join+aggregate subtree once per edge in the plan tree
+        stacked = agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(edge).alias("edge"),
+                            F.col("n_rows").alias("n_rows"),
+                            F.col(f"n_null_fk{i}").alias("n_null_fk"),
+                            F.col(f"n_orphans{i}").alias("n_orphans"),
+                        )
+                        for i, (edge, _, _, _) in enumerate(edges)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.*")
         parts.append(
-            agg.select(
-                F.lit(edge).alias("edge"),
+            stacked.select(
+                "edge",
                 "n_rows",
                 "n_null_fk",
                 "n_orphans",
