@@ -264,10 +264,22 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 )(orc_scan_roundtrip)
 
 
-def _bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str, n: int = 8) -> str:
+def _bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    n: int = 8,
+    cols: tuple[str, ...] | None = None,
+) -> str:
     """saveAsTable a fixture table bucketed on ``key`` once per
     (sf_dir, table); returns the catalog table name. Lives in the
-    session warehouse dir (spark-warehouse/, gitignored)."""
+    session warehouse dir (spark-warehouse/, gitignored).
+
+    ``cols`` projects the written table to just the columns its
+    consumer reads (round-13, guide §2.3/§8: the bucketed write is the
+    fixture's dominant cost, and shipping 13 unread lineitem columns
+    through the sort+write tripled it)."""
     token = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     name = f"{table}_b_{token}"
     if not spark.catalog.tableExists(name):
@@ -279,9 +291,11 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str, n: i
 
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         shutil.rmtree(os.path.join(warehouse, name.lower()), ignore_errors=True)
+        src = load(spark, sf_dir, table)
+        if cols:
+            src = src.select(*cols)
         (
-            load(spark, sf_dir, table)
-            .write.bucketBy(n, key)
+            src.write.bucketBy(n, key)
             .sortBy(key)
             .mode("overwrite")
             .saveAsTable(name)
@@ -297,8 +311,14 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the plain parquet — a hash match certifies the bucketed layout
     is lossless and the co-located join correct. At 100 TB this layout
     turns the dominant orders x lineitem shuffle into a local merge."""
-    ob = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
-    lb = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    ob = _bucketed_table(
+        spark, sf_dir, "orders", "o_orderkey",
+        cols=("o_orderkey", "o_orderstatus"),
+    )
+    lb = _bucketed_table(
+        spark, sf_dir, "lineitem", "l_orderkey",
+        cols=("l_orderkey", "l_extendedprice", "l_discount"),
+    )
     return (
         spark.table(ob)
         .join(spark.table(lb), F.col("o_orderkey") == F.col("l_orderkey"))
