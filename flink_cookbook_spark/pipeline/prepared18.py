@@ -271,12 +271,22 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("cell_y"),
     )
+    # round-13 correctness hardening: cells are a FIXED grid, so
+    # per-cell row counts grow with the corpus and a raw-double mean's
+    # summation-order divergence eventually crosses the 6-dp rounding
+    # boundary (first seen at sf0.1: spark ...688 vs duckdb ...689 on
+    # one cell). events.value is cent-precision, so the established
+    # DECIMAL discipline applies: exact decimal sum (identical on both
+    # engines), one double division by the count, identical rounding.
+    value_dec = F.col("value").cast("decimal(14,2)")
     return (
         cells.groupBy("cell_x", "cell_y")
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            rnd(F.avg("value"), 6).alias("avg_value"),
+            rnd(
+                F.sum(value_dec).cast("double") / F.count("*"), 6
+            ).alias("avg_value"),
         )
     )
 
@@ -305,7 +315,8 @@ cells AS (
 )
 SELECT cell_x, cell_y, count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       round(avg(value) + 1e-6, 6) AS avg_value
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+             + 1e-6, 6) AS avg_value
 FROM cells GROUP BY cell_x, cell_y
 """
 

@@ -418,7 +418,50 @@ def test_oracle_lint_no_hugeint_outputs(sf_dir):
 #: r5 HUGEINT trap, one level up). Any future entry must carry a reason
 #: string AND point at a pytest that pins the query's non-empty behavior
 #: on a synthetic fixture.
-VACUOUS_OK: dict[str, str] = {}
+VACUOUS_OK: dict[str, str] = {
+    # NON-vacuous at the driver's sf0.01 gate (49 rows; 181 at
+    # sf0.001). The whitelist entry covers the sf0.1 fixture only:
+    # q11's threshold is a FIXED fraction (0.001) of total ASIA
+    # revenue, and the sf0.1 fixture spreads that revenue over enough
+    # parts that no single part reaches it — verified identical 0-row
+    # behavior on BOTH engines and on the pre-round-13 formulation
+    # (the threshold rewrite did not move it: decimal addition is
+    # associative, old == new at every SF). Non-empty logic pinned by
+    # test_q11_planted_dominant_part below.
+    "q11_important_part_values": "0-row at sf0.1 only; fixture share dilution",
+}
+
+
+def test_q11_planted_dominant_part(spark, tmp_path_factory):
+    """Planted-fixture pin for q11's non-empty behavior (the VACUOUS_OK
+    contract): one part carries ~half the ASIA revenue, so it MUST
+    clear the 0.001-of-total threshold; a non-ASIA supplier's revenue
+    must stay excluded from both the threshold and the output."""
+    import __spark_entry__  # noqa: F401 — registers all queries
+
+    from flink_cookbook_spark.registry import all_specs
+
+    base = str(tmp_path_factory.mktemp("q11_fx") / "sf")
+    spark.createDataFrame(
+        [(0, "ASIA"), (1, "EUROPE")], "r_regionkey long, r_name string"
+    ).write.parquet(f"{base}/region.parquet")
+    spark.createDataFrame(
+        [(10, 0), (11, 1)], "n_nationkey long, n_regionkey long"
+    ).write.parquet(f"{base}/nation.parquet")
+    spark.createDataFrame(
+        [(100, 10), (101, 11)], "s_suppkey long, s_nationkey long"
+    ).write.parquet(f"{base}/supplier.parquet")
+    rows = [(100, 1, 5000.0, 0.0)] + [
+        (100, p, 1.0, 0.0) for p in range(2, 1002)
+    ] + [(101, 9999, 1e9, 0.0)]  # non-ASIA: must not count
+    spark.createDataFrame(
+        rows, "l_suppkey long, l_partkey long, l_extendedprice double, l_discount double"
+    ).write.parquet(f"{base}/lineitem.parquet")
+    out = all_specs()["q11_important_part_values"].fn(spark, base).collect()
+    got = {r.l_partkey: r.part_value for r in out}
+    # ASIA total = 6000; threshold = 6.0; only part 1 (5000) clears it,
+    # and the non-ASIA 1e9 line neither qualifies nor inflates the bar.
+    assert got == {1: 5000.0}, got
 
 
 def test_oracle_lint_no_vacuous_greens():
