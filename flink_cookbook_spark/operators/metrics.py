@@ -507,23 +507,38 @@ def latest_baseline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw rows are all window samples. Matches the reference topology where
     the SARIMAX branch emits baselines every Nth window and the alert
     operator looks up the latest one per key (flinkarima.py:309-316).
+
+    Because the baselines are DERIVED from the same windowed series, the
+    generic union+sweep ``asof_join`` is overkill here: the union scanned
+    the memo twice, ran a separate row_number pass over the baselines
+    side, and re-sorted the unioned rows. The single-relation form marks
+    each row's baseline candidate in place (NULL off the emit cadence)
+    and sweeps ``last(ignorenulls)`` over the same ordered window — one
+    memo scan, one sort, zero extra exchanges. Semantics are identical:
+    a baseline emitted at ts is visible to the row at the same ts (the
+    sweep frame includes the current row, matching the union sweep's
+    right-sorts-before-left tie-break), and (user_id, window_start) is
+    unique so no further tie-break is needed.
     """
     win = _windowed(spark, sf_dir)
-    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("window_start"))
-    baselines = (
-        win.withColumn("sample_no", rn)
-        .where(F.col("sample_no") % EMIT_EVERY_N == 0)
-        .select("user_id", "window_start", F.col("avg_value").alias("baseline_value"))
+    w = Window.partitionBy("user_id").orderBy("window_start")
+    sweep = w.rowsBetween(Window.unboundedPreceding, 0)
+    is_emit = (F.row_number().over(w) % EMIT_EVERY_N) == 0
+    marked = win.select(
+        "user_id",
+        "window_start",
+        "avg_value",
+        F.when(is_emit, F.col("avg_value")).alias("_b_val"),
+        F.when(is_emit, F.col("window_start")).alias("_b_ts"),
     )
-    return asof_join(
-        win,
-        baselines,
-        key="user_id",
-        left_ts="window_start",
-        right_ts="window_start",
-        value_cols=["baseline_value"],
-        how="inner",
+    swept = marked.select(
+        "user_id",
+        "window_start",
+        "avg_value",
+        F.last("_b_val", ignorenulls=True).over(sweep).alias("baseline_value_asof"),
+        F.last("_b_ts", ignorenulls=True).over(sweep).alias("window_start_asof"),
     )
+    return swept.where(F.col("window_start_asof").isNotNull())
 
 
 register(
@@ -554,26 +569,30 @@ def next_baseline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of: enrich each window sample with the NEXT scheduled
     baseline at-or-after it — the lookahead twin of J1 (used for
     backfill/repair jobs that align history to the baseline that was
-    *about to* take effect). Same single-shuffle sweep as backward,
-    first() over a following frame instead of last() over a preceding
-    one."""
+    *about to* take effect). Same single-relation derived-baseline sweep
+    as ``latest_baseline_join`` (see there for the equivalence argument),
+    with first() over a following frame instead of last() over a
+    preceding one — an emit row at ts is its own at-or-after match, same
+    as the union sweep's right-sorts-after-left tie-break."""
     win = _windowed(spark, sf_dir)
-    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("window_start"))
-    baselines = (
-        win.withColumn("sample_no", rn)
-        .where(F.col("sample_no") % EMIT_EVERY_N == 0)
-        .select("user_id", "window_start", F.col("avg_value").alias("baseline_value"))
+    w = Window.partitionBy("user_id").orderBy("window_start")
+    sweep = w.rowsBetween(0, Window.unboundedFollowing)
+    is_emit = (F.row_number().over(w) % EMIT_EVERY_N) == 0
+    marked = win.select(
+        "user_id",
+        "window_start",
+        "avg_value",
+        F.when(is_emit, F.col("avg_value")).alias("_b_val"),
+        F.when(is_emit, F.col("window_start")).alias("_b_ts"),
     )
-    return asof_join(
-        win,
-        baselines,
-        key="user_id",
-        left_ts="window_start",
-        right_ts="window_start",
-        value_cols=["baseline_value"],
-        how="inner",
-        direction="forward",
+    swept = marked.select(
+        "user_id",
+        "window_start",
+        "avg_value",
+        F.first("_b_val", ignorenulls=True).over(sweep).alias("baseline_value_asof"),
+        F.first("_b_ts", ignorenulls=True).over(sweep).alias("window_start_asof"),
     )
+    return swept.where(F.col("window_start_asof").isNotNull())
 
 
 register(

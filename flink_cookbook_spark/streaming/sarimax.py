@@ -237,7 +237,10 @@ def _process_sample(
 
 
 def baseline_batch(
-    windowed: DataFrame, cfg: BaselineConfig = FIXTURE_CONFIG
+    windowed: DataFrame,
+    cfg: BaselineConfig = FIXTURE_CONFIG,
+    *,
+    input_copartitioned: bool = False,
 ) -> DataFrame:
     """Batch twin: replay each key's ordered window series through the
     exact state loop.
@@ -248,7 +251,17 @@ def baseline_batch(
     to applyInPandas-per-group this amortizes the Python/pandas overhead
     across whole record batches (thousands of tiny keys per batch, the
     100 TB cardinality shape) while computing the identical sequence of
-    per-sample operations."""
+    per-sample operations.
+
+    ``input_copartitioned=True`` skips the repartition: callers feeding
+    the memoized windowed aggregate (already materialized hash-
+    partitioned by user_id) declare that every key's rows are already
+    physically in one partition, eliding a redundant full exchange of
+    the series. The correctness contract is physical layout, not what
+    Catalyst knows — AQE partition coalescing merges whole partitions,
+    so the co-location survives it. Only pass True when the input
+    demonstrably clusters keys (the memo, or a filter/projection of it);
+    a mis-declared input would split a key's state across partitions."""
 
     cols = [
         "user_id", "window_start", "observed", "baseline", "history_size",
@@ -269,10 +282,9 @@ def baseline_batch(
             if out:
                 yield pd.DataFrame(out, columns=cols)
 
-    return (
-        windowed.repartition("user_id")
-        .sortWithinPartitions("user_id", "window_start")
-        .mapInPandas(run_partition, schema=BASELINE_SCHEMA)
+    clustered = windowed if input_copartitioned else windowed.repartition("user_id")
+    return clustered.sortWithinPartitions("user_id", "window_start").mapInPandas(
+        run_partition, schema=BASELINE_SCHEMA
     )
 
 
@@ -394,7 +406,11 @@ def sarimax_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_sarimax.py)."""
     from flink_cookbook_spark.operators.metrics import _windowed
 
-    return baseline_batch(_windowed(spark, sf_dir), FIXTURE_CONFIG)
+    # the memo is materialized hash-partitioned by user_id, so the
+    # replay's repartition is redundant — declare the co-location
+    return baseline_batch(
+        _windowed(spark, sf_dir), FIXTURE_CONFIG, input_copartitioned=True
+    )
 
 
 register("sarimax_baseline", oracle=None, tags=("model", "A5", "A8", "stateful"))(
@@ -404,6 +420,82 @@ register("sarimax_baseline", oracle=None, tags=("model", "A5", "A8", "stateful")
 
 #: EWMA smoothing constant of the numpy fallback (forecast_next above).
 FALLBACK_ALPHA = 0.3
+
+
+def _fallback_scored(
+    spark: SparkSession, sf_dir: str, all_rows: bool = False
+) -> DataFrame:
+    """The relational EWMA-fallback baseline chain over the windowed
+    series, up to the one-step forecast ``fc`` (see
+    ``baseline_fallback_oracle`` for the stage-by-stage mapping).
+
+    ``all_rows=False`` (the registered baseline query's shape) filters to
+    the emit-cadence rows before the forecast fold. ``all_rows=True``
+    keeps EVERY window row, adds an ``_emit`` flag, and guards the
+    forecast expressions behind it (CASE WHEN short-circuits, so
+    non-emit rows never evaluate the fold) — the shape the end-to-end
+    alert pipeline sweeps directly, without unioning a second scan of
+    the memo back in. Emit-row values are identical between the two
+    forms: same window frames, same expressions, only the filter moves.
+    """
+    from flink_cookbook_spark.operators.metrics import _windowed
+
+    cfg = FIXTURE_CONFIG
+    w = Window.partitionBy("user_id").orderBy("window_start")
+    rows_pre = w.rowsBetween(Window.unboundedPreceding, -1)
+    rows_all = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows_hist = w.rowsBetween(-(cfg.max_history - 1), Window.currentRow)
+    rows_season = w.rowsBetween(-(cfg.season - 1), Window.currentRow)
+    s, a = cfg.season, FALLBACK_ALPHA
+
+    scored = (
+        _windowed(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("pre_mean", F.avg("avg_value").over(rows_pre))
+        .withColumn("pre_std", F.stddev_samp("avg_value").over(rows_pre))
+        .withColumn("post_mean", F.avg("avg_value").over(rows_all))
+        .withColumn("post_std", F.stddev_samp("avg_value").over(rows_all))
+        .withColumn("trend_latest_u", F.avg("avg_value").over(rows_season))
+        .withColumn("trend_5season_u", F.avg("avg_value").over(rows_hist))
+        .withColumn(
+            "z",
+            F.when(
+                F.col("pre_std") > 0,
+                (F.col("avg_value") - F.col("pre_mean")) / F.col("pre_std"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("zhist", F.collect_list("z").over(rows_hist))
+    )
+    emit_cond = (F.col("rn") % cfg.emit_every_n == 0) & (
+        F.least(F.col("rn"), F.lit(cfg.max_history)) >= cfg.min_history
+    )
+    if all_rows:
+        scored = scored.withColumn("_emit", emit_cond)
+        guard = lambda c: F.when(F.col("_emit"), c)  # noqa: E731
+    else:
+        scored = scored.where(emit_cond)
+        guard = lambda c: c  # noqa: E731
+    return scored.withColumn(
+        "diffs",
+        guard(
+            F.expr(
+                f"CASE WHEN size(zhist) > {s} THEN "
+                f"transform(sequence(1, size(zhist) - {s}), "
+                f"k -> element_at(zhist, k + {s}) - element_at(zhist, k)) "
+                f"ELSE cast(array() AS array<double>) END"
+            )
+        ),
+    ).withColumn(
+        "fc",
+        guard(
+            F.expr(
+                f"CASE WHEN size(zhist) < {s + 1} THEN element_at(zhist, size(zhist)) "
+                f"ELSE element_at(zhist, size(zhist) - {s - 1}) + "
+                f"aggregate(slice(diffs, 2, size(diffs) - 1), element_at(diffs, 1), "
+                f"(acc, d) -> {a}D * d + {1.0 - a}D * acc) END"
+            )
+        ),
+    )
 
 
 def baseline_fallback_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,56 +529,8 @@ def baseline_fallback_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sarimax.py; this registered pair is the driver-facing
     proof that the fallback math itself is engine-exact.
     """
-    from flink_cookbook_spark.operators.metrics import _windowed
-
+    emitted = _fallback_scored(spark, sf_dir)
     cfg = FIXTURE_CONFIG
-    w = Window.partitionBy("user_id").orderBy("window_start")
-    rows_pre = w.rowsBetween(Window.unboundedPreceding, -1)
-    rows_all = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rows_hist = w.rowsBetween(-(cfg.max_history - 1), Window.currentRow)
-    rows_season = w.rowsBetween(-(cfg.season - 1), Window.currentRow)
-    s, a = cfg.season, FALLBACK_ALPHA
-
-    emitted = (
-        _windowed(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("pre_mean", F.avg("avg_value").over(rows_pre))
-        .withColumn("pre_std", F.stddev_samp("avg_value").over(rows_pre))
-        .withColumn("post_mean", F.avg("avg_value").over(rows_all))
-        .withColumn("post_std", F.stddev_samp("avg_value").over(rows_all))
-        .withColumn("trend_latest_u", F.avg("avg_value").over(rows_season))
-        .withColumn("trend_5season_u", F.avg("avg_value").over(rows_hist))
-        .withColumn(
-            "z",
-            F.when(
-                F.col("pre_std") > 0,
-                (F.col("avg_value") - F.col("pre_mean")) / F.col("pre_std"),
-            ).otherwise(F.lit(0.0)),
-        )
-        .withColumn("zhist", F.collect_list("z").over(rows_hist))
-        .where(
-            (F.col("rn") % cfg.emit_every_n == 0)
-            & (F.least(F.col("rn"), F.lit(cfg.max_history)) >= cfg.min_history)
-        )
-        .withColumn(
-            "diffs",
-            F.expr(
-                f"CASE WHEN size(zhist) > {s} THEN "
-                f"transform(sequence(1, size(zhist) - {s}), "
-                f"k -> element_at(zhist, k + {s}) - element_at(zhist, k)) "
-                f"ELSE cast(array() AS array<double>) END"
-            ),
-        )
-        .withColumn(
-            "fc",
-            F.expr(
-                f"CASE WHEN size(zhist) < {s + 1} THEN element_at(zhist, size(zhist)) "
-                f"ELSE element_at(zhist, size(zhist) - {s - 1}) + "
-                f"aggregate(slice(diffs, 2, size(diffs) - 1), element_at(diffs, 1), "
-                f"(acc, d) -> {a}D * d + {1.0 - a}D * acc) END"
-            ),
-        )
-    )
     return emitted.select(
         "user_id",
         "window_start",
@@ -606,7 +650,9 @@ def pipeline_alerts_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     win = _windowed(spark, sf_dir)
-    baselines = baseline_batch(win, FIXTURE_CONFIG).select(
+    baselines = baseline_batch(
+        win, FIXTURE_CONFIG, input_copartitioned=True
+    ).select(
         "user_id",
         "window_start",
         F.col("baseline").alias("baseline_value"),
@@ -668,31 +714,52 @@ def pipeline_alerts_fallback_oracle(spark: SparkSession, sf_dir: str) -> DataFra
     recomputing the identical chain. Together with the pytest pin that
     the SQL baseline equals the stateful loop, this closes the driver
     gap on the whole reference topology (flinkarima.py:392-476), not
-    just its stages."""
+    just its stages.
+
+    The baselines are a filtered projection of the SAME window chain the
+    raw side reads, so instead of the generic union+sweep as-of join
+    (which scanned the memo twice and re-sorted the union) the baseline
+    columns are computed in place on every window row (NULL off the emit
+    cadence) and the latest-at-or-before lookup is one
+    ``last(ignorenulls)`` sweep over the already-established per-user
+    ordering — zero additional exchanges or sorts, identical match
+    semantics (the sweep frame includes the current row, so an emit row
+    is its own latest baseline, exactly the union sweep's tie-break),
+    and identical rounded values (same expressions, same frames)."""
     from flink_cookbook_spark.operators.metrics import (
         MIN_BASELINE,
         PCT_THRESHOLD,
         Z_THRESHOLD,
-        _windowed,
-        asof_join,
     )
 
-    win = _windowed(spark, sf_dir)
-    baselines = baseline_fallback_oracle(spark, sf_dir).select(
+    scored = _fallback_scored(spark, sf_dir, all_rows=True)
+    baseline_raw = F.greatest(
+        F.lit(0.0),
+        F.when(
+            F.col("post_std") > 0,
+            F.col("fc") * F.col("post_std") + F.col("post_mean"),
+        ).otherwise(F.col("post_mean")),
+    )
+    marked = scored.select(
         "user_id",
         "window_start",
-        F.col("baseline").alias("baseline_value"),
-        F.col("running_std").alias("baseline_std"),
+        "avg_value",
+        F.when(F.col("_emit"), rnd(baseline_raw)).alias("_b_val"),
+        F.when(F.col("_emit"), rnd(F.coalesce(F.col("post_std"), F.lit(0.0)))).alias(
+            "_b_std"
+        ),
+        F.when(F.col("_emit"), F.col("window_start")).alias("_b_ts"),
     )
-    enriched = asof_join(
-        win,
-        baselines,
-        key="user_id",
-        left_ts="window_start",
-        right_ts="window_start",
-        value_cols=["baseline_value", "baseline_std"],
-        how="inner",
-    )
+    w = Window.partitionBy("user_id").orderBy("window_start")
+    sweep = w.rowsBetween(Window.unboundedPreceding, 0)
+    enriched = marked.select(
+        "user_id",
+        "window_start",
+        "avg_value",
+        F.last("_b_val", ignorenulls=True).over(sweep).alias("baseline_value_asof"),
+        F.last("_b_std", ignorenulls=True).over(sweep).alias("baseline_std_asof"),
+        F.last("_b_ts", ignorenulls=True).over(sweep).alias("window_start_asof"),
+    ).where(F.col("window_start_asof").isNotNull())
     deviation = F.col("avg_value") - F.col("baseline_value_asof")
     pct = F.when(
         F.col("baseline_value_asof") >= MIN_BASELINE,
@@ -809,7 +876,7 @@ def baseline_method_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in ("auto", "css", "ewma"):
         cfg = dataclasses.replace(FIXTURE_CONFIG, method=m)
         legs.append(
-            baseline_batch(win, cfg)
+            baseline_batch(win, cfg, input_copartitioned=True)
             .agg(
                 F.max("model").alias("model"),
                 F.count("*").cast("long").alias("n_records"),

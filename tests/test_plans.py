@@ -82,15 +82,37 @@ def test_window_agg_single_shuffle(spark, sf_dir):
 
 
 def test_asof_join_single_shuffle_per_side(spark, sf_dir):
-    """The union+last_value as-of join must not expand into a range join:
-    union of two scans -> one exchange on the key -> window sweep."""
-    from flink_cookbook_spark.operators.metrics import latest_baseline_join
+    """As-of joins must never expand into a range join / per-key cross
+    product. Two shapes are pinned:
 
+    - derived-baseline sweeps (latest/next_baseline_join): baselines come
+      from the SAME windowed relation, so the whole query is window
+      passes over one scan — no Union, and no exchange beyond the memo
+      build's own two (round-14 rewrite).
+    - the generic two-relation union sweep (asof_tolerance_join): one
+      union, one key exchange, window sweep."""
+    from flink_cookbook_spark.operators.metrics import latest_baseline_join
+    from flink_cookbook_spark.pipeline.prepared import asof_tolerance_join
+    from flink_cookbook_spark.plans.explain import formatted_plan
+
+    # warm the windowed memo first: a cold cached relation reports
+    # unknown partitioning at planning time, which adds an
+    # ENSURE_REQUIREMENTS exchange the executed plan elides
+    latest_baseline_join(spark, sf_dir).count()
     df = latest_baseline_join(spark, sf_dir)
     assert not has_cartesian(df)
-    # windowed agg (1 per side pre-union) + key exchange for the sweep +
-    # row_number exchange for baselines; anything >5 means a plan blowup
-    assert count_exchanges(df) <= 5
+    plan = formatted_plan(df)
+    assert "Union" not in plan, "derived-baseline sweep regrew its union"
+    # every exchange in the plan must sit INSIDE the memo-build lineage
+    # (the InMemoryRelation subtree); the sweep above the cache scan adds
+    # none — the tree section before the first InMemoryRelation is pure
+    # Window/Sort/Project/Filter
+    sweep_section = plan.split("InMemoryRelation", 1)[0]
+    assert "Exchange" not in sweep_section, sweep_section
+
+    tol = asof_tolerance_join(spark, sf_dir)
+    assert not has_cartesian(tol)
+    assert count_exchanges(tol) <= 5
 
 
 def test_codegen_in_scalar_paths(spark, sf_dir):
