@@ -236,6 +236,172 @@ def _process_sample(
     }
 
 
+def _ewma_vectorized_runner(cfg: BaselineConfig, cols: list[str]):
+    """mapInPandas runner for the EWMA forecaster that replays the state
+    loop vectorized ACROSS KEYS: instead of one Python `_process_sample`
+    call per row, a step loop advances every key's state one sample at a
+    time with NumPy elementwise ops (guide section 4.2 — hand whole
+    batches to vectorized native code).
+
+    Bit-identity argument: per key, the SEQUENCE of floating-point
+    operations is exactly `_process_sample`'s — same pre-update scaling,
+    same append-then-trim buffer, same Welford update order (delta
+    against the pre-update mean, m2 against the post-update mean), same
+    left-fold EWMA over the seasonal diffs, same left-to-right trend
+    sums — only executed for all keys of a step in one ufunc call each.
+    NumPy float64 ufuncs are IEEE-754 doubles like Python floats, so per
+    key every intermediate is the same bits. Pinned by
+    tests/test_sarimax.py::test_vectorized_runner_equals_scalar_loop.
+
+    Emit-row forecasts group keys by history LENGTH (keys whose buffers
+    grew together share a length), so the per-emit fold/trend loops are
+    O(history) NumPy vector ops per group, not per key. The scalar
+    runner remains the css/statsmodels path (a real optimizer fit per
+    emit cannot vectorize) and the reference for the equality pin.
+    """
+    H, N, MIN, s = cfg.max_history, cfg.emit_every_n, cfg.min_history, cfg.season
+    season = max(1, s)
+    trim_len = season * max(5, H // season)
+    alpha = FALLBACK_ALPHA
+    mname = model_name(cfg)
+
+    def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # uid -> (count, mean, m2, counter, histlen, scaled_row, raw_row)
+        carry: dict[int, tuple] = {}
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            uids = pdf["user_id"].to_numpy()
+            vals = pdf["avg_value"].to_numpy(dtype=np.float64)
+            wss = pdf["window_start"].to_numpy()
+            # contiguous per-key segments (input sorted by user_id, ts)
+            cut = np.flatnonzero(uids[1:] != uids[:-1]) + 1
+            starts = np.concatenate(([0], cut))
+            seglen = np.diff(np.concatenate((starts, [n])))
+            keys = uids[starts]
+            m = len(keys)
+            count = np.zeros(m, np.int64)
+            mean = np.zeros(m, np.float64)
+            m2 = np.zeros(m, np.float64)
+            counter = np.zeros(m, np.int64)
+            histlen = np.zeros(m, np.int64)
+            hist_s = np.zeros((m, H), np.float64)
+            hist_r = np.zeros((m, H), np.float64)
+            for j, uid in enumerate(keys):
+                st = carry.get(int(uid))
+                if st is not None:
+                    count[j], mean[j], m2[j], counter[j], histlen[j] = st[:5]
+                    hist_s[j] = st[5]
+                    hist_r[j] = st[6]
+            out: list[tuple] = []  # (seg_idx, t, record)
+            for t in range(int(seglen.max())):
+                act = np.flatnonzero(seglen > t)
+                x = vals[starts[act] + t]
+                na = len(act)
+                # 1. scale with PRE-update moments
+                pre_std = np.zeros(na)
+                sel = count[act] > 1
+                if sel.any():
+                    ai = act[sel]
+                    pre_std[sel] = np.sqrt(m2[ai] / (count[ai] - 1))
+                scaled = np.zeros(na)
+                sel = pre_std > 0
+                if sel.any():
+                    scaled[sel] = (x[sel] - mean[act[sel]]) / pre_std[sel]
+                # 2. append + trim (shift-left when the buffer is full)
+                full = histlen[act] == H
+                if full.any():
+                    af = act[full]
+                    hist_s[af, :-1] = hist_s[af, 1:]
+                    hist_s[af, -1] = scaled[full]
+                    hist_r[af, :-1] = hist_r[af, 1:]
+                    hist_r[af, -1] = x[full]
+                nf = ~full
+                if nf.any():
+                    anf = act[nf]
+                    hist_s[anf, histlen[anf]] = scaled[nf]
+                    hist_r[anf, histlen[anf]] = x[nf]
+                    histlen[anf] += 1
+                # 3. Welford update (delta vs pre-mean, m2 vs post-mean)
+                count[act] += 1
+                delta = x - mean[act]
+                mean[act] = mean[act] + delta / count[act]
+                m2[act] = m2[act] + delta * (x - mean[act])
+                # 4. emit cadence
+                counter[act] = (counter[act] + 1) % N
+                em = (counter[act] == 0) & (histlen[act] >= MIN)
+                if not em.any():
+                    continue
+                ex = x[em]
+                eact = act[em]
+                post_std = np.zeros(len(eact))
+                psel = count[eact] > 1
+                if psel.any():
+                    pi = eact[psel]
+                    post_std[psel] = np.sqrt(m2[pi] / (count[pi] - 1))
+                # 5+6. forecast + inverse-scale, per history-length group
+                fc = np.empty(len(eact), np.float64)
+                tr_latest = np.empty(len(eact), np.float64)
+                tr_5 = np.empty(len(eact), np.float64)
+                for L in np.unique(histlen[eact]):
+                    g = np.flatnonzero(histlen[eact] == L)
+                    Z = hist_s[eact[g], :L]
+                    if L < s + 1:
+                        fc[g] = Z[:, L - 1]
+                    else:
+                        diffs = Z[:, s:] - Z[:, :-s]
+                        level = diffs[:, 0].copy()
+                        for d in range(1, L - s):
+                            level = alpha * diffs[:, d] + (1 - alpha) * level
+                        fc[g] = Z[:, L - s] + level
+                    R = hist_r[eact[g], :L]
+                    eff = int(min(trim_len, L))
+                    acc = R[:, L - eff].copy()
+                    for i in range(1, eff):
+                        acc = acc + R[:, L - eff + i]
+                    tr_5[g] = acc / eff
+                    lat = season if eff >= season else eff
+                    acc = R[:, L - lat].copy()
+                    for i in range(1, lat):
+                        acc = acc + R[:, L - lat + i]
+                    tr_latest[g] = acc / lat
+                baseline = np.where(
+                    post_std > 0, fc * post_std + mean[eact], mean[eact]
+                )
+                baseline = np.maximum(0.0, baseline)
+                for i, j in enumerate(eact):
+                    out.append(
+                        (
+                            int(j),
+                            t,
+                            {
+                                "user_id": int(keys[j]),
+                                "window_start": int(wss[starts[j] + t]),
+                                "observed": float(ex[i]),
+                                "baseline": float(baseline[i]),
+                                "history_size": int(histlen[j]),
+                                "running_mean": float(mean[j]),
+                                "running_std": float(post_std[i]),
+                                "trend_latest": float(tr_latest[i]),
+                                "trend_5season": float(tr_5[i]),
+                                "model": mname,
+                            },
+                        )
+                    )
+            for j, uid in enumerate(keys):
+                carry[int(uid)] = (
+                    count[j], mean[j], m2[j], counter[j], histlen[j],
+                    hist_s[j].copy(), hist_r[j].copy(),
+                )
+            if out:
+                # scalar-runner row order: per key segment, then per step
+                out.sort(key=lambda r: (r[0], r[1]))
+                yield pd.DataFrame([r[2] for r in out], columns=cols)
+
+    return run_partition
+
+
 def baseline_batch(
     windowed: DataFrame,
     cfg: BaselineConfig = FIXTURE_CONFIG,
@@ -281,6 +447,12 @@ def baseline_batch(
                     out.append(rec)
             if out:
                 yield pd.DataFrame(out, columns=cols)
+
+    # the closed-form EWMA forecaster needs no per-emit optimizer run, so
+    # its replay vectorizes across keys (bit-identical — see the runner's
+    # docstring); css/statsmodels fits stay on the scalar reference loop
+    if resolve_method(cfg) == "ewma":
+        run_partition = _ewma_vectorized_runner(cfg, cols)
 
     clustered = windowed if input_copartitioned else windowed.repartition("user_id")
     return clustered.sortWithinPartitions("user_id", "window_start").mapInPandas(

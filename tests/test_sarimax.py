@@ -116,6 +116,52 @@ def test_batch_twin_equals_plain_python(spark, sf_dir):
     assert got and all(got[k] == pytest.approx(want[k], abs=1e-9) for k in want)
 
 
+def test_vectorized_runner_equals_scalar_loop():
+    """The across-keys NumPy replay (round-14, guide section 4.2) must be
+    BIT-IDENTICAL to the scalar `_process_sample` loop — same float-op
+    sequence per key — including across Arrow-batch boundaries and
+    through the history-buffer trim (series longer than max_history)."""
+    from flink_cookbook_spark.streaming.sarimax import _ewma_vectorized_runner
+
+    cfg = FIXTURE_CONFIG
+    cols = [
+        "user_id", "window_start", "observed", "baseline", "history_size",
+        "running_mean", "running_std", "trend_latest", "trend_5season", "model",
+    ]
+    rng = np.random.default_rng(7)
+    rows = []
+    for uid in range(13):
+        n = int(rng.integers(5, 230))  # some series trim (> max_history=96)
+        for t in range(n):
+            rows.append((uid, 1000 + 300 * t, float(round(rng.normal(40, 5), 4))))
+    pdf = pd.DataFrame(rows, columns=["user_id", "window_start", "avg_value"])
+    pdf = pdf.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    # uneven batch splits (mid-segment) exercise the cross-batch carry
+    batches = [pdf.iloc[0:137], pdf.iloc[137:1000], pdf.iloc[1000:]]
+
+    vec_frames = list(_ewma_vectorized_runner(cfg, cols)(iter(b.copy() for b in batches)))
+    got = pd.concat(vec_frames, ignore_index=True)
+
+    states: dict[int, _KeyState] = {}
+    want_rows = []
+    for b in batches:
+        for row in b.itertuples(index=False):
+            st = states.setdefault(row.user_id, _KeyState())
+            rec = _process_sample(st, float(row.avg_value), cfg)
+            if rec is not None:
+                rec["user_id"] = int(row.user_id)
+                rec["window_start"] = int(row.window_start)
+                want_rows.append(rec)
+    want = pd.DataFrame(want_rows, columns=cols)
+
+    assert len(got) == len(want) > 0
+    for c in cols:
+        gv, wv = got[c].tolist(), want[c].tolist()
+        assert gv == wv, f"column {c} diverged (first mismatch: " + str(
+            next((i, a, b) for i, (a, b) in enumerate(zip(gv, wv)) if a != b)
+        )
+
+
 def test_model_column_names_active_forecaster():
     """Every baseline record carries which forecaster produced it, so
     consumers can tell exact SARIMAX output from the vendored CSS fit
