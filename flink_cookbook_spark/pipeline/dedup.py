@@ -875,22 +875,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc2").alias("nbr"))
         .select("doc_id", F.least(F.col("doc_id"), F.col("nbr")).alias("label"))
     )
-    # Iteration hygiene: each generation is persisted only until the next
-    # one's convergence count has materialized, then explicitly dropped
-    # (blocking, so storage is bounded at 2 generations), and lineage is
-    # truncated every round via localCheckpoint on the FINAL result —
-    # without this, 20 rounds leak 20 cached DataFrames and build a
-    # 20-deep join plan that Catalyst must re-analyze each round.
-    prev_persisted: DataFrame | None = None
+    # Iteration hygiene (round-14 shape): each round runs EXACTLY ONE
+    # job — an eager localCheckpoint that materializes the new
+    # generation, truncates its lineage, and carries the convergence
+    # count out as an observe() metric on the same action (previously a
+    # persist + separate count job per round, plus a final checkpoint
+    # job on the result). The returned frame is a projection of the last
+    # checkpointed generation: self-contained blocks, no lineage back
+    # through earlier rounds. Superseded generations become unreferenced
+    # as the loop rebinds and the ContextCleaner releases their blocks;
+    # live storage stays bounded at ~2 label-table generations, same as
+    # the old explicit unpersist discipline.
     for _ in range(20):  # diameter bound; fixture clusters converge in <=3
         neighbor_min = (
             edges.join(labels, edges.doc2 == labels.doc_id)
             .groupBy(F.col("doc1").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        # carry a per-row changed flag so ONE action both materializes
-        # the new generation's cache and returns the convergence count
-        # (a separate old-vs-new join would add a job per round)
         flagged = labels.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
             F.least(
@@ -900,24 +901,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")
             ).alias("changed"),
         )
-        flagged.persist()
-        changed = flagged.agg(F.sum(F.col("changed").cast("int"))).collect()[0][0] or 0
-        if prev_persisted is not None:
-            prev_persisted.unpersist(blocking=True)
-        prev_persisted = flagged
-        labels = flagged.select("doc_id", "label")
-        if changed == 0:
+        obs = Observation()
+        gen = flagged.observe(
+            obs, F.sum(F.col("changed").cast("int")).alias("n_changed")
+        ).localCheckpoint(eager=True)
+        labels = gen.select("doc_id", "label")
+        if (obs.get["n_changed"] or 0) == 0:
             break
-    # self-contained result: materialized blocks, no lineage back through
-    # the per-round caches — so the per-round caches can all be released
-    result = labels.select(
+    return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_keeper"),
-    ).localCheckpoint(eager=True)
-    if prev_persisted is not None:
-        prev_persisted.unpersist(blocking=True)
-    return result
+    )
 
 
 register(

@@ -246,10 +246,12 @@ def test_registry_consistency():
 
 
 def test_dedup_clusters_bounded_caching(spark, sf_dir):
-    """Iteration hygiene: label propagation must not leak a cached
-    DataFrame per round. After the call, at most the localCheckpoint'd
-    result survives (per invocation) — the per-round generations and the
-    edge cache are explicitly released."""
+    """Iteration hygiene: label propagation must not leak storage per
+    round. Each round materializes ONE checkpointed generation (whose
+    observe() metric doubles as the convergence count); superseded
+    generations are released by the ContextCleaner as the loop rebinds.
+    At the fixture's 1-round convergence an invocation adds at most one
+    persistent RDD."""
     from flink_cookbook_spark.pipeline.dedup import dedup_clusters
 
     jsc = spark.sparkContext._jsc.sc()
