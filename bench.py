@@ -8,8 +8,12 @@ time includes planning + execution, excluding JVM start.
 Regression gate: ``python bench.py --check`` additionally compares each
 per-query time against the committed budgets in ``perf_budgets.json``
 (sf0.1 only) and lists queries drifting >15% over budget on stderr,
-exiting 1 if any. ``--write-budgets`` refreshes the budget file from the
-measured run.
+exiting 1 if any. ``--write-budgets`` refreshes the budget file with the
+per-query MEDIAN over three full sweeps (round-13 lesson: a single
+sweep's min-of-2 records lucky-fast floors that generate false DRIFT
+flags on unchanged plans for the rest of the round; medians over >=3
+sweeps are the committed policy). The printed JSON line is always the
+FIRST sweep — the driver contract is unchanged.
 """
 
 from __future__ import annotations
@@ -87,9 +91,34 @@ def main() -> None:
 
         budget_path = os.path.join(REPO_ROOT, "perf_budgets.json")
         if "--write-budgets" in sys.argv:
+            # budgets are cross-sweep MEDIANS, never a single sweep's
+            # values: run two more full min-of-2 sweeps (same methodology
+            # as the printed one) and take the per-query median of the
+            # three, so one lucky-fast outlier cannot become a budget
+            # floor that flags unchanged plans for the rest of the round.
+            import statistics
+
+            sweeps = [timings]
+            for _ in range(2):
+                extra: dict[str, float] = {}
+                for _i in range(2):
+                    for name in names:
+                        fn = specs[name].fn
+                        t0 = time.perf_counter()
+                        fn(spark, SF_DIR).count()
+                        dt = round(time.perf_counter() - t0, 3)
+                        extra[name] = min(extra.get(name, dt), dt)
+                sweeps.append(extra)
+            budgets = {
+                name: round(statistics.median(s[name] for s in sweeps), 3)
+                for name in timings
+            }
             with open(budget_path, "w") as f:
-                json.dump({"sf": out["sf"], "budgets": timings}, f, indent=1, sort_keys=True)
-            print(f"wrote {budget_path}", file=sys.stderr)
+                json.dump({"sf": out["sf"], "budgets": budgets}, f, indent=1, sort_keys=True)
+            print(
+                f"wrote {budget_path} (per-query median of 3 sweeps)",
+                file=sys.stderr,
+            )
         if "--check" in sys.argv:
             def _rerun(name: str) -> float:
                 t0 = time.perf_counter()

@@ -66,14 +66,14 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()  # unweighted: adjacency, not co-supply multiplicity
         )
 
-    # materialize the degree-annotated adjacency ONCE, partitioned by the
-    # iteration join key: every power-iteration round consumes
-    # edges-joined-with-degree on src, so persisting that join
-    # pre-partitioned (hashpartitioning(src), visible through
-    # InMemoryTableScan) means each round shuffles only the RANK table
-    # (one row per node) while the edge list — the big side at any real
-    # graph scale — never moves again. Without persistence Catalyst also
-    # re-derived the distinct+self-join+degree lineage PR_ITERS + 1 times
+    # materialize the EDGE LIST once, partitioned by the iteration join
+    # key (hashpartitioning(src), visible through InMemoryTableScan).
+    # The degree aggregate and the edges-with-degree join are re-derived
+    # lazily by each consumer, but both reuse the memo's partitioning —
+    # no exchange — so each round shuffles only the RANK table (one row
+    # per node) while the edge list, the big side at any real graph
+    # scale, never moves again. Without persistence Catalyst also
+    # re-derived the distinct+self-join lineage PR_ITERS + 1 times
     # inside one plan tree (the iteration loop itself stays fully lazy).
     def build_edges_partitioned() -> DataFrame:
         # NOTE: the repartition must be the memo's TOP node — a

@@ -706,8 +706,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate (partitioning on a subset of the group keys satisfies
     # its distribution) and the per-part window, collapsing the plan's
     # two exchanges into one that carries only qualifying lines.
+    # The semi-join side is deliberately UNHINTED (round-14, ADVICE):
+    # the filtered part keys scale linearly with the catalog, so a
+    # forced broadcast is the banned unbounded-side class — the planner
+    # broadcasts from true stats at fixture SFs (verified: same plan,
+    # same 613 rows, wall parity) and AQE demotes it at real scale.
     offers = (
-        li.join(F.broadcast(small.select("p_partkey")),
+        li.join(small.select("p_partkey"),
                 F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
         .repartition("l_partkey")

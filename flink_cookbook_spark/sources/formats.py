@@ -281,7 +281,14 @@ def _bucketed_table(
     fixture's dominant cost, and shipping 13 unread lineitem columns
     through the sort+write tripled it)."""
     token = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    name = f"{table}_b_{token}"
+    # encode the projection in the table name: a second consumer of the
+    # same (sf_dir, table) asking for different (or all) columns must not
+    # silently reuse a narrower fixture and fail on missing columns
+    # (round-13 ADVICE). md5 keeps the identifier short and legal.
+    import hashlib
+
+    proj = hashlib.md5(",".join(cols or ("*",)).encode()).hexdigest()[:8]
+    name = f"{table}_b_{token}_c{proj}"
     if not spark.catalog.tableExists(name):
         # the in-memory metastore dies with the session but the warehouse
         # dir persists: clear a stale location before rewriting, or

@@ -30,9 +30,9 @@ def test_query_matches_oracle(spec, spark, sf_dir, con):
     # and skips when those fixtures are absent): a 0-row == 0-row
     # oracle match verifies nothing about the query's logic, so any
     # oracled query not explicitly whitelisted must produce rows here.
-    from tests.test_robustness import VACUOUS_OK
+    from tests.test_robustness import vacuous_ok
 
     problems = compare(
-        df, con, spec.oracle, spec.name, require_rows=spec.name not in VACUOUS_OK
+        df, con, spec.oracle, spec.name, require_rows=not vacuous_ok(spec.name, sf_dir)
     )
     assert not problems, "\n".join(problems)

@@ -4,6 +4,7 @@ cross-engine tie-stable rounding convention every oracle depends on."""
 
 from __future__ import annotations
 
+import os
 import random
 
 import duckdb
@@ -411,14 +412,17 @@ def test_oracle_lint_no_hugeint_outputs(sf_dir):
     )
 
 
-#: oracled queries allowed to return 0 rows at the driver's comparison
-#: scale (sf0.01). Empty by design: a 0-row vs 0-row oracle match
-#: verifies NOTHING about the query's logic (round-6 verdict: the
+#: oracled queries allowed to return 0 rows, scoped PER FIXTURE DIR
+#: (round-13 ADVICE: a name-only whitelist would also wave through a
+#: future regression that empties the query at the driver's sf0.01
+#: gate). Empty by design: a 0-row vs 0-row oracle match verifies
+#: NOTHING about the query's logic (round-6 verdict: the
 #: similarity_threshold_curve vacuous green — same failure class as the
-#: r5 HUGEINT trap, one level up). Any future entry must carry a reason
-#: string AND point at a pytest that pins the query's non-empty behavior
-#: on a synthetic fixture.
-VACUOUS_OK: dict[str, str] = {
+#: r5 HUGEINT trap, one level up). Any future entry must name the exact
+#: fixture dirs where emptiness is expected, carry a reason string, AND
+#: point at a pytest that pins the query's non-empty behavior on a
+#: synthetic fixture.
+VACUOUS_OK: dict[str, tuple[frozenset[str], str]] = {
     # NON-vacuous at the driver's sf0.01 gate (49 rows; 181 at
     # sf0.001). The whitelist entry covers the sf0.1 fixture only:
     # q11's threshold is a FIXED fraction (0.001) of total ASIA
@@ -428,8 +432,18 @@ VACUOUS_OK: dict[str, str] = {
     # (the threshold rewrite did not move it: decimal addition is
     # associative, old == new at every SF). Non-empty logic pinned by
     # test_q11_planted_dominant_part below.
-    "q11_important_part_values": "0-row at sf0.1 only; fixture share dilution",
+    "q11_important_part_values": (
+        frozenset({"sf0.1"}),
+        "0-row at sf0.1 only; fixture share dilution",
+    ),
 }
+
+
+def vacuous_ok(name: str, sf_dir: str) -> bool:
+    """True when ``name`` is whitelisted for a 0-row oracle match at
+    THIS fixture dir — other SFs still enforce non-emptiness."""
+    entry = VACUOUS_OK.get(name)
+    return entry is not None and os.path.basename(sf_dir.rstrip("/")) in entry[0]
 
 
 def test_q11_planted_dominant_part(spark, tmp_path_factory):
@@ -488,7 +502,7 @@ def test_oracle_lint_no_vacuous_greens():
     con = duckdb_connection(sf01)
     offenders = []
     for name, spec in sorted(all_specs().items()):
-        if spec.oracle is None or name in VACUOUS_OK:
+        if spec.oracle is None or vacuous_ok(name, sf01):
             continue
         n = con.execute(f"SELECT count(*) FROM ({spec.oracle})").fetchone()[0]
         if n == 0:
