@@ -1065,8 +1065,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # qualifying orders. The explicit l_orderkey repartition satisfies
     # BOTH aggregates' distributions (subset partitioning), so the whole
     # chain costs one shuffle of three narrow columns.
+    #
+    # The finalized-order (o_orderstatus = 'F') semi-join runs BEFORE
+    # the aggregation chain, not after it (round-14, guide §2.3: filter
+    # the big side early): only ~half the orders are finalized, so the
+    # shuffle and both aggregates process half the lines, and the
+    # per-order predicates are unaffected — a semi-join on the ORDER key
+    # keeps or drops whole orders, never individual sibling lines. The
+    # semi side is unhinted: the planner broadcasts it from true stats
+    # at fixture SFs; at real scale a shuffled semi on l_orderkey shares
+    # the very partitioning the chain establishes anyway.
+    f_orders = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
     pair = (
         li.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
@@ -1079,11 +1091,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("r_lines") > 0, F.col("l_suppkey"))).alias("r_suppkey"),
         F.sum(F.when(F.col("r_lines") > 0, F.col("r_lines"))).alias("r_line_cnt"),
     )
-    qualifying = (
-        per_order.where((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
-        .join(orders.where(F.col("o_orderstatus") == "F"),
-              F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-    )
+    qualifying = per_order.where((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
     return (
         qualifying.join(supplier, F.col("r_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
